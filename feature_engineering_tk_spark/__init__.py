@@ -1,0 +1,26 @@
+"""feature_engineering_tk_spark — a from-scratch PySpark-native
+point-in-time feature-engineering engine.
+
+Re-imagines the transform semantics of the reference toolkit
+(``bluelion1999/feature_engineering_tk``, a single-process pandas
+library) as a distributed, leakage-free, checkpoint-resumable feature
+pipeline over partitioned transcript tables:
+
+- ``operators``  — as-of join, window features (lag/lead/rolling/
+  backfill), sessionization, dedup (exact/MinHash-LSH/SimHash), row ops
+- ``transforms`` — fit/transform pairs with persistable state
+  (impute, encode, scale, bin, outliers)
+- ``functions``  — column expression libraries (strings, datetime,
+  numeric constructors, text analysis, similarity search)
+- ``analysis``   — distributed sufficient-statistics EDA + driver-side
+  statistical formulas (effect sizes, CIs, FDR)
+- ``plans``      — pipeline builder with per-stage lineage + metrics,
+  checkpoint manifest and resume, leakage guard
+
+Everything is expressed as DataFrame operations plus vectorized
+pandas/Arrow UDFs — never per-row Python ``udf``.
+"""
+
+__version__ = "0.1.0"
+
+from feature_engineering_tk_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,137 @@
+"""Point-in-time (as-of) join — the engine's core join operator.
+
+Spark has no native as-of join; two implementations with different
+scale profiles:
+
+- :func:`asof_join` — sorted-merge shaped union-tag algorithm: ONE
+  shuffle of (left ∪ right) on the entity key, one window sort, no
+  row explosion. This is the 100 TB path: cost is a single exchange +
+  sort per side, identical to what a native sort-merge as-of join would
+  do, and AQE skew handling applies to the exchange.
+- :func:`asof_join_broadcast` — for small right sides (fitted state,
+  snapshot statistics): broadcast hash join on the entity key, then a
+  window picks the latest right row per left anchor. Row explosion is
+  bounded by rows-per-entity on the right, so only use when the right
+  side is genuinely small.
+
+Tie semantics (north-rule hard part): ``right.ts == left.ts`` IS
+matched (``<=``, not ``<``) — the union sorts right rows before left
+anchors at equal timestamps via a tag column. Direction 'backward'
+only (point-in-time); 'forward' would read the future.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    entity: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Attach, to every left row, the latest right row with
+    ``right.ts <= left.ts`` for the same entity.
+
+    Union-tag algorithm: stack both sides, sort each entity partition by
+    (ts, tag) — right rows (tag 0) before left anchors (tag 1) at equal
+    ts — then ``last(value, ignorenulls=True)`` over an unbounded-
+    preceding frame carries the most recent right value onto each left
+    anchor. One shuffle, no row explosion, no driver round-trip.
+
+    If multiple right rows share (entity, ts) the one latest in the
+    (right_ts, input order) sort wins — pre-aggregate the right side if
+    a specific tie-break is required.
+
+    ``tolerance_seconds``: matches older than the tolerance are nulled
+    (pandas ``merge_asof(tolerance=...)`` parity).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (entity, right_ts)
+    ]
+    left_cols = left.columns
+
+    l_tag = left.select(
+        F.col(entity).alias("_e"),
+        F.col(left_ts).cast("double").alias("_t"),
+        F.lit(1).alias("_tag"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+        F.lit(None).cast("double").alias("_rt"),
+    )
+    r_tag = right.select(
+        F.col(entity).alias("_e"),
+        F.col(right_ts).cast("double").alias("_t"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(right_ts).cast("double").alias("_rt"),
+    )
+
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_e")
+        .orderBy("_t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumns(
+        {f"_c_{c}": F.last(f"_rv_{c}", ignorenulls=True).over(w) for c in value_cols}
+        | {"_c_rt": F.last("_rt", ignorenulls=True).over(w)}
+    )
+    out = carried.filter(F.col("_tag") == 1)
+
+    if tolerance_seconds is not None:
+        in_tol = (F.col("_t") - F.col("_c_rt")) <= F.lit(float(tolerance_seconds))
+        sel = [
+            F.when(in_tol, F.col(f"_c_{c}")).otherwise(F.lit(None)).alias(f"{c}{suffix}")
+            for c in value_cols
+        ]
+    else:
+        sel = [F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in value_cols]
+
+    return out.select(*[F.col(c) for c in left_cols], *sel)
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    entity: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join for SMALL right sides (snapshot stats, vocabularies):
+    broadcast equi-join on entity with ``right.ts <= left.ts``, then
+    ``row_number`` keeps the latest right row per left anchor.
+
+    No shuffle of the big left side beyond the window partitioning; the
+    right side ships to every executor. Row explosion bounded by
+    right-rows-per-entity — keep the right side aggregated.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (entity, right_ts)]
+    left_cols = left.columns
+
+    lid = left.withColumn("_lid", F.monotonically_increasing_id())
+    r = right.select(
+        F.col(entity).alias("_re"),
+        F.col(right_ts).cast("double").alias("_rt"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    joined = lid.join(
+        F.broadcast(r),
+        (lid[entity] == r["_re"]) & (r["_rt"] <= F.col(left_ts).cast("double")),
+        "left",
+    )
+    w = Window.partitionBy("_lid").orderBy(F.col("_rt").desc_nulls_last())
+    picked = joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return picked.select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"_rv_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

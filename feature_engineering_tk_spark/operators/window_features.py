@@ -1,0 +1,277 @@
+"""Per-entity ordered window features: lag/lead, rolling aggregates,
+cumulative stats, forward/backward fill, linear interpolation,
+gap-based sessionization.
+
+This is the engine core mandated by the north rule. Reference
+semantics grafted here:
+
+- ``forward_fill``/``backward_fill`` reproduce pandas ``ffill``/``bfill``
+  (reference ``preprocessing.py:194-200``) per conversation.
+- ``interpolate_linear`` reproduces pandas
+  ``Series.interpolate(method='linear')`` (``preprocessing.py:202-207``):
+  positional linear between bracketing non-nulls, leading NaNs stay
+  null, trailing NaNs carry the last valid value forward.
+- ``group_transform`` reproduces ``groupby().transform(func)``
+  (``feature_engineering.py:576-627``): the group statistic broadcast
+  back onto every row (pandas ``std`` is ddof=1 → ``stddev_samp``).
+
+Leakage contract: every helper here builds frames that END AT THE
+CURRENT ROW (``rowsBetween(lo, 0)`` / ``rangeBetween(lo, 0)``) unless
+explicitly marked future-reading (``with_lead``, ``backward_fill``),
+which callers must opt into with ``allow_future=True`` when assembling
+a leakage-free pipeline (see ``plans.pipeline.LeakageGuard``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+class FutureLeakError(ValueError):
+    """Raised when a future-reading operator is used without opting in."""
+
+
+def entity_window(entity: str = "conv_id", order: str | list[str] = "turn_idx") -> WindowSpec:
+    orders = [order] if isinstance(order, str) else list(order)
+    return Window.partitionBy(entity).orderBy(*orders)
+
+
+_AGGS = {
+    "mean": F.avg,
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "std": F.stddev_samp,  # pandas default ddof=1
+    "stddev": F.stddev_samp,
+    "var": F.var_samp,
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+}
+
+
+def with_lag(
+    df: DataFrame,
+    col: str,
+    k: int = 1,
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    out: str | None = None,
+) -> DataFrame:
+    """``F.lag`` — strictly past-only (leakage-free by construction)."""
+    return df.withColumn(out or f"{col}_lag{k}", F.lag(col, k).over(entity_window(entity, order)))
+
+
+def with_lead(
+    df: DataFrame,
+    col: str,
+    k: int = 1,
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    out: str | None = None,
+    allow_future: bool = False,
+) -> DataFrame:
+    """``F.lead`` — reads FUTURE rows; requires explicit opt-in."""
+    if not allow_future:
+        raise FutureLeakError("with_lead reads future turns; pass allow_future=True")
+    return df.withColumn(out or f"{col}_lead{k}", F.lead(col, k).over(entity_window(entity, order)))
+
+
+def with_turn_gap(
+    df: DataFrame,
+    ts: str = "ts",
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    out: str = "turn_gap_s",
+) -> DataFrame:
+    """Seconds since the previous turn in the same conversation (null on
+    the first turn). Sub-second precision preserved via double cast."""
+    w = entity_window(entity, order)
+    cur = F.col(ts).cast("double")
+    return df.withColumn(out, cur - F.lag(cur, 1).over(w))
+
+
+def rolling_agg(
+    df: DataFrame,
+    col: str,
+    func: str = "mean",
+    window_rows: int = 5,
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    out: str | None = None,
+    include_current: bool = True,
+) -> DataFrame:
+    """Rolling aggregate over the last ``window_rows`` turns ending at
+    the current row — bounded-preceding frame ⇒ leakage-free."""
+    hi = 0 if include_current else -1
+    lo = -(window_rows - 1) if include_current else -window_rows
+    w = entity_window(entity, order).rowsBetween(lo, hi)
+    agg = _AGGS[func]
+    return df.withColumn(out or f"{col}_roll_{func}{window_rows}", agg(F.col(col)).over(w))
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    col: str,
+    func: str = "mean",
+    window_seconds: float = 3600.0,
+    entity: str = "conv_id",
+    ts: str = "ts",
+    out: str | None = None,
+) -> DataFrame:
+    """Time-based rolling aggregate: all rows with
+    ``anchor.ts - window_seconds <= row.ts <= anchor.ts`` — expressed as
+    a ``rangeBetween`` over the epoch-microseconds ordering so Spark uses
+    a single sort-based window (one shuffle on entity); integer bounds
+    keep full timestamp precision."""
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(F.unix_micros(F.col(ts)))
+        .rangeBetween(-int(round(window_seconds * 1_000_000)), 0)
+    )
+    agg = _AGGS[func]
+    return df.withColumn(out or f"{col}_troll_{func}", agg(F.col(col)).over(w))
+
+
+def cumulative_agg(
+    df: DataFrame,
+    col: str,
+    func: str = "sum",
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    out: str | None = None,
+) -> DataFrame:
+    """Expanding (unbounded-preceding → current) aggregate — the
+    point-in-time variant of a global fit statistic."""
+    w = entity_window(entity, order).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out or f"{col}_cum_{func}", _AGGS[func](F.col(col)).over(w))
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: list[str],
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+) -> DataFrame:
+    """LOCF backfill primitive (pandas ``ffill`` parity,
+    reference ``preprocessing.py:194-196``). Past-only ⇒ leakage-free."""
+    w = entity_window(entity, order).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumns({c: F.last(c, ignorenulls=True).over(w) for c in cols})
+
+
+def backward_fill(
+    df: DataFrame,
+    cols: list[str],
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    allow_future: bool = False,
+) -> DataFrame:
+    """pandas ``bfill`` parity (``preprocessing.py:198-200``). Reads
+    FUTURE turns — requires explicit opt-in."""
+    if not allow_future:
+        raise FutureLeakError("backward_fill reads future turns; pass allow_future=True")
+    w = entity_window(entity, order).rowsBetween(0, Window.unboundedFollowing)
+    return df.withColumns({c: F.first(c, ignorenulls=True).over(w) for c in cols})
+
+
+def interpolate_linear(
+    df: DataFrame,
+    cols: list[str],
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    allow_future: bool = True,
+) -> DataFrame:
+    """pandas ``interpolate(method='linear')`` parity
+    (``preprocessing.py:202-207``), fully in column expressions — two
+    bracketing windows + a linear blend, no Python UDF.
+
+    Positional semantics: value at row p between bracketing non-nulls
+    (p0,v0) and (p1,v1) is ``v0 + (v1-v0)*(p-p0)/(p1-p0)``. Leading
+    nulls stay null; trailing nulls carry v0 forward (pandas default
+    ``limit_direction='forward'``). Reads the NEXT non-null ⇒ future-
+    reading; interpolation is inherently so (opt-out available).
+    """
+    if not allow_future:
+        raise FutureLeakError("interpolate_linear reads future turns for the right bracket")
+    w = entity_window(entity, order)
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    wf = w.rowsBetween(0, Window.unboundedFollowing)
+    pos = F.row_number().over(w)
+    out = df.withColumn("_ip_pos", pos)
+    updates = {}
+    for c in cols:
+        notnull_pos = F.when(F.col(c).isNotNull(), F.col("_ip_pos"))
+        v0 = F.last(c, ignorenulls=True).over(wp)
+        p0 = F.last(notnull_pos, ignorenulls=True).over(wp)
+        v1 = F.first(c, ignorenulls=True).over(wf)
+        p1 = F.first(notnull_pos, ignorenulls=True).over(wf)
+        blend = v0 + (v1 - v0) * (F.col("_ip_pos") - p0) / (p1 - p0)
+        updates[c] = (
+            F.when(F.col(c).isNotNull(), F.col(c).cast("double"))
+            .when(p0.isNull(), F.lit(None).cast("double"))  # leading nulls
+            .when(p1.isNull(), v0.cast("double"))  # trailing → carry forward
+            .otherwise(blend)
+        )
+    return out.withColumns(updates).drop("_ip_pos")
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: float = 1800.0,
+    entity: str = "conv_id",
+    ts: str = "ts",
+    order: str | list[str] | None = None,
+    out: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap since
+    the previous turn exceeds ``gap_seconds``. Classic cumulative-sum
+    pattern — two stacked windows over ONE partition sort (Catalyst
+    reuses the exchange), no Python.
+
+    ``session_id`` is 0-based per entity; first turn of an entity opens
+    session 0.
+    """
+    orders = [ts] if order is None else ([order] if isinstance(order, str) else list(order))
+    w = entity_window(entity, orders)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    cur = F.col(ts).cast("double")
+    gap = cur - F.lag(cur, 1).over(w)
+    is_new = F.when(gap.isNull() | (gap > F.lit(float(gap_seconds))), 1).otherwise(0)
+    return df.withColumn(out, (F.sum(is_new).over(wc) - F.lit(1)).cast("long"))
+
+
+def session_bounds(
+    df: DataFrame,
+    entity: str = "conv_id",
+    ts: str = "ts",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Per-session summary (start/end/duration/turn count) — plain
+    groupBy over (entity, session); partial aggregation map-side."""
+    return df.groupBy(entity, session_col).agg(
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        (F.max(F.col(ts).cast("double")) - F.min(F.col(ts).cast("double"))).alias(
+            "session_duration_s"
+        ),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def group_transform(
+    df: DataFrame,
+    group_by: list[str],
+    agg_col: str,
+    funcs: list[str] = ("mean", "sum", "std", "min", "max"),
+) -> DataFrame:
+    """Reference ``create_aggregations`` (``feature_engineering.py:576-627``):
+    whole-group statistic broadcast onto every row, column name
+    ``{agg_col}_{'_'.join(group_by)}_{func}``. Implemented as a single
+    whole-partition window so all funcs share one shuffle."""
+    w = Window.partitionBy(*group_by)
+    name = "_".join(group_by)
+    return df.withColumns(
+        {f"{agg_col}_{name}_{f}": _AGGS[f](F.col(agg_col)).over(w) for f in funcs}
+    )

@@ -1,0 +1,164 @@
+"""Golden-parity tests: engine window operators vs pandas oracles on
+the deterministic transcript table (stable (conv_id, turn_idx) order)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feature_engineering_tk_spark.operators import window_features as W
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def collect_sorted(df):
+    return df.toPandas().sort_values(KEY).reset_index(drop=True)
+
+
+def oracle_sorted(pdf):
+    return pdf.sort_values(KEY).reset_index(drop=True)
+
+
+def test_lag_matches_pandas(transcripts, transcripts_pdf):
+    got = collect_sorted(W.with_lag(transcripts, "tokens", 1))
+    exp = transcripts_pdf.copy()
+    exp["tokens_lag1"] = exp.sort_values(KEY).groupby("conv_id")["tokens"].shift(1)
+    exp = oracle_sorted(exp)
+    assert np.allclose(
+        got["tokens_lag1"].astype(float), exp["tokens_lag1"].astype(float), equal_nan=True
+    )
+
+
+def test_lead_requires_opt_in(transcripts):
+    with pytest.raises(W.FutureLeakError):
+        W.with_lead(transcripts, "tokens", 1)
+    out = W.with_lead(transcripts, "tokens", 1, allow_future=True)
+    assert "tokens_lead1" in out.columns
+
+
+def test_turn_gap(transcripts, transcripts_pdf):
+    got = collect_sorted(W.with_turn_gap(transcripts))
+    exp = transcripts_pdf.sort_values(KEY).copy()
+    exp["turn_gap_s"] = exp.groupby("conv_id")["ts"].diff().dt.total_seconds()
+    exp = oracle_sorted(exp)
+    assert np.allclose(got["turn_gap_s"], exp["turn_gap_s"], equal_nan=True, atol=1e-6)
+
+
+def test_rolling_mean(transcripts, transcripts_pdf):
+    got = collect_sorted(W.rolling_agg(transcripts, "tokens", "mean", window_rows=5))
+    exp = transcripts_pdf.sort_values(KEY).copy()
+    exp["tokens_roll_mean5"] = (
+        exp.groupby("conv_id")["tokens"].rolling(5, min_periods=1).mean().reset_index(0, drop=True)
+    )
+    exp = oracle_sorted(exp)
+    assert np.allclose(got["tokens_roll_mean5"], exp["tokens_roll_mean5"], equal_nan=True)
+
+
+def test_rolling_std_ddof1(transcripts, transcripts_pdf):
+    got = collect_sorted(W.rolling_agg(transcripts, "score", "std", window_rows=4))
+    exp = transcripts_pdf.sort_values(KEY).copy()
+    exp["score_roll_std4"] = (
+        exp.groupby("conv_id")["score"].rolling(4, min_periods=1).std().reset_index(0, drop=True)
+    )
+    exp = oracle_sorted(exp)
+    assert np.allclose(
+        got["score_roll_std4"], exp["score_roll_std4"], equal_nan=True, atol=1e-9
+    )
+
+
+def test_rolling_time_agg(transcripts, transcripts_pdf):
+    got = collect_sorted(W.rolling_time_agg(transcripts, "tokens", "sum", window_seconds=600))
+    exp = transcripts_pdf.sort_values(["conv_id", "ts"]).set_index("ts")
+    r = (
+        exp.groupby("conv_id")["tokens"]
+        .rolling("600s", closed="both")
+        .sum()
+        .reset_index()
+        .rename(columns={"tokens": "oracle"})
+    )
+    exp = exp.reset_index().merge(r, on=["conv_id", "ts"])
+    exp = oracle_sorted(exp)
+    assert np.allclose(got["tokens_troll_sum"], exp["oracle"], equal_nan=True)
+
+
+def test_cumulative_sum(transcripts, transcripts_pdf):
+    got = collect_sorted(W.cumulative_agg(transcripts, "tokens", "sum"))
+    exp = transcripts_pdf.sort_values(KEY).copy()
+    exp["tokens_cum_sum"] = exp.groupby("conv_id")["tokens"].cumsum()
+    exp = oracle_sorted(exp)
+    assert np.allclose(got["tokens_cum_sum"], exp["tokens_cum_sum"])
+
+
+def test_forward_fill(transcripts, transcripts_pdf):
+    got = collect_sorted(W.forward_fill(transcripts, ["score"]))
+    exp = transcripts_pdf.sort_values(KEY).copy()
+    exp["score"] = exp.groupby("conv_id")["score"].ffill()
+    exp = oracle_sorted(exp)
+    assert np.allclose(got["score"], exp["score"], equal_nan=True)
+
+
+def test_backward_fill(transcripts, transcripts_pdf):
+    with pytest.raises(W.FutureLeakError):
+        W.backward_fill(transcripts, ["score"])
+    got = collect_sorted(W.backward_fill(transcripts, ["score"], allow_future=True))
+    exp = transcripts_pdf.sort_values(KEY).copy()
+    exp["score"] = exp.groupby("conv_id")["score"].bfill()
+    exp = oracle_sorted(exp)
+    assert np.allclose(got["score"], exp["score"], equal_nan=True)
+
+
+def test_interpolate_linear(transcripts, transcripts_pdf):
+    got = collect_sorted(W.interpolate_linear(transcripts, ["score"]))
+    exp = transcripts_pdf.sort_values(KEY).copy()
+    exp["score"] = (
+        exp.groupby("conv_id")["score"]
+        .apply(lambda s: s.interpolate(method="linear"))
+        .reset_index(0, drop=True)
+    )
+    exp = oracle_sorted(exp)
+    assert np.allclose(got["score"], exp["score"], equal_nan=True, atol=1e-12)
+
+
+def test_sessionize_counts(transcripts, transcripts_pdf):
+    got = collect_sorted(W.sessionize(transcripts, gap_seconds=1800.0))
+    exp = transcripts_pdf.sort_values(KEY).copy()
+    gap = exp.groupby("conv_id")["ts"].diff().dt.total_seconds()
+    is_new = gap.isna() | (gap > 1800.0)
+    exp["session_id"] = is_new.groupby(exp["conv_id"]).cumsum() - 1
+    exp = oracle_sorted(exp)
+    assert (got["session_id"].to_numpy() == exp["session_id"].to_numpy()).all()
+    # sanity: sessions exist (generator injects >30min jumps)
+    assert got["session_id"].max() >= 1
+
+
+def test_group_transform_std_ddof1(transcripts, transcripts_pdf):
+    got = collect_sorted(
+        W.group_transform(transcripts, ["role"], "tokens", funcs=["mean", "std"])
+    )
+    exp = transcripts_pdf.copy()
+    exp["tokens_role_mean"] = exp.groupby("role")["tokens"].transform("mean")
+    exp["tokens_role_std"] = exp.groupby("role")["tokens"].transform("std")
+    exp = oracle_sorted(exp)
+    assert np.allclose(got["tokens_role_mean"], exp["tokens_role_mean"])
+    assert np.allclose(got["tokens_role_std"], exp["tokens_role_std"])
+
+
+def test_leakage_truncate_future_invariance(spark, transcripts, transcripts_pdf):
+    """North-rule leakage test: features at anchor t are unchanged when
+    all rows with ts > t are deleted."""
+    from pyspark.sql import functions as F
+
+    feat = W.rolling_agg(
+        W.with_lag(W.sessionize(transcripts), "tokens", 1), "tokens", "mean", 5
+    )
+    cutoff = transcripts_pdf["ts"].quantile(0.5)
+    full = collect_sorted(feat.filter(F.col("ts") <= F.lit(cutoff)))
+    truncated_in = transcripts.filter(F.col("ts") <= F.lit(cutoff))
+    trunc = collect_sorted(
+        W.rolling_agg(
+            W.with_lag(W.sessionize(truncated_in), "tokens", 1), "tokens", "mean", 5
+        )
+    )
+    for c in ["session_id", "tokens_lag1", "tokens_roll_mean5"]:
+        assert np.allclose(
+            full[c].astype(float), trunc[c].astype(float), equal_nan=True
+        ), c
