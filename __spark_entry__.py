@@ -1,38 +1,751 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time feature pipeline on
+sf0.001. ``queries()`` exposes one entry per implemented operator
+family (SURVEY.md §2), each mirrored by an ANSI-SQL DuckDB oracle in
+``oracle_sql()`` on the shared parquet views.
+
+Determinism notes (the driver hash-compares values):
+- timestamps are returned as epoch seconds (``CAST(ts AS DOUBLE)`` /
+  DuckDB ``epoch(ts)``) so session-timezone differences can't bite;
+- sums over doubles go through DECIMAL so partial-aggregation order
+  can't change the result; remaining float outputs are rounded to a
+  tolerance far above accumulated float noise.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from feature_engineering_tk_spark.operators import window_features as W
+from feature_engineering_tk_spark.operators.asof import asof_join
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _epoch(c):
+    from feature_engineering_tk_spark.functions.timeutil import epoch_seconds
+
+    return epoch_seconds(F.col(c))
+
+
+EVENT_ORDER = ["ts", "event_id"]  # stable per-user ordering key
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-time feature vectors over the event stream
+    (entity=user_id, event time=ts) — lag, rolling window, gap-based
+    session, cumulative stats, and an as-of join attaching the latest
+    prior 'purchase' value. Every frame ends at the current row ⇒
+    zero temporal leakage by construction."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _t(spark, sf_dir, "events")
 
+    feat = W.sessionize(ev, gap_seconds=1800.0, entity="user_id", ts="ts", order=EVENT_ORDER)
+    feat = W.with_lag(feat, "value", 1, entity="user_id", order=EVENT_ORDER)
+    feat = W.with_turn_gap(feat, ts="ts", entity="user_id", order=EVENT_ORDER, out="gap_s")
+    feat = W.rolling_agg(feat, "value", "mean", 5, entity="user_id", order=EVENT_ORDER)
+    feat = W.cumulative_agg(feat, "value", "sum", entity="user_id", order=EVENT_ORDER)
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    feat = asof_join(
+        feat,
+        purchases,
+        entity="user_id",
+        value_cols=["purchase_value"],
+        suffix="",
+    )
+    return feat.select(
+        "user_id",
+        "event_id",
+        _epoch("ts").alias("ts_s"),
+        "session_id",
+        "gap_s",
+        "value_lag1",
+        "value_roll_mean5",
+        "value_cum_sum",
+        "purchase_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — window / point-in-time family (events)
+
+def q_lag_lead(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = W.with_lag(ev, "value", 1, entity="user_id", order=EVENT_ORDER, out="value_lag1")
+    out = W.with_lead(
+        out, "value", 1, entity="user_id", order=EVENT_ORDER, out="value_lead1", allow_future=True
+    )
+    return out.select("event_id", "user_id", "value", "value_lag1", "value_lead1")
+
+
+def q_rolling_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = W.rolling_agg(
+        ev, "value", "mean", 5, entity="user_id", order=EVENT_ORDER, out="roll_avg5"
+    )
+    return out.select("event_id", "user_id", F.round("roll_avg5", 6).alias("roll_avg5"))
+
+
+def q_rolling_time_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = W.rolling_time_agg(
+        ev, "value", "sum", window_seconds=3600.0, entity="user_id", ts="ts", out="sum_1h"
+    )
+    return out.select("event_id", "user_id", F.round("sum_1h", 6).alias("sum_1h"))
+
+
+def q_cumulative_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = W.cumulative_agg(ev, "value", "sum", entity="user_id", order=EVENT_ORDER, out="cum_value")
+    return out.select("event_id", "user_id", F.round("cum_value", 6).alias("cum_value"))
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = W.sessionize(
+        ev, gap_seconds=1800.0, entity="user_id", ts="ts", order=EVENT_ORDER, out="session_id"
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+def q_session_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = W.sessionize(
+        ev, gap_seconds=1800.0, entity="user_id", ts="ts", order=EVENT_ORDER, out="session_id"
+    )
+    return (
+        W.session_bounds(s, entity="user_id", ts="ts", session_col="session_id")
+        .select(
+            "user_id",
+            "session_id",
+            F.round("session_duration_s", 6).alias("duration_s"),
+            F.col("n_turns").alias("n_events"),
+        )
+    )
+
+
+def q_forward_fill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # deterministic nulls: error events lose their value, then LOCF
+    ev = ev.withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    out = W.forward_fill(ev, ["v"], entity="user_id", order=EVENT_ORDER)
+    return out.select("event_id", "user_id", F.col("v").alias("value_ffill"))
+
+
+def q_asof_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    features = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(anchors, features, entity="user_id", value_cols=["view_value"], suffix="")
+    return out.select("event_id", "user_id", _epoch("ts").alias("ts_s"), "view_value")
+
+
+def q_dedup_first(spark, sf_dir):
+    """remove_duplicates keep='first' (preprocessing.py:223-272):
+    earliest event per (user_id, event_type)."""
+    from feature_engineering_tk_spark.operators.rows import remove_duplicates
+
+    ev = _t(spark, sf_dir, "events")
+    out = remove_duplicates(ev, subset=["user_id", "event_type"], keep="first", order=("ts", "event_id"))
+    return out.select("event_id", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# aggregation / stats family (lineitem, orders)
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_group_broadcast_agg(spark, sf_dir):
+    """create_aggregations (feature_engineering.py:576-627): group stat
+    broadcast back onto every row via whole-partition window."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = W.group_transform(li, ["l_partkey"], "l_quantity", funcs=["mean", "max"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round("l_quantity_l_partkey_mean", 6).alias("qty_part_mean"),
+        F.col("l_quantity_l_partkey_max").alias("qty_part_max"),
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """3-table join: broadcast dims onto the fact, exact decimal
+    revenue, top-10."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    big = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+                    .filter(F.col("c_mktsegment") == "BUILDING")
+                    .select("o_orderkey", "o_orderdate")),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        big.groupBy("o_orderkey")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.min(_epoch("o_orderdate")).alias("orderdate_s"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_datetime_extract(spark, sf_dir):
+    """create_datetime_features (feature_engineering.py:513-574) incl.
+    the pandas Monday=0 dayofweek convention."""
+    from feature_engineering_tk_spark.functions.datetime_features import datetime_features
+
+    o = _t(spark, sf_dir, "orders")
+    out = datetime_features(
+        o,
+        "o_orderdate",
+        ["year", "month", "day", "dayofweek", "quarter", "dayofyear", "weekofyear", "is_weekend", "is_month_start", "is_month_end"],
+    )
+    return out.select(
+        "o_orderkey",
+        *[f"o_orderdate_{f}" for f in ["year", "month", "day", "dayofweek", "quarter", "dayofyear", "weekofyear", "is_weekend", "is_month_start", "is_month_end"]],
+    )
+
+
+def q_standard_scale(spark, sf_dir):
+    """scale_features standard (feature_engineering.py:226-292),
+    sklearn ddof=0 convention."""
+    from feature_engineering_tk_spark.transforms.scale import Scaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    scaler = Scaler(method="standard").fit(li, ["l_quantity"])
+    out = scaler.transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("qty_scaled")
+    )
+
+
+def q_minmax_scale(spark, sf_dir):
+    from feature_engineering_tk_spark.transforms.scale import Scaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = Scaler(method="minmax").fit(li, ["l_extendedprice"]).transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_extendedprice", 6).alias("price_scaled")
+    )
+
+
+def q_iqr_outliers(spark, sf_dir):
+    """detect_outliers_iqr (data_analysis.py:96-117): exact quantiles,
+    k=1.5 fence, 0/1 flag."""
+    from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
+
+    ev = _t(spark, sf_dir, "events")
+    det = OutlierDetector(method="iqr", factor=1.5).fit(ev, ["value"])
+    out = det.flag(ev, ["value"])
+    return out.select("event_id", F.col("value_is_outlier").alias("is_outlier"))
+
+
+def q_mean_impute(spark, sf_dir):
+    """handle_missing_values strategy='mean' (preprocessing.py:170-176):
+    deterministic nulls injected, global mean fill."""
+    from feature_engineering_tk_spark.transforms.impute import Imputer
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    imp = Imputer(strategy="mean").fit(ev, ["v"])
+    out = imp.transform(ev)
+    return out.select("event_id", F.round("v", 6).alias("value_imputed"))
+
+
+def q_median_impute(spark, sf_dir):
+    from feature_engineering_tk_spark.transforms.impute import Imputer
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    out = Imputer(strategy="median").fit(ev, ["v"]).transform(ev)
+    return out.select("event_id", F.round("v", 6).alias("value_imputed"))
+
+
+def q_label_encode(spark, sf_dir):
+    """encode_categorical_label (feature_engineering.py:55-112):
+    codes = rank in lexicographically sorted uniques."""
+    from feature_engineering_tk_spark.transforms.encode import LabelEncoder
+
+    ev = _t(spark, sf_dir, "events")
+    out = LabelEncoder().fit(ev, "event_type").transform(ev, out="event_type_code")
+    return out.select("event_id", "event_type_code")
+
+
+def q_onehot_encode(spark, sf_dir):
+    """encode_categorical_onehot (feature_engineering.py:114-184):
+    sorted category order, int 0/1 columns, original dropped."""
+    from feature_engineering_tk_spark.transforms.encode import OneHotEncoder
+
+    ev = _t(spark, sf_dir, "events")
+    out = OneHotEncoder(prefix="et").fit(ev, "event_type").transform(ev)
+    keep = ["event_id"] + [c for c in out.columns if c.startswith("et_")]
+    return out.select(*keep)
+
+
+def q_quantile_bin(spark, sf_dir):
+    """create_binning quantile (feature_engineering.py:370-442):
+    pd.qcut semantics — exact quantile edges, (lo,hi] intervals,
+    integer codes."""
+    from feature_engineering_tk_spark.transforms.binning import QuantileBinner
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = QuantileBinner(bins=4).fit(li, "l_extendedprice").transform(li, out="price_bin")
+    return out.select("l_orderkey", "l_linenumber", "price_bin")
+
+
+def q_clip_flags_ratio(spark, sf_dir):
+    """clip_values + create_flag_features + create_ratio_features in one
+    projection (preprocessing.py:473-518, feature_engineering.py:629-703)."""
+    from feature_engineering_tk_spark.operators.rows import clip_values
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = clip_values(li, "l_quantity", lower=5.0, upper=45.0)
+    out = out.withColumn("is_returned", (F.col("l_returnflag") == "R").cast("int"))
+    out = out.withColumn(
+        "disc_ratio",
+        F.round(F.col("l_discount") / (F.col("l_tax") + F.lit(1e-8)), 6),
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("qty_clipped"), "is_returned", "disc_ratio"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text / documents family
+
+def q_string_clean(spark, sf_dir):
+    """clean_string_columns (preprocessing.py:912-998): strip → lower →
+    remove ASCII punctuation → collapse spaces; plus string length."""
+    from feature_engineering_tk_spark.functions.strings import clean_strings
+
+    d = _t(spark, sf_dir, "documents")
+    out = clean_strings(
+        d, ["text"], ["strip", "lower", "remove_punctuation_ascii", "remove_extra_spaces"]
+    )
+    return out.select(
+        "doc_id", F.col("text").alias("clean_text"), F.length("text").alias("clean_len")
+    )
+
+
+def q_token_count(spark, sf_dir):
+    from feature_engineering_tk_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_text_quality(spark, sf_dir):
+    from feature_engineering_tk_spark.functions.text import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    out = quality_features(d, "text")
+    return out.select(
+        "doc_id",
+        "n_chars_clean",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from feature_engineering_tk_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    out = lang_id(d, "text")
+    return out.select("doc_id", "lang_pred", F.round("en_score", 6).alias("en_score"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized text, keep min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.lower(F.trim(F.col("text"))).alias("norm_text"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity / embeddings family
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector — JVM-side
+    array arithmetic (zip_with + aggregate), no Python."""
+    from feature_engineering_tk_spark.functions.similarity import cosine_sim_to_query
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    out = cosine_sim_to_query(e.crossJoin(F.broadcast(q)), "embedding", "qvec")
+    return (
+        out.select("vec_id", F.round("cosine_sim", 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    from feature_engineering_tk_spark.functions.similarity import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "lag_lead": q_lag_lead,
+        "rolling_avg": q_rolling_avg,
+        "rolling_time_sum": q_rolling_time_sum,
+        "cumulative_sum": q_cumulative_sum,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "forward_fill": q_forward_fill,
+        "asof_join": q_asof_join,
+        "dedup_first": q_dedup_first,
+        "pricing_summary": q_pricing_summary,
+        "group_broadcast_agg": q_group_broadcast_agg,
+        "top_revenue_orders": q_top_revenue_orders,
+        "datetime_extract": q_datetime_extract,
+        "standard_scale": q_standard_scale,
+        "minmax_scale": q_minmax_scale,
+        "iqr_outliers": q_iqr_outliers,
+        "mean_impute": q_mean_impute,
+        "median_impute": q_median_impute,
+        "label_encode": q_label_encode,
+        "onehot_encode": q_onehot_encode,
+        "quantile_bin": q_quantile_bin,
+        "clip_flags_ratio": q_clip_flags_ratio,
+        "string_clean": q_string_clean,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "cosine_topk": q_cosine_topk,
+        "embedding_norms": q_embedding_norms,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+_STOPWORDS = "('the','a','of','to','and','in','is','it','for','on','with','as','by','at')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lag_lead": """
+            SELECT event_id, user_id, value,
+                   lag(value) OVER w AS value_lag1,
+                   lead(value) OVER w AS value_lead1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rolling_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_avg5
+            FROM events
+        """,
+        "rolling_time_sum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS sum_1h
+            FROM events
+        """,
+        "cumulative_sum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value
+            FROM events
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT event_id, user_id, ts,
+                     epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+            FROM g
+        """,
+        "session_stats": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+                     event_id
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                     CAST(sum(CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id,
+                   round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
+        "forward_fill": """
+            SELECT event_id, user_id,
+                   last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+            FROM events
+        """,
+        "asof_join": """
+            WITH anchors AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), features AS (
+              SELECT user_id, ts, max(value) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT a.event_id, a.user_id, epoch(a.ts) AS ts_s, f.view_value
+            FROM anchors a ASOF LEFT JOIN features f
+              ON a.user_id = f.user_id AND a.ts >= f.ts
+        """,
+        "dedup_first": """
+            SELECT event_id, user_id, event_type
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) = 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "group_broadcast_agg": """
+            SELECT l_orderkey, l_linenumber, l_partkey,
+                   round(avg(l_quantity) OVER (PARTITION BY l_partkey), 6) AS qty_part_mean,
+                   max(l_quantity) OVER (PARTITION BY l_partkey) AS qty_part_max
+            FROM lineitem
+        """,
+        "top_revenue_orders": """
+            SELECT o.o_orderkey,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+                   min(epoch(o.o_orderdate)) AS orderdate_s
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_orderkey
+            ORDER BY revenue DESC, o.o_orderkey ASC
+            LIMIT 10
+        """,
+        "datetime_extract": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS o_orderdate_year,
+                   CAST(month(o_orderdate) AS INT) AS o_orderdate_month,
+                   CAST(day(o_orderdate) AS INT) AS o_orderdate_day,
+                   CAST(isodow(o_orderdate) - 1 AS INT) AS o_orderdate_dayofweek,
+                   CAST(quarter(o_orderdate) AS INT) AS o_orderdate_quarter,
+                   CAST(dayofyear(o_orderdate) AS INT) AS o_orderdate_dayofyear,
+                   CAST(weekofyear(o_orderdate) AS INT) AS o_orderdate_weekofyear,
+                   CAST(isodow(o_orderdate) IN (6, 7) AS INT) AS o_orderdate_is_weekend,
+                   CAST(day(o_orderdate) = 1 AS INT) AS o_orderdate_is_month_start,
+                   CAST(o_orderdate = last_day(o_orderdate) AS INT) AS o_orderdate_is_month_end
+            FROM orders
+        """,
+        "standard_scale": """
+            WITH s AS (SELECT avg(l_quantity) AS m, stddev_pop(l_quantity) AS sd FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   round((l_quantity - s.m) / s.sd, 6) AS qty_scaled
+            FROM lineitem, s
+        """,
+        "minmax_scale": """
+            WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   round((l_extendedprice - s.lo) / (s.hi - s.lo), 6) AS price_scaled
+            FROM lineitem, s
+        """,
+        "iqr_outliers": """
+            WITH q AS (
+              SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events
+            )
+            SELECT event_id,
+                   CAST(value < q.q1 - 1.5 * (q.q3 - q.q1)
+                        OR value > q.q3 + 1.5 * (q.q3 - q.q1) AS INT) AS is_outlier
+            FROM events, q
+        """,
+        "mean_impute": """
+            WITH v AS (
+              SELECT event_id,
+                     CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+              FROM events
+            ), m AS (SELECT avg(v) AS mv FROM v)
+            SELECT event_id, round(coalesce(v, m.mv), 6) AS value_imputed FROM v, m
+        """,
+        "median_impute": """
+            WITH v AS (
+              SELECT event_id,
+                     CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+              FROM events
+            ), m AS (SELECT quantile_cont(v, 0.5) AS mv FROM v)
+            SELECT event_id, round(coalesce(v, m.mv), 6) AS value_imputed FROM v, m
+        """,
+        "label_encode": """
+            WITH vocab AS (
+              SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS code
+              FROM (SELECT DISTINCT event_type FROM events)
+            )
+            SELECT e.event_id, CAST(v.code AS BIGINT) AS event_type_code
+            FROM events e LEFT JOIN vocab v USING (event_type)
+        """,
+        "onehot_encode": """
+            SELECT event_id,
+                   CAST(event_type = 'click' AS INT) AS et_click,
+                   CAST(event_type = 'error' AS INT) AS et_error,
+                   CAST(event_type = 'purchase' AS INT) AS et_purchase,
+                   CAST(event_type = 'signup' AS INT) AS et_signup,
+                   CAST(event_type = 'view' AS INT) AS et_view
+            FROM events
+        """,
+        "quantile_bin": """
+            WITH e AS (
+              SELECT quantile_cont(l_extendedprice, 0.25) AS e1,
+                     quantile_cont(l_extendedprice, 0.50) AS e2,
+                     quantile_cont(l_extendedprice, 0.75) AS e3
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CAST((l_extendedprice > e.e1) AS INT)
+                   + CAST((l_extendedprice > e.e2) AS INT)
+                   + CAST((l_extendedprice > e.e3) AS INT) AS price_bin
+            FROM lineitem, e
+        """,
+        "clip_flags_ratio": """
+            SELECT l_orderkey, l_linenumber,
+                   least(greatest(l_quantity, 5.0), 45.0) AS qty_clipped,
+                   CAST(l_returnflag = 'R' AS INT) AS is_returned,
+                   round(l_discount / (l_tax + 1e-8), 6) AS disc_ratio
+            FROM lineitem
+        """,
+        "string_clean": """
+            SELECT doc_id,
+                   regexp_replace(
+                     trim(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g')),
+                     ' +', ' ', 'g') AS clean_text,
+                   length(regexp_replace(
+                     trim(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g')),
+                     ' +', ' ', 'g')) AS clean_len
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     length(text) AS n,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   length(regexp_replace(text, '\\s', '', 'g')) AS n_chars_clean,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens,
+                   round(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                         / greatest(n, 1), 6) AS punct_ratio,
+                   round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                         / greatest(n, 1), 6) AS digit_ratio,
+                   round(CAST(len(list_filter(toks, x -> x IN """ + _STOPWORDS + """)) AS DOUBLE)
+                         / greatest(len(toks), 1), 6) AS stopword_ratio
+            FROM t
+        """,
+        "lang_id": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))), ' +') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN CAST(len(list_filter(toks, x -> x IN """ + _STOPWORDS + """)) AS DOUBLE)
+                             / greatest(len(toks), 1) >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred,
+                   round(CAST(len(list_filter(toks, x -> x IN """ + _STOPWORDS + """)) AS DOUBLE)
+                         / greatest(len(toks), 1), 6) AS en_score
+            FROM t
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents
+            GROUP BY lower(trim(text))
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                     list_sum(list_transform(list_zip(embedding, qvec),
+                                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     6) AS cos_sim
+            FROM embeddings, q
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 20
+        """,
+        "embedding_norms": """
+            SELECT vec_id, label,
+                   round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+            FROM embeddings
+        """,
+    }

@@ -1,0 +1,108 @@
+"""Embedding similarity search.
+
+- :func:`cosine_sim_to_query` / :func:`l2_norm` — JVM-side array
+  arithmetic (``zip_with`` + sequential ``aggregate`` fold, matching a
+  left-to-right summation so results are reproducible bit-for-bit
+  against list-fold oracles).
+- :func:`cosine_topk` — brute-force baseline: broadcast the query
+  vector, score every row, global top-k. O(N·d), one pass, no shuffle
+  except the final top-k (``orderBy ... limit`` → Spark TakeOrdered,
+  which aggregates per-partition heaps — no full sort).
+- :func:`lsh_assign_buckets` / :func:`lsh_topk` — the scale path:
+  random-hyperplane (SimHash) bucketing; only the query's bucket (and
+  optional neighbor probes) is scored. Hyperplanes are generated from
+  a seed, so bucket assignment is deterministic and persistable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_sim_to_query(df: DataFrame, vec_col: str, query_col: str, out: str = "cosine_sim") -> DataFrame:
+    a, q = F.col(vec_col), F.col(query_col)
+    return df.withColumn(out, dot(a, q) / (l2_norm(a) * l2_norm(q)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.withColumn("cosine_sim", dot(F.col(vec_col), q) / (l2_norm(F.col(vec_col)) * l2_norm(q)))
+    return scored.select(id_col, "cosine_sim").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def make_lsh_udf(dim: int, n_bits: int = 16, seed: int = 42):
+    """Returns a pandas UDF mapping an embedding column to its
+    random-hyperplane bucket id (int). Deterministic given (dim,
+    n_bits, seed) — persist those three numbers as the fitted state."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf("bigint")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes.T) > 0  # (batch, n_bits)
+        return pd.Series(bits @ weights)
+
+    return bucket
+
+
+def lsh_assign_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    seed: int = 42,
+    out: str = "lsh_bucket",
+) -> DataFrame:
+    return df.withColumn(out, make_lsh_udf(dim, n_bits, seed)(F.col(vec_col)))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: score only rows whose LSH bucket matches the query's.
+    Recall < 1 by construction; at 100 TB this turns a full scan into a
+    partition-pruned scan when the table is written bucketed/partitioned
+    by ``lsh_bucket``."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    qv = np.asarray(query, dtype=np.float64)
+    qbucket = int(((qv @ planes.T) > 0) @ (1 << np.arange(n_bits)).astype(np.int64))
+    bucketed = lsh_assign_buckets(df, vec_col, dim, n_bits, seed)
+    cand = bucketed.filter(F.col("lsh_bucket") == F.lit(qbucket))
+    return cosine_topk(cand, list(map(float, qv)), k=k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,116 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All hot-path functions are built-in JVM expressions (split / regexp /
+higher-order array functions) — no Python in the per-row path. The
+rolling-hash fingerprint is the one pandas-UDF (vectorized, Arrow).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# small English function-word list for the n-gram/stopword heuristics
+STOPWORDS = [
+    "the", "a", "of", "to", "and", "in", "is", "it", "for", "on",
+    "with", "as", "by", "at",
+]
+
+# ASCII punctuation ranges: !-/ :-@ [-` {-~
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count; empty/blank string → 0."""
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("bigint")
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Rough subword count: alpha runs + single digits + single
+    punctuation marks (a BPE-ish upper bound), via regexp extraction."""
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def _tokens_lower(c: Column) -> Column:
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def quality_features(df: DataFrame, column: str) -> DataFrame:
+    """Length / punctuation / digit / stopword quality signals.
+
+    - n_chars_clean: non-whitespace character count
+    - n_tokens: whitespace tokens
+    - punct_ratio, digit_ratio: per character of raw text
+    - stopword_ratio: stopword hits per token (English function words)
+    """
+    c = F.col(column)
+    n = F.length(c)
+    toks = _tokens_lower(c)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return df.withColumns(
+        {
+            "n_chars_clean": F.length(F.regexp_replace(c, r"\s", "")).cast("bigint"),
+            "n_tokens": token_count(c),
+            "punct_ratio": F.length(F.regexp_replace(c, f"[^{_PUNCT_CLASS[1:-1]}]", "")).cast(
+                "double"
+            )
+            / F.greatest(n, F.lit(1)),
+            "digit_ratio": F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
+            / F.greatest(n, F.lit(1)),
+            "stopword_ratio": stop_hits.cast("double") / F.greatest(F.size(toks), F.lit(1)),
+        }
+    )
+
+
+def lang_id(df: DataFrame, column: str, threshold: float = 0.05) -> DataFrame:
+    """Heuristic language ID: share of English function words among
+    letter-only tokens; >= threshold → 'en'. A cheap, fully-JVM
+    stand-in for a real n-gram model (same plumbing: per-row score +
+    argmax label)."""
+    c = F.col(column)
+    toks = F.split(F.trim(F.lower(F.regexp_replace(c, "[^a-zA-Z ]", ""))), " +")
+    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    score = hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
+    return df.withColumns(
+        {
+            "en_score": score,
+            "lang_pred": F.when(score >= F.lit(threshold), F.lit("en")).otherwise(
+                F.lit("unknown")
+            ),
+        }
+    )
+
+
+@pandas_udf("bigint")
+def _rolling_hash_udf(s: pd.Series) -> pd.Series:
+    """Polynomial rolling hash (Rabin-Karp style) of the normalized
+    text — deterministic 63-bit fingerprint. Vectorized per Arrow
+    batch; the per-string loop is numpy over codepoints."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+    out = np.zeros(len(s), dtype=np.int64)
+    for i, txt in enumerate(s):
+        if txt is None:
+            out[i] = 0
+            continue
+        h = 0
+        for ch in txt.encode("utf-8"):
+            h = (h * BASE + ch) % MOD
+        out[i] = h
+    return pd.Series(out)
+
+
+def fingerprint(df: DataFrame, column: str, out: str = "fingerprint") -> DataFrame:
+    """Deterministic rolling-hash document fingerprint over the
+    whitespace-normalized lowercased text. Use ``xxhash64`` (built-in)
+    when any stable 64-bit hash will do; this one is reproducible
+    outside the JVM (numpy oracle in tests)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(column)), r"\s+", " "))
+    return df.withColumn(out, _rolling_hash_udf(norm))

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from feature_engineering_tk_spark.functions.timeutil import epoch_micros, epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -59,7 +61,7 @@ def asof_join(
 
     l_tag = left.select(
         F.col(entity).alias("_e"),
-        F.col(left_ts).cast("double").alias("_t"),
+        epoch_seconds(F.col(left_ts)).alias("_t"),
         F.lit(1).alias("_tag"),
         *[F.col(c) for c in left_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
@@ -67,11 +69,11 @@ def asof_join(
     )
     r_tag = right.select(
         F.col(entity).alias("_e"),
-        F.col(right_ts).cast("double").alias("_t"),
+        epoch_seconds(F.col(right_ts)).alias("_t"),
         F.lit(0).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
-        F.col(right_ts).cast("double").alias("_rt"),
+        epoch_seconds(F.col(right_ts)).alias("_rt"),
     )
 
     unioned = l_tag.unionByName(r_tag)
@@ -121,12 +123,12 @@ def asof_join_broadcast(
     lid = left.withColumn("_lid", F.monotonically_increasing_id())
     r = right.select(
         F.col(entity).alias("_re"),
-        F.col(right_ts).cast("double").alias("_rt"),
+        epoch_seconds(F.col(right_ts)).alias("_rt"),
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
     )
     joined = lid.join(
         F.broadcast(r),
-        (lid[entity] == r["_re"]) & (r["_rt"] <= F.col(left_ts).cast("double")),
+        (lid[entity] == r["_re"]) & (r["_rt"] <= epoch_seconds(F.col(left_ts))),
         "left",
     )
     w = Window.partitionBy("_lid").orderBy(F.col("_rt").desc_nulls_last())

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from feature_engineering_tk_spark.functions.timeutil import epoch_micros, epoch_seconds
+
 
 class FutureLeakError(ValueError):
     """Raised when a future-reading operator is used without opting in."""
@@ -89,7 +91,7 @@ def with_turn_gap(
     """Seconds since the previous turn in the same conversation (null on
     the first turn). Sub-second precision preserved via double cast."""
     w = entity_window(entity, order)
-    cur = F.col(ts).cast("double")
+    cur = epoch_seconds(ts)
     return df.withColumn(out, cur - F.lag(cur, 1).over(w))
 
 
@@ -128,7 +130,7 @@ def rolling_time_agg(
     keep full timestamp precision."""
     w = (
         Window.partitionBy(entity)
-        .orderBy(F.unix_micros(F.col(ts)))
+        .orderBy(epoch_micros(ts))
         .rangeBetween(-int(round(window_seconds * 1_000_000)), 0)
     )
     agg = _AGGS[func]
@@ -236,7 +238,7 @@ def sessionize(
     orders = [ts] if order is None else ([order] if isinstance(order, str) else list(order))
     w = entity_window(entity, orders)
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    cur = F.col(ts).cast("double")
+    cur = epoch_seconds(ts)
     gap = cur - F.lag(cur, 1).over(w)
     is_new = F.when(gap.isNull() | (gap > F.lit(float(gap_seconds))), 1).otherwise(0)
     return df.withColumn(out, (F.sum(is_new).over(wc) - F.lit(1)).cast("long"))
@@ -253,7 +255,7 @@ def session_bounds(
     return df.groupBy(entity, session_col).agg(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
-        (F.max(F.col(ts).cast("double")) - F.min(F.col(ts).cast("double"))).alias(
+        (F.max(epoch_seconds(ts)) - F.min(epoch_seconds(ts))).alias(
             "session_duration_s"
         ),
         F.count(F.lit(1)).alias("n_turns"),

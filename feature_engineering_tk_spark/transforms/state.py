@@ -1,0 +1,75 @@
+"""Fitted-state persistence — the distributed analog of the
+reference's ``save_transformers``/``load_transformers``
+(``feature_engineering.py:705-747``).
+
+Every fit/transform pair in this package keeps its fitted statistics
+as a plain JSON-serializable dict so checkpoints can persist state and
+resume derives transforms FROM ARTIFACTS, never refitting mid-run
+(determinism requirement of checkpoint resume)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Any
+
+
+def _sanitize(o: Any) -> Any:
+    if isinstance(o, float):
+        if math.isnan(o):
+            return {"__float__": "nan"}
+        if math.isinf(o):
+            return {"__float__": "inf" if o > 0 else "-inf"}
+        return o
+    if isinstance(o, dict):
+        return {k: _sanitize(v) for k, v in o.items()}
+    if isinstance(o, (list, tuple)):
+        return [_sanitize(v) for v in o]
+    return o
+
+
+def _restore(o: Any) -> Any:
+    if isinstance(o, dict):
+        if set(o) == {"__float__"}:
+            return {"nan": float("nan"), "inf": float("inf"), "-inf": float("-inf")}[o["__float__"]]
+        return {k: _restore(v) for k, v in o.items()}
+    if isinstance(o, list):
+        return [_restore(v) for v in o]
+    return o
+
+
+class FittedStateMixin:
+    """Mixin giving every transformer JSON round-trip of its ``state_``."""
+
+    state_: dict | None = None
+
+    def _require_fitted(self):
+        if self.state_ is None:
+            raise RuntimeError(f"{type(self).__name__} is not fitted")
+
+    def to_json(self) -> str:
+        self._require_fitted()
+        return json.dumps(
+            {"class": type(self).__name__, "params": self.get_params(), "state": _sanitize(self.state_)}
+        )
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def from_json(cls, s: str):
+        payload = json.loads(s)
+        obj = cls(**payload.get("params", {}))
+        obj.state_ = _restore(payload["state"])
+        return obj
+
+    @classmethod
+    def load(cls, path: str):
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    def get_params(self) -> dict:
+        return {}
