@@ -427,6 +427,51 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup removal (shingle→minhash→band→bucket-join→
+    exact-Jaccard verify). Not SQL-expressible → rows-only check."""
+    from feature_engineering_tk_spark.operators.dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(d, threshold=0.7).select("doc_id").orderBy("doc_id")
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (rows-only check)."""
+    from feature_engineering_tk_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d).select("doc_id", "simhash")
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """LSH-bucketed cosine near-dup pairs (rows-only check)."""
+    from feature_engineering_tk_spark.operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.2, dim=64, n_bits=6).select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cos_sim")
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (pandas-UDF path; rows-only)."""
+    from feature_engineering_tk_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint(d, "text").select("doc_id", "fingerprint")
+
+
+def q_lsh_topk(spark, sf_dir):
+    """ANN top-k via random-hyperplane bucket pruning (rows-only)."""
+    from feature_engineering_tk_spark.functions.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = lsh_topk(e, [float(x) for x in qvec], k=10, dim=64, n_bits=6)
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cos_sim"))
+
+
 def q_embedding_norms(spark, sf_dir):
     from feature_engineering_tk_spark.functions.similarity import l2_norm
 
@@ -470,6 +515,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "cosine_topk": q_cosine_topk,
         "embedding_norms": q_embedding_norms,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lsh_topk": q_lsh_topk,
     }
 
 

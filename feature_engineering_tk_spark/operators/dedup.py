@@ -1,0 +1,252 @@
+"""Document deduplication at training-data scale.
+
+Five strategies, all shuffle-disciplined:
+
+- :func:`exact_dedup` — hash-groupBy on normalized text: one shuffle
+  on a 64-bit hash (not the full text), keep min-id per group.
+- :func:`minhash_signatures` / :func:`minhash_lsh_candidates` /
+  :func:`minhash_lsh_dedup` — MinHash over token n-gram shingles with
+  banded LSH: shingle→hash entirely in JVM array expressions
+  (``transform``/``array_min``/``xxhash64``), candidates from a
+  band-bucket self-join (shuffle on small bucket keys), exact Jaccard
+  verification only on candidate pairs.
+- :func:`simhash` — 64-bit SimHash from token hashes (JVM bit
+  arithmetic); near-dups = equal simhash (or banded by prefix).
+- :func:`ngram_jaccard` — exact n-gram Jaccard for a candidate pair
+  set (verification primitive).
+- :func:`embedding_neardup_pairs` — cosine near-dup over an embedding
+  column via LSH-bucketed self-join (brute-force cross join only
+  within buckets).
+
+Scale notes: MinHash permutations use the universal-hash family
+``(a·x + b) mod p`` over ``xxhash64`` shingle hashes; a, b are derived
+from a seed — signatures are deterministic and persistable. The
+band-bucket join is the classic sub-quadratic path: at 100 TB the
+cross join never materializes, only same-bucket pairs do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: keeps a*x + b within int64 under ANSI mode
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _norm_text(c: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text. Groups by ``xxhash64(text)``
+    so the shuffle carries 8-byte keys, not documents; survivors =
+    min id per hash group. (Hash collision risk 2^-64·n² — acceptable;
+    add length to the key to tighten.)"""
+    h = F.xxhash64(_norm_text(F.col(text_col)), F.length(F.col(text_col)))
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def _shingles(c: Column, n: int = 3) -> Column:
+    """Token n-gram shingles as an array of strings — pure JVM:
+    split → slice windows via ``transform`` over an index sequence."""
+    toks = F.split(_norm_text(c), " ")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+    out: str = "minhash",
+) -> DataFrame:
+    """MinHash signature column (array<bigint>, length num_hashes).
+
+    Shingle hashes once via ``xxhash64``; each permutation h_i(x) =
+    (a_i·x + b_i) mod p applied with ``transform`` + ``array_min`` —
+    no shuffle, no Python."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE_P, num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE_P, num_hashes, dtype=np.int64)
+    sh = _shingles(F.col(text_col), shingle_n)
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+
+    def _perm(ai: int, bi: int):
+        # closure factory: PySpark inspects lambda arity, so defaults
+        # can't be used to capture loop variables
+        return lambda x: F.pmod(x * F.lit(ai) + F.lit(bi), F.lit(_MERSENNE_P))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hashes, _perm(int(a[i]), int(b[i]))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn(out, sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs from banded LSH: explode each signature into
+    ``bands`` bucket keys (hash of the band slice), self-join per
+    bucket, emit distinct (id_a < id_b) pairs.
+
+    Shuffle profile: explode multiplies rows by ``bands`` but each row
+    is (bucket_key, id) — tiny; the self-join shuffles on bucket_key.
+    Hot buckets (boilerplate docs) are the skew risk → AQE skew-join
+    plus an optional bucket-size cap upstream."""
+    sig = F.col(sig_col)
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = df.select(F.col(id_col), F.explode(band_keys).alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: join texts back (two
+    shuffles on ids), set ops in JVM array functions."""
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(_shingles(F.col(text_col), shingle_n)).alias("_sh")
+    )
+    j = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "_sha"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "_shb"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_union("_sha", "_shb"))
+    return j.withColumn(
+        "jaccard", inter.cast("double") / F.greatest(union, F.lit(1))
+    ).select("id_a", "id_b", "jaccard")
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-dup removal: signatures → banded candidates →
+    exact Jaccard ≥ threshold → drop the larger id of each dup pair
+    (connected-component-free approximation: a doc survives unless it
+    duplicates a smaller-id doc — deterministic, one pass)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n, seed)
+    cands = minhash_lsh_candidates(sigs, id_col, "minhash", bands, rows_per_band)
+    dups = (
+        ngram_jaccard(cands, df, id_col, text_col, shingle_n)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "simhash",
+    n_bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of
+    token-hash bits, all in JVM expressions (aggregate over the token
+    array; per-bit sign sum). Equal simhash → near-duplicate."""
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    def _vote(i: int):
+        # sum over tokens of (+1 if bit set else -1), majority → bit
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    # assemble bits with shiftleft + bitwise OR (no arithmetic overflow
+    # at bit 63 under ANSI mode)
+    word = F.lit(0).cast("long")
+    for i in range(n_bits):
+        vote = F.aggregate(th, F.lit(0), _vote(i))
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        word = word.bitwiseOR(F.shiftleft(bit, i))
+    return df.withColumn(out, word)
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes via bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates: random-hyperplane bucket self-join,
+    exact cosine only within buckets. n_bits tunes bucket count
+    (recall vs cost); at high thresholds near-dups almost always share
+    all hyperplane signs."""
+    from feature_engineering_tk_spark.functions.similarity import dot, l2_norm, lsh_assign_buckets
+
+    b = lsh_assign_buckets(df, vec_col, dim, n_bits, seed).select(
+        F.col(id_col), F.col(vec_col), F.col("lsh_bucket")
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.lsh_bucket") == F.col("c.lsh_bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+    )
+    cos = dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (
+        l2_norm(F.col(f"a.{vec_col}")) * l2_norm(F.col(f"c.{vec_col}"))
+    )
+    return (
+        pairs.withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+            "cosine_sim",
+        )
+    )

@@ -1,0 +1,93 @@
+"""Dedup operator tests: planted duplicates must be found; MinHash
+approximates Jaccard; SimHash clusters identical texts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feature_engineering_tk_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "spark makes distributed feature engineering pipelines run at scale",
+        "a completely different document about query plans and shuffles",
+        "yet another text with tokens words and more tokens for testing",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        rows.append((i, b)); i += 1
+        rows.append((i, b)); i += 1  # exact dup
+        # near dup: one token changed
+        toks = b.split()
+        toks[2] = "XXX"
+        rows.append((i, " ".join(toks))); i += 1
+    # unique fillers
+    for k in range(20):
+        rows.append((i, f"unique filler document number {k} with payload {k*7} tail")); i += 1
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(docs):
+    out = D.exact_dedup(docs).toPandas()
+    # 4 texts had 1 exact copy each → 4 groups with n_copies=2
+    assert (out["n_copies"] == 2).sum() == 4
+    assert out["n_copies"].sum() == docs.count()
+
+
+def test_minhash_estimates_jaccard(docs):
+    sigs = D.minhash_signatures(docs, num_hashes=64).toPandas().set_index("doc_id")
+    # exact dup pair: signatures identical
+    assert list(sigs.loc[0, "minhash"]) == list(sigs.loc[1, "minhash"])
+    # near dup pair: most hashes agree
+    agree = np.mean(np.array(sigs.loc[0, "minhash"]) == np.array(sigs.loc[2, "minhash"]))
+    assert agree > 0.5
+
+
+def test_lsh_candidates_contain_planted_pairs(docs):
+    sigs = D.minhash_signatures(docs, num_hashes=32)
+    pairs = D.minhash_lsh_candidates(sigs, bands=8, rows_per_band=4).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    for base in range(0, 12, 3):
+        assert (base, base + 1) in got  # exact dup always bucketed together
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [0], "id_b": [1]}))
+    j = D.ngram_jaccard(pairs, docs).toPandas()
+    assert j["jaccard"].iloc[0] == 1.0
+
+
+def test_minhash_lsh_dedup_removes_planted(docs):
+    out = D.minhash_lsh_dedup(docs, threshold=0.9)
+    kept = set(r["doc_id"] for r in out.select("doc_id").collect())
+    for base in range(0, 12, 3):
+        assert base in kept and (base + 1) not in kept  # exact dups dropped
+    # all fillers survive
+    assert all(d in kept for d in range(12, 32))
+
+
+def test_simhash_identical_for_dups(docs):
+    out = D.simhash(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "simhash"] == out.loc[1, "simhash"]
+    # different docs differ
+    assert out.loc[0, "simhash"] != out.loc[3, "simhash"]
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((10, 16)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, v.tolist()))
+        rows.append((i * 2 + 1, (v + rng.standard_normal(16).astype(np.float32) * 0.01).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_neardup_pairs(df, dim=16, threshold=0.99, n_bits=4).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    # most planted twin pairs found (LSH recall < 1 by construction)
+    found = sum((2 * i, 2 * i + 1) in got for i in range(10))
+    assert found >= 7
