@@ -21,10 +21,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-@pandas_udf("string")
-def _title_udf(s: pd.Series) -> pd.Series:
-    # exact pandas .str.title() semantics (Python str.title)
-    return s.str.title()
+_title_udf_cache = None
+
+
+def _title_udf(c):
+    # lazy: pandas_udf construction needs an active SparkSession
+    global _title_udf_cache
+    if _title_udf_cache is None:
+
+        @pandas_udf("string")
+        def title(s: pd.Series) -> pd.Series:
+            # exact pandas .str.title() semantics (Python str.title)
+            return s.str.title()
+
+        _title_udf_cache = title
+    return _title_udf_cache(c)
 
 
 _OPS: dict[str, callable] = {

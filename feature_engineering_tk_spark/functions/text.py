@@ -88,23 +88,33 @@ def lang_id(df: DataFrame, column: str, threshold: float = 0.05) -> DataFrame:
     )
 
 
-@pandas_udf("bigint")
-def _rolling_hash_udf(s: pd.Series) -> pd.Series:
+_rolling_hash_cache = None
+
+
+def _rolling_hash_udf(c):
     """Polynomial rolling hash (Rabin-Karp style) of the normalized
-    text — deterministic 63-bit fingerprint. Vectorized per Arrow
-    batch; the per-string loop is numpy over codepoints."""
-    MOD = (1 << 61) - 1
-    BASE = 257
-    out = np.zeros(len(s), dtype=np.int64)
-    for i, txt in enumerate(s):
-        if txt is None:
-            out[i] = 0
-            continue
-        h = 0
-        for ch in txt.encode("utf-8"):
-            h = (h * BASE + ch) % MOD
-        out[i] = h
-    return pd.Series(out)
+    text — deterministic 61-bit fingerprint. Vectorized per Arrow
+    batch. Lazy: pandas_udf construction needs an active session."""
+    global _rolling_hash_cache
+    if _rolling_hash_cache is None:
+
+        @pandas_udf("bigint")
+        def rolling_hash(s: pd.Series) -> pd.Series:
+            MOD = (1 << 61) - 1
+            BASE = 257
+            out = np.zeros(len(s), dtype=np.int64)
+            for i, txt in enumerate(s):
+                if txt is None:
+                    out[i] = 0
+                    continue
+                h = 0
+                for ch in txt.encode("utf-8"):
+                    h = (h * BASE + ch) % MOD
+                out[i] = h
+            return pd.Series(out)
+
+        _rolling_hash_cache = rolling_hash
+    return _rolling_hash_cache(c)
 
 
 def fingerprint(df: DataFrame, column: str, out: str = "fingerprint") -> DataFrame:

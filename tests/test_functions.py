@@ -1,0 +1,199 @@
+"""Golden-parity tests: string/datetime/numeric/text column functions
+vs pandas semantics (SURVEY §2.7-2.8, §2.13 parity traps)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feature_engineering_tk_spark.functions import numeric as N
+from feature_engineering_tk_spark.functions import text as TX
+from feature_engineering_tk_spark.functions.datetime_features import datetime_features
+from feature_engineering_tk_spark.functions.strings import (
+    clean_strings,
+    extract_string_length,
+    handle_whitespace_variants,
+)
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _sorted(df):
+    return df.toPandas().sort_values(KEY).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- strings
+@pytest.fixture(scope="module")
+def messy(spark):
+    pdf = pd.DataFrame(
+        {
+            "i": range(6),
+            "s": [
+                "  Hello World  ",
+                "foo-bar baz!",
+                "UPPER lower 42",
+                "a\tb\n c   d",
+                "punct,.;:!?()[]",
+                "tabs\t\tand  spaces",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_string_ops_match_pandas(messy):
+    df, pdf = messy
+    ops = ["strip", "lower", "remove_punctuation", "remove_extra_spaces"]
+    out = clean_strings(df, ["s"], ops).toPandas().sort_values("i")["s"]
+    exp = (
+        pdf.sort_values("i")["s"]
+        .str.strip()
+        .str.lower()
+        .str.replace(r"[^\w\s]", "", regex=True)
+        .str.replace(r" +", " ", regex=True)
+        .str.strip()
+    )
+    assert out.tolist() == exp.tolist()
+
+
+def test_title_case_pandas_parity(messy):
+    df, pdf = messy
+    out = clean_strings(df, ["s"], ["title"]).toPandas().sort_values("i")["s"]
+    exp = pdf.sort_values("i")["s"].str.title()
+    # pandas titlecases after punctuation (e.g. 'Foo-Bar') — initcap wouldn't
+    assert out.tolist() == exp.tolist()
+
+
+def test_remove_digits(messy):
+    df, pdf = messy
+    out = clean_strings(df, ["s"], ["remove_digits"]).toPandas().sort_values("i")["s"]
+    exp = pdf.sort_values("i")["s"].str.replace(r"\d+", "", regex=True)
+    assert out.tolist() == exp.tolist()
+
+
+def test_whitespace_variants(messy):
+    df, pdf = messy
+    out = handle_whitespace_variants(df, ["s"]).toPandas().sort_values("i")["s"]
+    exp = pdf.sort_values("i")["s"].str.strip().str.replace(r"\s+", " ", regex=True)
+    assert out.tolist() == exp.tolist()
+
+
+def test_string_length(messy):
+    df, pdf = messy
+    out = extract_string_length(df, ["s"]).toPandas().sort_values("i")["s_length"]
+    exp = pdf.sort_values("i")["s"].str.len()
+    assert out.tolist() == exp.tolist()
+
+
+def test_text_equality_contract(transcripts, transcripts_pdf):
+    """Per-turn text byte-equality under stable (conv_id, turn_idx) order."""
+    got = _sorted(
+        clean_strings(transcripts, ["text"], ["strip", "lower", "remove_extra_spaces"])
+    )["text"]
+    exp = (
+        transcripts_pdf.sort_values(KEY)["text"]
+        .str.strip()
+        .str.lower()
+        .str.replace(r" +", " ", regex=True)
+        .str.strip()
+        .reset_index(drop=True)
+    )
+    assert (got == exp).all()
+
+
+# ---------------------------------------------------------------- datetime
+def test_datetime_features_match_pandas(transcripts, transcripts_pdf):
+    feats = [
+        "year", "month", "day", "hour", "minute", "second", "quarter",
+        "dayofweek", "dayofyear", "weekofyear", "is_weekend",
+        "is_month_start", "is_month_end",
+    ]
+    got = _sorted(datetime_features(transcripts, "ts", feats))
+    ts = transcripts_pdf.sort_values(KEY)["ts"].dt
+    exp = {
+        "year": ts.year, "month": ts.month, "day": ts.day, "hour": ts.hour,
+        "minute": ts.minute, "second": ts.second, "quarter": ts.quarter,
+        "dayofweek": ts.dayofweek, "dayofyear": ts.dayofyear,
+        "weekofyear": ts.isocalendar().week,
+        "is_weekend": ts.dayofweek.isin([5, 6]).astype(int),
+        "is_month_start": ts.is_month_start.astype(int),
+        "is_month_end": ts.is_month_end.astype(int),
+    }
+    for f in feats:
+        assert (
+            got[f"ts_{f}"].to_numpy() == exp[f].to_numpy().astype(int)
+        ).all(), f"datetime feature {f} mismatch"
+
+
+# ---------------------------------------------------------------- numeric
+def test_polynomial_features(transcripts, transcripts_pdf):
+    got = _sorted(N.polynomial_features(transcripts, ["tokens", "score"], degree=2))
+    exp = transcripts_pdf.sort_values(KEY)
+    assert np.allclose(got["tokens_squared"], (exp["tokens"] ** 2))
+    assert np.allclose(
+        got["tokens_x_score"], (exp["tokens"] * exp["score"]), equal_nan=True
+    )
+
+
+def test_log_transform_offset(spark):
+    pdf = pd.DataFrame({"x": [-2.0, 0.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    out = N.log_transform(df, ["x"]).toPandas()
+    offset = abs(-2.0) + 1  # reference: abs(min)+1 when min <= 0
+    assert np.allclose(out["x_log"], np.log(pdf["x"] + offset))
+
+
+def test_sqrt_skips_negative(spark):
+    pdf = pd.DataFrame({"x": [1.0, 4.0], "neg": [-1.0, 9.0]})
+    df = spark.createDataFrame(pdf)
+    with pytest.warns(UserWarning):
+        out = N.sqrt_transform(df, ["x", "neg"])
+    assert "x_sqrt" in out.columns and "neg_sqrt" not in out.columns
+
+
+def test_ratio_and_flags(transcripts, transcripts_pdf):
+    got = _sorted(
+        N.flag_features(
+            N.ratio_features(transcripts, [("tokens", "latency_ms")]),
+            {"is_user": F.col("role") == "user"},
+        )
+    )
+    exp = transcripts_pdf.sort_values(KEY)
+    assert np.allclose(
+        got["tokens_to_latency_ms_ratio"],
+        exp["tokens"] / (exp["latency_ms"] + 1e-8),
+        equal_nan=True,
+    )
+    assert (got["is_user"].to_numpy() == (exp["role"] == "user").astype(int).to_numpy()).all()
+
+
+# ---------------------------------------------------------------- text
+def test_token_count_matches_split(spark):
+    pdf = pd.DataFrame({"i": [0, 1, 2], "t": ["a b  c", "  ", "one"]})
+    df = spark.createDataFrame(pdf)
+    out = df.select("i", TX.token_count(F.col("t")).alias("n")).toPandas().sort_values("i")
+    assert out["n"].tolist() == [3, 0, 1]
+
+
+def test_fingerprint_matches_numpy_oracle(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["Hello   world", "hello world"]})
+    df = spark.createDataFrame(pdf)
+    out = TX.fingerprint(df, "text").toPandas().sort_values("doc_id")
+    # both normalize to 'hello world' → identical fingerprints
+    assert out["fingerprint"].iloc[0] == out["fingerprint"].iloc[1]
+    MOD, BASE = (1 << 61) - 1, 257
+    h = 0
+    for ch in b"hello world":
+        h = (h * BASE + ch) % MOD
+    assert out["fingerprint"].iloc[0] == h
+
+
+def test_quality_and_langid_run(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["the cat is on the mat!", "zzz qqq 123"]}
+    )
+    df = spark.createDataFrame(pdf)
+    q = TX.quality_features(df, "text").toPandas().sort_values("doc_id")
+    assert q["stopword_ratio"].iloc[0] > q["stopword_ratio"].iloc[1]
+    l = TX.lang_id(df, "text").toPandas().sort_values("doc_id")
+    assert l["lang_pred"].tolist() == ["en", "unknown"]
