@@ -482,6 +482,119 @@ def q_embedding_norms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# analysis family (distributed sufficient statistics)
+
+def q_numeric_summary(spark, sf_dir):
+    """get_numeric_summary / describe() parity (data_analysis.py:58-67),
+    one multi-aggregate job, exact percentiles; melted to one row per
+    column for the oracle compare."""
+    from feature_engineering_tk_spark.analysis.eda import get_numeric_summary
+
+    li = _t(spark, sf_dir, "lineitem")
+    summ = get_numeric_summary(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    rows = [
+        (
+            c,
+            float(s["count"]),
+            round(s["mean"], 6),
+            round(s["std"], 6),
+            float(s["min"]),
+            round(s["q50"], 6),
+            float(s["max"]),
+        )
+        for c, s in summ.items()
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, n_count double, mean double, std double, min_v double, median double, max_v double"
+    )
+
+
+def q_missing_summary(spark, sf_dir):
+    """get_missing_summary (data_analysis.py:46-56) with deterministic
+    injected nulls."""
+    from feature_engineering_tk_spark.analysis.eda import get_missing_summary
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    ).select("event_id", "v", "event_type")
+    rows = [
+        (d["column"], d["missing"], round(d["missing_pct"], 6))
+        for d in get_missing_summary(ev)
+    ]
+    return spark.createDataFrame(rows, "col_name string, n_missing long, missing_pct double")
+
+
+def q_cardinality(spark, sf_dir):
+    """get_cardinality_info (data_analysis.py:182-212), exact
+    countDistinct in one pass."""
+    from feature_engineering_tk_spark.analysis.eda import get_cardinality_info
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    info = get_cardinality_info(ev)
+    rows = [(c, v["unique"], round(v["ratio"], 6)) for c, v in info.items()]
+    return spark.createDataFrame(rows, "col_name string, n_unique long, uniq_ratio double")
+
+
+def q_class_distribution(spark, sf_dir):
+    """analyze_class_distribution (target_analyzer/core.py:119-147)."""
+    from feature_engineering_tk_spark.analysis.target import TargetAnalyzer
+
+    ev = _t(spark, sf_dir, "events")
+    dist = TargetAnalyzer(ev, "event_type", task="classification").analyze_class_distribution()
+    rows = [
+        (d["class"], d["count"], round(d["pct"], 6), round(d["imbalance_ratio"], 6))
+        for d in dist
+    ]
+    return spark.createDataFrame(rows, "class string, n long, pct double, imbalance_ratio double")
+
+
+def q_classwise_stats(spark, sf_dir):
+    """analyze_class_wise_statistics (statistical.py:252-342): one
+    groupBy job, no per-class loops."""
+    from feature_engineering_tk_spark.analysis.target import TargetAnalyzer
+
+    ev = _t(spark, sf_dir, "events")
+    rows = TargetAnalyzer(ev, "event_type", task="classification").analyze_class_wise_statistics(
+        ["value"]
+    )
+    data = [
+        (
+            r["class"],
+            r["count"],
+            round(r["mean"], 6),
+            round(r["median"], 6),
+            round(r["std"], 6),
+            float(r["min"]),
+            float(r["max"]),
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        data, "class string, n long, mean double, median double, std double, min_v double, max_v double"
+    )
+
+
+def q_anova_f(spark, sf_dir):
+    """One-way ANOVA F of value across event types from distributed
+    group moments (statistical.py:31-250 closed form)."""
+    from feature_engineering_tk_spark.analysis import stats as ST
+
+    ev = _t(spark, sf_dir, "events")
+    groups = ST.group_moments(ev, "value", "event_type")
+    res = ST.anova_f_from_groups(groups)
+    return spark.createDataFrame([(round(res["F"], 6),)], "f_stat double")
+
+
+def q_pearson_corr(spark, sf_dir):
+    """Pairwise-complete Pearson correlations (data_analysis.py:143-156)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("r_disc_tax"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -520,6 +633,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "doc_fingerprint": q_doc_fingerprint,
         "lsh_topk": q_lsh_topk,
+        "numeric_summary": q_numeric_summary,
+        "missing_summary": q_missing_summary,
+        "cardinality": q_cardinality,
+        "class_distribution": q_class_distribution,
+        "classwise_stats": q_classwise_stats,
+        "anova_f": q_anova_f,
+        "pearson_corr": q_pearson_corr,
     }
 
 
@@ -797,5 +917,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, label,
                    round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
             FROM embeddings
+        """,
+        "numeric_summary": """
+            SELECT col_name,
+                   CAST(cnt AS DOUBLE) AS n_count, round(mean, 6) AS mean,
+                   round(std, 6) AS std, CAST(min_v AS DOUBLE) AS min_v,
+                   round(median, 6) AS median, CAST(max_v AS DOUBLE) AS max_v
+            FROM (
+              SELECT 'l_quantity' AS col_name, count(l_quantity) AS cnt,
+                     avg(l_quantity) AS mean, stddev_samp(l_quantity) AS std,
+                     min(l_quantity) AS min_v, quantile_cont(l_quantity, 0.5) AS median,
+                     max(l_quantity) AS max_v FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', count(l_extendedprice), avg(l_extendedprice),
+                     stddev_samp(l_extendedprice), min(l_extendedprice),
+                     quantile_cont(l_extendedprice, 0.5), max(l_extendedprice) FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', count(l_discount), avg(l_discount),
+                     stddev_samp(l_discount), min(l_discount),
+                     quantile_cont(l_discount, 0.5), max(l_discount) FROM lineitem
+            )
+        """,
+        "missing_summary": """
+            WITH src AS (
+              SELECT event_id,
+                     CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+                     event_type
+              FROM events
+            ), n AS (SELECT count(*) AS total FROM src)
+            SELECT col_name, n_missing,
+                   round(100.0 * n_missing / n.total, 6) AS missing_pct
+            FROM (
+              SELECT 'event_id' AS col_name, sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_missing FROM src
+              UNION ALL
+              SELECT 'v', sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) FROM src
+              UNION ALL
+              SELECT 'event_type', sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) FROM src
+            ), n
+        """,
+        "cardinality": """
+            WITH n AS (SELECT count(*) AS total FROM events)
+            SELECT col_name, n_unique, round(CAST(n_unique AS DOUBLE) / n.total, 6) AS uniq_ratio
+            FROM (
+              SELECT 'user_id' AS col_name, count(DISTINCT user_id) AS n_unique FROM events
+              UNION ALL
+              SELECT 'event_type', count(DISTINCT event_type) FROM events
+            ), n
+        """,
+        "class_distribution": """
+            WITH d AS (
+              SELECT event_type AS class, count(*) AS n FROM events GROUP BY 1
+            ), m AS (SELECT max(n) AS mx, sum(n) AS total FROM d)
+            SELECT class, n, round(100.0 * n / m.total, 6) AS pct,
+                   round(CAST(m.mx AS DOUBLE) / n, 6) AS imbalance_ratio
+            FROM d, m
+        """,
+        "classwise_stats": """
+            SELECT event_type AS class, count(value) AS n,
+                   round(avg(value), 6) AS mean,
+                   round(quantile_cont(value, 0.5), 6) AS median,
+                   round(stddev_samp(value), 6) AS std,
+                   min(value) AS min_v, max(value) AS max_v
+            FROM events GROUP BY event_type
+        """,
+        "anova_f": """
+            WITH g AS (
+              SELECT event_type, count(value) AS n, avg(value) AS m, var_samp(value) AS v
+              FROM events GROUP BY event_type
+            ), tot AS (
+              SELECT sum(n) AS n_tot, count(*) AS k, sum(n * m) / sum(n) AS grand FROM g
+            )
+            SELECT round(
+              (sum(g.n * (g.m - tot.grand) * (g.m - tot.grand)) / (tot.k - 1))
+              / (sum((g.n - 1) * g.v) / (tot.n_tot - tot.k)), 6) AS f_stat
+            FROM g, tot
+            GROUP BY tot.k, tot.n_tot
+        """,
+        "pearson_corr": """
+            SELECT round(corr(l_quantity, l_extendedprice), 6) AS r_qty_price,
+                   round(corr(l_discount, l_tax), 6) AS r_disc_tax
+            FROM lineitem
         """,
     }

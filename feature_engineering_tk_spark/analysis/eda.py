@@ -1,0 +1,217 @@
+"""Distributed EDA — reference ``DataAnalyzer`` (SURVEY §2.9, §2.15).
+
+Design rule from the reference's own optimization history
+(README v2.3.0: eliminate N+1 passes): every summary is ONE
+multi-aggregate job over all requested columns, never a loop of
+per-column jobs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    num = (T.IntegerType, T.LongType, T.DoubleType, T.FloatType, T.ShortType, T.DecimalType)
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, num)]
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+
+
+def get_missing_summary(df: DataFrame, total: int | None = None) -> list[dict]:
+    """Null count + % per column, sorted desc (data_analysis.py:46-56) —
+    one pass."""
+    total = total if total is not None else df.count()
+    row = df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in df.columns]
+    ).first()
+    out = [
+        {
+            "column": c,
+            "missing": int(row[c] or 0),
+            "missing_pct": (100.0 * (row[c] or 0) / total) if total else 0.0,
+        }
+        for c in df.columns
+    ]
+    return sorted(out, key=lambda d: -d["missing"])
+
+
+def get_numeric_summary(
+    df: DataFrame, columns: list[str] | None = None, percentiles=(0.25, 0.5, 0.75)
+) -> dict[str, dict]:
+    """pandas ``describe()`` parity per numeric col (data_analysis.py:58-67):
+    count/mean/std(ddof=1)/min/q25/q50/q75/max — one aggregate job, exact
+    percentiles."""
+    cols = columns or numeric_columns(df)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__count"),
+            F.avg(c).alias(f"{c}__mean"),
+            F.stddev_samp(c).alias(f"{c}__std"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.percentile(F.col(c), F.array(*[F.lit(p) for p in percentiles])).alias(f"{c}__q"),
+        ]
+    row = df.agg(*aggs).first()
+    out = {}
+    for c in cols:
+        qs = row[f"{c}__q"] or [None] * len(percentiles)
+        out[c] = {
+            "count": row[f"{c}__count"],
+            "mean": row[f"{c}__mean"],
+            "std": row[f"{c}__std"],
+            "min": row[f"{c}__min"],
+            "max": row[f"{c}__max"],
+            **{f"q{int(p * 100)}": q for p, q in zip(percentiles, qs)},
+        }
+    return out
+
+
+def get_categorical_summary(df: DataFrame, columns: list[str] | None = None, max_unique: int = 50) -> dict:
+    """Per string col ≤ max_unique uniques: nunique, mode (smallest on
+    ties — pandas mode()[0]), top freq/% (data_analysis.py:69-94)."""
+    cols = columns or string_columns(df)
+    total = df.count()
+    cd = df.agg(*[F.countDistinct(c).alias(c) for c in cols]).first()
+    out = {}
+    for c in cols:
+        nu = cd[c]
+        if nu > max_unique:
+            out[c] = {"unique": nu, "skipped": True}
+            continue
+        top = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .count()
+            .orderBy(F.col("count").desc(), F.col(c).asc())
+            .first()
+        )
+        out[c] = {
+            "unique": nu,
+            "mode": None if top is None else top[c],
+            "top_freq": 0 if top is None else top["count"],
+            "top_pct": 0.0 if (top is None or not total) else 100.0 * top["count"] / total,
+        }
+    return out
+
+
+def get_cardinality_info(df: DataFrame, columns: list[str] | None = None, exact: bool = True) -> dict:
+    """nunique + ratio per col (data_analysis.py:182-212); HLL variant
+    for the 100 TB path."""
+    cols = columns or df.columns
+    cd = F.countDistinct if exact else F.approx_count_distinct
+    row = df.agg(F.count(F.lit(1)).alias("_n"), *[cd(F.col(c)).alias(c) for c in cols]).first()
+    n = row["_n"]
+    return {
+        c: {"unique": int(row[c]), "ratio": (row[c] / n) if n else float("nan")}
+        for c in cols
+    }
+
+
+def get_basic_info(df: DataFrame) -> dict:
+    """shape, dtypes, duplicate count (data_analysis.py:36-44)."""
+    n = df.count()
+    dups = n - df.dropDuplicates().count()
+    return {
+        "rows": n,
+        "columns": len(df.columns),
+        "dtypes": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+        "duplicates": dups,
+    }
+
+
+def correlation_matrix(
+    df: DataFrame, columns: list[str] | None = None, method: str = "pearson"
+) -> tuple[list[str], np.ndarray]:
+    """Pairwise-complete correlation matrix (pandas ``corr`` parity —
+    each pair computed over its co-non-null rows, unlike
+    ``ml.stat.Correlation`` which drops whole rows). One job with all
+    pairwise co-moments as aggregate expressions."""
+    cols = columns or numeric_columns(df)
+    if method not in ("pearson", "spearman"):
+        raise ValueError("method must be pearson|spearman")
+    work = df
+    if method == "spearman":
+        # rank transform per column (average ranks on ties = pandas)
+        from pyspark.sql import Window
+
+        for c in cols:
+            r = F.avg(F.row_number().over(Window.orderBy(F.col(c).asc_nulls_last()))).over(
+                Window.partitionBy(F.col(c))
+            )
+            work = work.withColumn(c, F.when(F.col(c).isNotNull(), r))
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.corr(a, b).alias(f"{a}||{b}"))
+    row = work.agg(*aggs).first() if aggs else None
+    k = len(cols)
+    mat = np.eye(k)
+    for i, a in enumerate(cols):
+        for j in range(i + 1, k):
+            v = row[f"{a}||{cols[j]}"]
+            mat[i, j] = mat[j, i] = float("nan") if v is None else v
+    return cols, mat
+
+
+def get_high_correlations(df: DataFrame, threshold: float = 0.7, columns=None) -> list[dict]:
+    """|r| ≥ threshold pairs from the upper triangle, sorted by |r|
+    (data_analysis.py:158-180)."""
+    cols, mat = correlation_matrix(df, columns)
+    out = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            r = mat[i, j]
+            if not math.isnan(r) and abs(r) >= threshold:
+                out.append({"a": cols[i], "b": cols[j], "r": r})
+    return sorted(out, key=lambda d: -abs(d["r"]))
+
+
+def validate_data_quality(df: DataFrame, high_card_threshold: float = 0.95) -> dict:
+    """nulls / duplicates / constant cols / >95%-unique cols / inf counts
+    in one multi-agg + one dedup count (preprocessing.py:1110-1194)."""
+    num = numeric_columns(df)
+    inf = float("inf")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in df.columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nu"))
+    for c in num:
+        aggs.append(
+            F.sum(((F.col(c) == inf) | (F.col(c) == -inf)).cast("long")).alias(f"{c}__inf")
+        )
+    row = df.agg(*aggs).first()
+    n = row["_n"]
+    issues = []
+    nulls = {c: int(row[f"{c}__null"] or 0) for c in df.columns}
+    constant = [c for c in df.columns if row[f"{c}__nu"] <= 1]
+    high_card = [
+        c for c in df.columns if n and row[f"{c}__nu"] / n >= high_card_threshold
+    ]
+    infs = {c: int(row[f"{c}__inf"] or 0) for c in num}
+    dups = n - df.dropDuplicates().count()
+    if any(nulls.values()):
+        issues.append("missing values present")
+    if constant:
+        issues.append(f"constant columns: {constant}")
+    if dups:
+        issues.append(f"{dups} duplicate rows")
+    if any(infs.values()):
+        issues.append("infinite values present")
+    return {
+        "rows": n,
+        "nulls": nulls,
+        "constant_columns": constant,
+        "high_cardinality_columns": high_card,
+        "infinite_counts": infs,
+        "duplicates": dups,
+        "issues": issues,
+    }

@@ -1,0 +1,137 @@
+"""Feature selection — reference ``FeatureSelector`` (SURVEY §2.16).
+
+Selection decisions are driver-side over distributed aggregates; the
+final projection is a ``select``. sklearn's RandomForest importance
+path is gated behind an optional import (not in this runtime) with a
+documented MI-based fallback.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_engineering_tk_spark.analysis.eda import correlation_matrix, numeric_columns
+
+
+class FeatureSelector:
+    def __init__(self, df: DataFrame, target: str | None = None):
+        self.df = df
+        self.target = target
+        self.selected_: list[str] | None = None
+        self.scores_: dict | None = None
+
+    def _features(self, columns=None) -> list[str]:
+        return columns or [c for c in numeric_columns(self.df) if c != self.target]
+
+    def select_by_variance(self, threshold: float = 0.0, columns=None) -> list[str]:
+        """VarianceThreshold parity: keep var_pop > threshold (ddof=0,
+        sklearn convention) — feature_selection.py:61-85."""
+        cols = self._features(columns)
+        row = self.df.agg(*[F.var_pop(c).alias(c) for c in cols]).first()
+        self.scores_ = {c: row[c] for c in cols}
+        self.selected_ = [c for c in cols if row[c] is not None and row[c] > threshold]
+        return self.selected_
+
+    def select_by_correlation(self, threshold: float = 0.9, columns=None) -> list[str]:
+        """Upper-triangle greedy drop in COLUMN ORDER (order matters for
+        parity) — feature_selection.py:87-114."""
+        cols = self._features(columns)
+        names, mat = correlation_matrix(self.df, cols)
+        drop = set()
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                if names[j] in drop or names[i] in drop:
+                    continue
+                r = mat[i][j]
+                if not math.isnan(r) and abs(r) > threshold:
+                    drop.add(names[j])
+        self.selected_ = [c for c in names if c not in drop]
+        return self.selected_
+
+    def select_by_target_correlation(self, top_k: int = 10, columns=None) -> list[str]:
+        """top-k |corr(feature, target)| — feature_selection.py:116-162."""
+        if self.target is None:
+            raise ValueError("needs a target")
+        cols = self._features(columns)
+        row = self.df.agg(*[F.corr(c, self.target).alias(c) for c in cols]).first()
+        scores = {c: abs(row[c]) if row[c] is not None else 0.0 for c in cols}
+        self.scores_ = scores
+        self.selected_ = sorted(cols, key=lambda c: -scores[c])[:top_k]
+        return self.selected_
+
+    def select_by_statistical_test(self, k: int = 10, columns=None) -> list[str]:
+        """SelectKBest(f_classif) parity: ANOVA F per feature from group
+        moments — feature_selection.py:164-245."""
+        from feature_engineering_tk_spark.analysis import stats as ST
+
+        if self.target is None:
+            raise ValueError("needs a target")
+        cols = self._features(columns)
+        scores = {}
+        for c in cols:
+            groups = [
+                g for g in ST.group_moments(self.df, c, self.target) if g["n"] and g["n"] > 1
+            ]
+            res = ST.anova_f_from_groups(groups)
+            scores[c] = res["F"] if not math.isnan(res["F"]) else 0.0
+        self.scores_ = scores
+        self.selected_ = sorted(cols, key=lambda c: -scores[c])[:k]
+        return self.selected_
+
+    def select_by_missing_values(self, threshold: float = 0.5, columns=None) -> list[str]:
+        """Keep cols with missing ratio ≤ threshold — feature_selection.py:302-319."""
+        cols = columns or self.df.columns
+        row = self.df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols],
+        ).first()
+        n = row["_n"] or 1
+        self.selected_ = [c for c in cols if (row[c] or 0) / n <= threshold]
+        return self.selected_
+
+    def select_by_importance(self, top_k: int = 10, columns=None, seed: int = 42) -> list[str]:
+        """RandomForest importances when sklearn is present (driver-side
+        on a collected seeded sample, selection-decision parity with
+        feature_selection.py:247-300); MI-estimator fallback otherwise."""
+        try:
+            from sklearn.ensemble import RandomForestClassifier, RandomForestRegressor
+        except ImportError:
+            from feature_engineering_tk_spark.analysis.target import TargetAnalyzer
+
+            mi = TargetAnalyzer(self.df, self.target).analyze_mutual_information(
+                self._features(columns)
+            )
+            self.scores_ = {d["feature"]: d["mi"] for d in mi}
+            self.selected_ = [d["feature"] for d in mi[:top_k]]
+            return self.selected_
+        cols = self._features(columns)
+        sample = self.df.select(*cols, self.target).dropna().limit(100_000).toPandas()
+        X, y = sample[cols], sample[self.target]
+        cls = RandomForestClassifier if y.nunique() <= 20 else RandomForestRegressor
+        model = cls(n_estimators=100, random_state=seed, n_jobs=-1).fit(X, y)
+        imp = dict(zip(cols, model.feature_importances_))
+        self.scores_ = imp
+        self.selected_ = sorted(cols, key=lambda c: -imp[c])[:top_k]
+        return self.selected_
+
+    def apply_selection(self, extra: list[str] | None = None) -> DataFrame:
+        """Project selected (+target) — feature_selection.py:341-359."""
+        if self.selected_ is None:
+            raise RuntimeError("run a select_* method first")
+        keep = list(self.selected_) + ([self.target] if self.target else []) + (extra or [])
+        return self.df.select(*dict.fromkeys(keep))
+
+    def select_features_auto(
+        self, variance_threshold: float = 0.0, corr_threshold: float = 0.95, top_k: int = 20
+    ) -> list[str]:
+        """variance → correlation → importance pipeline
+        (feature_selection.py:366-425)."""
+        v = self.select_by_variance(variance_threshold)
+        c = self.select_by_correlation(corr_threshold, columns=v)
+        if self.target is not None:
+            return self.select_by_importance(top_k, columns=c)
+        self.selected_ = c[:top_k]
+        return self.selected_

@@ -1,0 +1,113 @@
+"""Scaling-efficiency evidence (north rule: ≥0.8 between N and 4N).
+
+Sandbox stand-in for N vs 4N executors: the IDENTICAL feature job on
+the IDENTICAL input at local[8] vs local[32]. Each measurement runs in
+its own JVM (subprocess) with one warm-up pass + timed passes, so JIT
+and parquet-footer caching don't favor either side.
+
+Writes BENCH/BASELINE.md with throughput at both levels and
+efficiency = (thr_4N / thr_N) / 4.
+
+Usage: python scripts/scaling_bench.py [n_convs] (default 400_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = "/tmp/fe_bench/transcripts"
+
+_JOB = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from feature_engineering_tk_spark.session import get_spark
+from feature_engineering_tk_spark.operators import window_features as W
+from feature_engineering_tk_spark.operators.asof import asof_join
+from pyspark.sql import functions as F
+
+cpus = int(sys.argv[1])
+spark = get_spark(master=f"local[{{cpus}}]", app_name=f"scaling-{{cpus}}",
+                  shuffle_partitions=max(2 * cpus, 16))
+spark.sparkContext.setLogLevel("ERROR")
+
+df = spark.read.parquet({data!r})
+n_turns = df.count()
+
+def pipeline():
+    feat = W.sessionize(df, 1800.0)
+    feat = W.with_lag(feat, "text", 1, out="prev_text")
+    feat = W.with_turn_gap(feat)
+    feat = W.rolling_agg(feat, "tokens", "mean", 5)
+    feat = W.cumulative_agg(feat, "tokens", "sum")
+    feat = W.forward_fill(feat, ["score"])
+    tools = df.filter(F.col("tool").isNotNull()).select("conv_id", "ts", "tool")
+    return asof_join(feat, tools, value_cols=["tool"], suffix="_last")
+
+pipeline().write.format("noop").mode("overwrite").save()  # warm-up
+times = []
+for _ in range(2):
+    t0 = time.perf_counter()
+    pipeline().write.format("noop").mode("overwrite").save()
+    times.append(time.perf_counter() - t0)
+best = min(times)
+print(json.dumps({{"cpus": cpus, "n_turns": n_turns, "sec": round(best, 3),
+                  "turns_per_sec": round(n_turns / best, 1)}}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+
+    if not os.path.exists(DATA):
+        sys.path.insert(0, REPO)
+        from feature_engineering_tk_spark.datagen import generate_transcripts
+        from feature_engineering_tk_spark.session import get_spark
+
+        spark = get_spark(master="local[32]", app_name="gen", shuffle_partitions=64)
+        spark.sparkContext.setLogLevel("ERROR")
+        df = generate_transcripts(spark, n_convs=n_convs, seed=42)
+        df.repartition(64, "conv_id").write.mode("overwrite").parquet(DATA)
+        spark.stop()
+
+    job = _JOB.format(repo=REPO, data=DATA)
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, "-c", job, str(cpus)],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(results[cpus])
+
+    thr8, thr32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH/BASELINE — scaling evidence (N vs 4N parallelism)\n\n"
+            "Identical end-to-end feature-vector job (sessionize + lag + "
+            "turn-gap + rolling mean + cumulative sum + forward-fill + "
+            "as-of join of last tool use) on the identical deterministic "
+            f"transcript table ({results[8]['n_turns']:,} turns, seed 42), "
+            "each measurement in a fresh JVM, 1 warm-up + best of 2 timed "
+            "runs, noop sink (full materialization).\n\n"
+            "| parallelism | wall sec | turns/sec |\n|---|---|---|\n"
+            f"| local[8] (N) | {results[8]['sec']} | {thr8:,.0f} |\n"
+            f"| local[32] (4N) | {results[32]['sec']} | {thr32:,.0f} |\n\n"
+            f"**Scaling efficiency (thr_4N / thr_N) / 4 = {eff:.2f}**"
+            f" (target ≥ 0.8)\n\n"
+            "Reference single-process anchor (BASELINE.md): ≈0.7M row-ops/s "
+            "for its heaviest single transform on one column; this job "
+            "computes 7 windowed/as-of features per turn end-to-end.\n"
+        )
+    print(f"efficiency={eff:.3f} → BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
