@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1])
 spark = get_spark(master=f"local[{{cpus}}]", app_name=f"scaling-{{cpus}}",
-                  shuffle_partitions=max(2 * cpus, 16))
+                  shuffle_partitions=4 * cpus)
 spark.sparkContext.setLogLevel("ERROR")
 
 df = spark.read.parquet({data!r})
@@ -49,7 +49,7 @@ def pipeline():
 
 pipeline().write.format("noop").mode("overwrite").save()  # warm-up
 times = []
-for _ in range(2):
+for _ in range(3):
     t0 = time.perf_counter()
     pipeline().write.format("noop").mode("overwrite").save()
     times.append(time.perf_counter() - t0)
@@ -77,9 +77,10 @@ def main() -> None:
     job = _JOB.format(repo=REPO, data=DATA)
     results = {}
     for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
         out = subprocess.run(
             [sys.executable, "-c", job, str(cpus)],
-            capture_output=True, text=True, check=True, cwd=REPO,
+            capture_output=True, text=True, check=True, cwd=REPO, env=env,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
@@ -95,7 +96,7 @@ def main() -> None:
             "turn-gap + rolling mean + cumulative sum + forward-fill + "
             "as-of join of last tool use) on the identical deterministic "
             f"transcript table ({results[8]['n_turns']:,} turns, seed 42), "
-            "each measurement in a fresh JVM, 1 warm-up + best of 2 timed "
+            "each measurement in a fresh JVM, 1 warm-up + best of 3 timed "
             "runs, noop sink (full materialization).\n\n"
             "| parallelism | wall sec | turns/sec |\n|---|---|---|\n"
             f"| local[8] (N) | {results[8]['sec']} | {thr8:,.0f} |\n"
