@@ -1,0 +1,90 @@
+"""Structured Streaming surface.
+
+The north rule targets a checkpoint-resumable BATCH job, so streaming
+is a thin adjacency layer: the same session/window semantics expressed
+with the streaming-native primitives, for deployments that tail the
+transcript table instead of backfilling it.
+
+- :func:`read_transcript_stream` — file-source stream over the same
+  partitioned parquet layout the batch engine writes.
+- :func:`streaming_session_stats` — gap-based sessions via the
+  built-in ``session_window`` + watermark (late turns beyond the
+  watermark are dropped, matching a re-run of the affected batch
+  partition in the batch engine).
+- :func:`streaming_turn_rate` — tumbling-window turn counts.
+
+Both aggregations run with ``trigger(availableNow=True)`` for a
+deterministic batch-equivalent answer in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_engineering_tk_spark.datagen import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_session_stats(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    entity: str = "conv_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Per (entity, session) aggregates with gap-based session windows.
+    State is bounded by the watermark — the streaming analog of the
+    batch cumulative-sum sessionizer."""
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(entity, F.session_window(F.col(ts), gap).alias("session"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+        )
+        .select(
+            entity,
+            F.col("session.start").alias("window_start"),
+            "n_turns",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+def streaming_turn_rate(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts: str = "ts",
+) -> DataFrame:
+    """Tumbling-window global turn counts (late data handled by the
+    watermark)."""
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(F.col("w.start").alias("window_start"), "n_turns")
+    )
+
+
+def run_available_now(query_df: DataFrame, sink_table: str) -> None:
+    """Drain everything currently in the source into an in-memory sink
+    (deterministic batch-equivalent execution for tests/backfills)."""
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,51 @@
+"""Streaming sessionization must agree with the batch sessionizer on
+a drained (availableNow) stream."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_engineering_tk_spark.operators import window_features as W
+from feature_engineering_tk_spark.streaming import sessions as SS
+
+
+@pytest.fixture(scope="module")
+def parquet_transcripts(spark, transcripts, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_src") / "transcripts")
+    transcripts.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_streaming_sessions_match_batch(spark, transcripts, parquet_transcripts):
+    stream = SS.read_transcript_stream(spark, parquet_transcripts)
+    assert stream.isStreaming
+    agg = SS.streaming_session_stats(stream, gap="30 minutes")
+    SS.run_available_now(agg, "stream_sessions")
+    got = spark.sql(
+        "SELECT conv_id, count(*) AS n_sessions, sum(n_turns) AS n_turns "
+        "FROM stream_sessions GROUP BY conv_id"
+    ).toPandas().set_index("conv_id")
+
+    batch = (
+        W.session_bounds(W.sessionize(transcripts, gap_seconds=1800.0))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_turns").alias("n_turns"))
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert len(got) == len(batch)
+    joined = got.join(batch, lsuffix="_s", rsuffix="_b")
+    assert (joined["n_turns_s"] == joined["n_turns_b"]).all()
+    # session boundaries: streaming session_window closes at gap >= gap;
+    # batch sessionizer starts new at gap > gap — ties don't occur in the
+    # generator (continuous gaps), so counts must agree exactly
+    assert (joined["n_sessions_s"] == joined["n_sessions_b"]).all()
+
+
+def test_streaming_turn_rate_total(spark, transcripts, parquet_transcripts):
+    stream = SS.read_transcript_stream(spark, parquet_transcripts)
+    agg = SS.streaming_turn_rate(stream, window="6 hours")
+    SS.run_available_now(agg, "stream_rate")
+    total = spark.sql("SELECT sum(n_turns) AS n FROM stream_rate").first()["n"]
+    assert total == transcripts.count()
