@@ -595,6 +595,426 @@ def q_pearson_corr(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# second-wave coverage: remaining SURVEY.md §2 operator families
+
+def q_backward_fill(spark, sf_dir):
+    """bfill (preprocessing.py:198-200) — future-reading, explicit
+    opt-in via allow_future=True."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    out = W.backward_fill(ev, ["v"], entity="user_id", order=EVENT_ORDER, allow_future=True)
+    return out.select("event_id", "user_id", F.col("v").alias("value_bfill"))
+
+
+def q_interpolate(spark, sf_dir):
+    """pandas interpolate(method='linear') parity (preprocessing.py:202-207)
+    — two bracketing windows + linear blend, no UDF."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    out = W.interpolate_linear(ev, ["v"], entity="user_id", order=EVENT_ORDER)
+    return out.select("event_id", "user_id", F.round("v", 6).alias("value_interp"))
+
+
+def q_ordinal_encode(spark, sf_dir):
+    """encode_categorical_ordinal (feature_engineering.py:186-224):
+    explicit order → index, unknown → -1, float output."""
+    from feature_engineering_tk_spark.transforms.encode import OrdinalEncoder
+
+    ev = _t(spark, sf_dir, "events")
+    enc = OrdinalEncoder(categories=["view", "click", "purchase"]).fit(ev, "event_type")
+    out = enc.transform(ev, out="et_ord")
+    return out.select("event_id", "et_ord")
+
+
+def q_polynomial(spark, sf_dir):
+    """create_polynomial_features degree-2 (feature_engineering.py:294-368):
+    squared + pairwise interaction, plain column arithmetic."""
+    from feature_engineering_tk_spark.functions.numeric import polynomial_features
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = polynomial_features(li, ["l_quantity", "l_discount"], degree=2)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity_squared", 6).alias("qty_sq"),
+        F.round("l_discount_squared", 6).alias("disc_sq"),
+        F.round("l_quantity_x_l_discount", 6).alias("qty_x_disc"),
+    )
+
+
+def q_log_sqrt(spark, sf_dir):
+    """create_log_transform (offset = abs(min)+1 when min <= 0) +
+    create_sqrt_transform (feature_engineering.py:444-511)."""
+    from feature_engineering_tk_spark.functions.numeric import log_transform, sqrt_transform
+
+    ev = _t(spark, sf_dir, "events").withColumn("v_shift", F.col("value") - F.lit(50.0))
+    out = log_transform(ev, ["v_shift"])
+    out = sqrt_transform(out, ["value"])
+    return out.select(
+        "event_id",
+        F.round("v_shift_log", 6).alias("v_log"),
+        F.round("value_sqrt", 6).alias("v_sqrt"),
+    )
+
+
+def q_robust_scale(spark, sf_dir):
+    """scale_features robust (feature_engineering.py:226-292):
+    (x - median) / (Q3 - Q1), exact percentiles."""
+    from feature_engineering_tk_spark.transforms.scale import Scaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = Scaler(method="robust").fit(li, ["l_extendedprice"]).transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_extendedprice", 6).alias("price_scaled")
+    )
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """detect_outliers_zscore (data_analysis.py:119-141): |x-mean|/std > 3,
+    std ddof=1."""
+    from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
+
+    ev = _t(spark, sf_dir, "events")
+    out = OutlierDetector(method="zscore", threshold=3.0).fit(ev, ["value"]).flag(ev, ["value"])
+    return out.select("event_id", F.col("value_is_outlier").alias("is_outlier"))
+
+
+def q_outlier_cap(spark, sf_dir):
+    """handle_outliers action='cap' (preprocessing.py:375-386): clamp at
+    the IQR fences, upcast to double."""
+    from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
+
+    ev = _t(spark, sf_dir, "events")
+    out = OutlierDetector(method="iqr", factor=1.5).fit(ev, ["value"]).cap(ev)
+    return out.select("event_id", F.round("value", 6).alias("value_capped"))
+
+
+def q_dedup_last(spark, sf_dir):
+    """remove_duplicates keep='last' (preprocessing.py:223-272)."""
+    from feature_engineering_tk_spark.operators.rows import remove_duplicates
+
+    ev = _t(spark, sf_dir, "events")
+    out = remove_duplicates(ev, subset=["user_id", "event_type"], keep="last", order=("ts", "event_id"))
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q_dedup_unique_only(spark, sf_dir):
+    """remove_duplicates keep=False: drop ALL rows of any duplicated key
+    (preprocessing.py:223-272)."""
+    from feature_engineering_tk_spark.operators.rows import remove_duplicates
+
+    # slice to the first 500 events so some (user, type) keys are genuinely
+    # unique — keep=False over the full table removes every row here
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    out = remove_duplicates(ev, subset=["user_id", "event_type"], keep=False)
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q_missing_indicators(spark, sf_dir):
+    """create_missing_indicators (preprocessing.py:1231-1286):
+    {col}_was_missing 0/1 flags."""
+    from feature_engineering_tk_spark.operators.rows import create_missing_indicators
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    out = create_missing_indicators(ev, ["v", "value"])
+    return out.select("event_id", "v_was_missing", "value_was_missing")
+
+
+def q_infinite_values(spark, sf_dir):
+    """detect_infinite_values (preprocessing.py:1196-1229): per-column
+    ±inf counts (injected deterministically)."""
+    from feature_engineering_tk_spark.operators.rows import detect_infinite_values
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v",
+        F.when(F.col("event_type") == "error", F.lit(float("inf")))
+        .when(F.col("event_type") == "signup", F.lit(float("-inf")))
+        .otherwise(F.col("value")),
+    )
+    counts = detect_infinite_values(ev, ["v", "value"])
+    return spark.createDataFrame(
+        [(c, n) for c, n in sorted(counts.items())], "col_name string, n_inf long"
+    )
+
+
+def q_string_title_len(spark, sf_dir):
+    """clean_string_columns 'title' (exact pandas str.title via Arrow
+    pandas UDF — initcap differs) + handle_whitespace_variants +
+    extract_string_length (preprocessing.py:912-1106)."""
+    from feature_engineering_tk_spark.functions.strings import (
+        clean_strings,
+        extract_string_length,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = clean_strings(d, ["text"], ["normalize_whitespace", "title"])
+    out = extract_string_length(out, ["text"])
+    return out.select("doc_id", F.col("text").alias("title_text"), F.col("text_length"))
+
+
+def q_high_correlations(spark, sf_dir):
+    """get_high_correlations (data_analysis.py:158-180): pairwise-complete
+    upper-triangle pairs |r| >= threshold."""
+    from feature_engineering_tk_spark.analysis.eda import get_high_correlations
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_net", F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    pairs = get_high_correlations(
+        li, threshold=0.1, columns=["l_quantity", "l_extendedprice", "l_discount", "l_net"]
+    )
+    rows = [(p["a"], p["b"], round(float(p["r"]), 6)) for p in pairs]
+    return spark.createDataFrame(rows, "col_a string, col_b string, r double")
+
+
+def q_variance_select(spark, sf_dir):
+    """select_by_variance (feature_selection.py:61-85): var_pop (ddof=0,
+    sklearn VarianceThreshold) per feature + keep decision."""
+    from feature_engineering_tk_spark.analysis.selection import FeatureSelector
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    sel = FeatureSelector(li, target=None)
+    kept = sel.select_by_variance(threshold=1.0)
+    # variances span 1e-4..1e9 — fixed-decimal rounding can't be both
+    # stable and informative, so report mantissa (6dp) + exponent
+    import math
+
+    def _sig(v: float) -> tuple[float, int]:
+        e = math.floor(math.log10(abs(v))) if v else 0
+        return round(v / 10**e, 6), e
+
+    rows = [
+        (c, *_sig(v), 1 if c in kept else 0) for c, v in sorted(sel.scores_.items())
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, var_mant double, var_exp int, selected int"
+    )
+
+
+def q_skew_kurtosis(spark, sf_dir):
+    """analyze_target_distribution moments (target_analyzer/core.py:199-253):
+    pandas/DuckDB bias-corrected G1 skew + G2 excess kurtosis from Spark
+    population moments (the §2.9 parity trap)."""
+    from feature_engineering_tk_spark.analysis.stats import (
+        bias_corrected_kurtosis,
+        bias_corrected_skew,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    row = ev.agg(
+        F.count("value").alias("n"),
+        F.skewness("value").alias("g1"),
+        F.kurtosis("value").alias("g2"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                round(bias_corrected_skew(row["g1"], row["n"]), 6),
+                round(bias_corrected_kurtosis(row["g2"], row["n"]), 6),
+            )
+        ],
+        "skew_g1 double, kurt_g2 double",
+    )
+
+
+def q_effect_sizes(spark, sf_dir):
+    """cohens_d (statistical_utils.py:395-480) + eta_squared (:483-565)
+    from one distributed group-moments pass."""
+    from feature_engineering_tk_spark.analysis import stats as ST
+
+    ev = _t(spark, sf_dir, "events")
+    groups = ST.group_moments(ev, "value", "event_type")
+    by = {g["group"]: g for g in groups}
+    a, b = by["view"], by["click"]
+    d = ST.cohens_d(a["n"], a["mean"], a["var"], b["n"], b["mean"], b["var"])
+    eta = ST.eta_squared_from_groups(groups)
+    return spark.createDataFrame(
+        [(round(d["d"], 6), round(eta, 6))], "cohens_d double, eta_squared double"
+    )
+
+
+def q_chi2_cramers(spark, sf_dir):
+    """chi-square independence + Cramér's V (statistical_utils.py:568-695)
+    from a distributed contingency table (event_type × above-median
+    value)."""
+    from feature_engineering_tk_spark.analysis import stats as ST
+
+    ev = _t(spark, sf_dir, "events")
+    med = ev.agg(F.percentile(F.col("value"), F.lit(0.5))).first()[0]
+    work = ev.withColumn("hi", (F.col("value") > F.lit(med)).cast("int"))
+    observed = ST.contingency_table(work, "event_type", "hi")
+    chi2 = ST.chi2_independence(observed)
+    v = ST.cramers_v(observed)
+    return spark.createDataFrame(
+        [(round(chi2["chi2"], 6), int(chi2["dof"]), round(v, 6))],
+        "chi2 double, dof int, cramers_v double",
+    )
+
+
+def q_class_imbalance(spark, sf_dir):
+    """get_class_imbalance_info (target_analyzer/core.py:149-197)."""
+    from feature_engineering_tk_spark.analysis.target import TargetAnalyzer
+
+    ev = _t(spark, sf_dir, "events")
+    info = TargetAnalyzer(ev, "event_type", task="classification").get_class_imbalance_info()
+    return spark.createDataFrame(
+        [(str(info["majority"]), str(info["minority"]), round(float(info["ratio"]), 6))],
+        "majority string, minority string, ratio double",
+    )
+
+
+def q_categorical_summary(spark, sf_dir):
+    """get_categorical_summary (data_analysis.py:69-94): nunique, mode
+    (smallest on ties), top freq/% per string column."""
+    from feature_engineering_tk_spark.analysis.eda import get_categorical_summary
+
+    d = _t(spark, sf_dir, "documents")
+    summ = get_categorical_summary(d, ["lang", "source"])
+    rows = [
+        (c, s["unique"], s["mode"], s["top_freq"], round(s["top_pct"], 6))
+        for c, s in sorted(summ.items())
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, n_unique long, mode string, top_freq long, top_pct double"
+    )
+
+
+def q_data_quality(spark, sf_dir):
+    """validate_data_quality (preprocessing.py:1110-1194): nulls,
+    duplicates, constant cols, high-cardinality cols in one multi-agg."""
+    from feature_engineering_tk_spark.analysis.eda import validate_data_quality
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+        )
+        .withColumn("const_col", F.lit(1))
+        .select("user_id", "event_type", "v", "const_col")
+    )
+    q = validate_data_quality(ev)
+    return spark.createDataFrame(
+        [
+            (
+                q["rows"],
+                sum(q["nulls"].values()),
+                len(q["constant_columns"]),
+                q["duplicates"],
+            )
+        ],
+        "n_rows long, total_nulls long, n_constant long, n_duplicates long",
+    )
+
+
+def q_uniform_bin(spark, sf_dir):
+    """create_binning uniform (feature_engineering.py:370-442): pd.cut
+    edge math — linspace edges, left edge widened 0.1% of range,
+    right-closed intervals."""
+    from feature_engineering_tk_spark.transforms.binning import UniformBinner
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = UniformBinner(bins=4).fit(li, "l_extendedprice").transform(li, out="price_bin")
+    return out.select("l_orderkey", "l_linenumber", "price_bin")
+
+
+def q_spearman_corr(spark, sf_dir):
+    """Spearman correlation with average ranks on ties (pandas parity;
+    data_analysis.py:143-156 method='spearman')."""
+    from feature_engineering_tk_spark.analysis.eda import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols, mat = correlation_matrix(
+        li, ["l_quantity", "l_extendedprice"], method="spearman"
+    )
+    return spark.createDataFrame([(round(float(mat[0, 1]), 6),)], "rho double")
+
+
+def q_vif(spark, sf_dir):
+    """calculate_vif (data_analysis.py:214-274): Gram-matrix pass →
+    driver inverts the correlation matrix; VIF_i = diag(inv(R))_i."""
+    from feature_engineering_tk_spark.analysis.eda import calculate_vif
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = calculate_vif(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return spark.createDataFrame(
+        [(r["feature"], round(r["vif"], 6)) for r in rows], "feature string, vif double"
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Time-range join (bucketed equi-join, no inequality explosion):
+    per click anchor, count/sum of view values in the trailing hour."""
+    from feature_engineering_tk_spark.operators.asof import range_join_agg
+
+    ev = _t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = range_join_agg(
+        anchors, views, entity="user_id", window_seconds=3600.0,
+        value_col="value", funcs=("count", "sum"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("value_range_count").alias("n_views_1h"),
+        F.round("value_range_sum", 6).alias("sum_views_1h"),
+    )
+
+
+def q_tumbling_daily(spark, sf_dir):
+    """Tumbling time-bucket aggregation (batch analog of a streaming
+    tumbling window; §2.20): daily event counts + value sum per type."""
+    from feature_engineering_tk_spark.operators.window_features import tumbling_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        86400,
+        keys=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "value_sum": F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2),
+        },
+    )
+    return out.select(
+        "event_type", _epoch("window_start").alias("day_start_s"), "n", "value_sum"
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact token-3-gram Jaccard for a bounded candidate set (dedup
+    verification primitive) — JVM array set ops."""
+    from feature_engineering_tk_spark.operators.dedup import ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    pairs = (
+        d.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(d.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    out = ngram_jaccard(pairs, _t(spark, sf_dir, "documents"), shingle_n=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_mode_impute(spark, sf_dir):
+    """handle_missing_values strategy='mode' (preprocessing.py:186-192):
+    pandas mode()[0] = smallest value among max-count ties."""
+    from feature_engineering_tk_spark.transforms.impute import Imputer
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lang2", F.when(F.col("source") == "src0", F.lit(None)).otherwise(F.col("lang"))
+    )
+    out = Imputer(strategy="mode").fit(d, ["lang2"]).transform(d)
+    return out.select("doc_id", F.col("lang2").alias("lang_imputed"))
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -640,6 +1060,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classwise_stats": q_classwise_stats,
         "anova_f": q_anova_f,
         "pearson_corr": q_pearson_corr,
+        "backward_fill": q_backward_fill,
+        "interpolate": q_interpolate,
+        "ordinal_encode": q_ordinal_encode,
+        "polynomial": q_polynomial,
+        "log_sqrt": q_log_sqrt,
+        "robust_scale": q_robust_scale,
+        "zscore_outliers": q_zscore_outliers,
+        "outlier_cap": q_outlier_cap,
+        "dedup_last": q_dedup_last,
+        "dedup_unique_only": q_dedup_unique_only,
+        "missing_indicators": q_missing_indicators,
+        "infinite_values": q_infinite_values,
+        "string_title_len": q_string_title_len,
+        "high_correlations": q_high_correlations,
+        "variance_select": q_variance_select,
+        "skew_kurtosis": q_skew_kurtosis,
+        "effect_sizes": q_effect_sizes,
+        "chi2_cramers": q_chi2_cramers,
+        "class_imbalance": q_class_imbalance,
+        "categorical_summary": q_categorical_summary,
+        "data_quality": q_data_quality,
+        "uniform_bin": q_uniform_bin,
+        "spearman_corr": q_spearman_corr,
+        "vif": q_vif,
+        "range_join": q_range_join,
+        "tumbling_daily": q_tumbling_daily,
+        "ngram_jaccard": q_ngram_jaccard,
+        "mode_impute": q_mode_impute,
     }
 
 
@@ -997,5 +1445,334 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(corr(l_quantity, l_extendedprice), 6) AS r_qty_price,
                    round(corr(l_discount, l_tax), 6) AS r_disc_tax
             FROM lineitem
+        """,
+        "backward_fill": """
+            SELECT event_id, user_id,
+                   first_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_bfill
+            FROM events
+        """,
+        "interpolate": """
+            WITH v AS (
+              SELECT event_id, user_id,
+                     CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+              FROM events
+            ), b AS (
+              SELECT event_id, user_id, v, pos,
+                     last_value(v IGNORE NULLS) OVER wp AS v0,
+                     last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wp AS p0,
+                     first_value(v IGNORE NULLS) OVER wf AS v1,
+                     first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wf AS p1
+              FROM v
+              WINDOW wp AS (PARTITION BY user_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY user_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, user_id,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN p0 IS NULL THEN NULL
+                              WHEN p1 IS NULL THEN v0
+                              ELSE v0 + (v1 - v0) * (pos - p0) / (p1 - p0) END, 6) AS value_interp
+            FROM b
+        """,
+        "ordinal_encode": """
+            SELECT event_id,
+                   CASE WHEN event_type = 'view' THEN 0.0
+                        WHEN event_type = 'click' THEN 1.0
+                        WHEN event_type = 'purchase' THEN 2.0
+                        ELSE -1.0 END AS et_ord
+            FROM events
+        """,
+        "polynomial": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity * l_quantity, 6) AS qty_sq,
+                   round(l_discount * l_discount, 6) AS disc_sq,
+                   round(l_quantity * l_discount, 6) AS qty_x_disc
+            FROM lineitem
+        """,
+        "log_sqrt": """
+            WITH m AS (
+              SELECT min(value - 50.0) AS mn FROM events
+            ), o AS (
+              SELECT CASE WHEN mn <= 0 THEN abs(mn) + 1 ELSE 0 END AS off FROM m
+            )
+            SELECT event_id,
+                   round(ln(value - 50.0 + o.off), 6) AS v_log,
+                   round(sqrt(value), 6) AS v_sqrt
+            FROM events, o
+        """,
+        "robust_scale": """
+            WITH s AS (
+              SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                     quantile_cont(l_extendedprice, 0.50) AS q2,
+                     quantile_cont(l_extendedprice, 0.75) AS q3
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   round((l_extendedprice - s.q2) / (s.q3 - s.q1), 6) AS price_scaled
+            FROM lineitem, s
+        """,
+        "zscore_outliers": """
+            WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)
+            SELECT event_id,
+                   CAST(value < s.m - 3.0 * s.sd OR value > s.m + 3.0 * s.sd AS INT) AS is_outlier
+            FROM events, s
+        """,
+        "outlier_cap": """
+            WITH q AS (
+              SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events
+            )
+            SELECT event_id,
+                   round(least(greatest(value, q.q1 - 1.5 * (q.q3 - q.q1)),
+                               q.q3 + 1.5 * (q.q3 - q.q1)), 6) AS value_capped
+            FROM events, q
+        """,
+        "dedup_last": """
+            SELECT event_id, user_id, event_type
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "dedup_unique_only": """
+            SELECT event_id, user_id, event_type
+            FROM events
+            WHERE event_id < 500
+            QUALIFY count(*) OVER (PARTITION BY user_id, event_type) = 1
+        """,
+        "missing_indicators": """
+            SELECT event_id,
+                   CAST(event_type = 'error' AS INT) AS v_was_missing,
+                   CAST(value IS NULL AS INT) AS value_was_missing
+            FROM events
+        """,
+        "infinite_values": """
+            SELECT 'v' AS col_name,
+                   sum(CASE WHEN event_type IN ('error', 'signup') THEN 1 ELSE 0 END) AS n_inf
+            FROM events
+            UNION ALL
+            SELECT 'value' AS col_name, CAST(0 AS BIGINT) AS n_inf
+        """,
+        "string_title_len": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(str_split(norm, ' '),
+                                    t -> upper(substring(t, 1, 1)) || substring(t, 2)),
+                     ' ') AS title_text,
+                   length(norm) AS text_length
+            FROM n
+        """,
+        "high_correlations": """
+            WITH li AS (
+              SELECT *, l_extendedprice * (1.0 - l_discount) AS l_net FROM lineitem
+            ), c AS (
+              SELECT corr(l_quantity, l_extendedprice) AS r1,
+                     corr(l_quantity, l_discount) AS r2,
+                     corr(l_quantity, l_net) AS r3,
+                     corr(l_extendedprice, l_discount) AS r4,
+                     corr(l_extendedprice, l_net) AS r5,
+                     corr(l_discount, l_net) AS r6
+              FROM li
+            )
+            SELECT col_a, col_b, round(r, 6) AS r FROM (
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, r1 AS r FROM c
+              UNION ALL SELECT 'l_quantity', 'l_discount', r2 FROM c
+              UNION ALL SELECT 'l_quantity', 'l_net', r3 FROM c
+              UNION ALL SELECT 'l_extendedprice', 'l_discount', r4 FROM c
+              UNION ALL SELECT 'l_extendedprice', 'l_net', r5 FROM c
+              UNION ALL SELECT 'l_discount', 'l_net', r6 FROM c
+            ) WHERE abs(r) >= 0.1
+        """,
+        "variance_select": """
+            SELECT feature,
+                   round(v / power(10, floor(log10(abs(v)))), 6) AS var_mant,
+                   CAST(floor(log10(abs(v))) AS INT) AS var_exp,
+                   CAST(v > 1.0 AS INT) AS selected FROM (
+              SELECT 'l_quantity' AS feature, var_pop(l_quantity) AS v FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', var_pop(l_extendedprice) FROM lineitem
+              UNION ALL SELECT 'l_discount', var_pop(l_discount) FROM lineitem
+              UNION ALL SELECT 'l_tax', var_pop(l_tax) FROM lineitem
+            )
+        """,
+        "skew_kurtosis": """
+            SELECT round(skewness(value), 6) AS skew_g1,
+                   round(kurtosis(value), 6) AS kurt_g2
+            FROM events
+        """,
+        "effect_sizes": """
+            WITH g AS (
+              SELECT event_type, count(value) AS n, avg(value) AS m, var_samp(value) AS v
+              FROM events GROUP BY event_type
+            ), d AS (
+              SELECT (a.m - b.m) / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v) / (a.n + b.n - 2)) AS d
+              FROM (SELECT * FROM g WHERE event_type = 'view') a,
+                   (SELECT * FROM g WHERE event_type = 'click') b
+            ), e AS (
+              SELECT sum(n * (m - t.gm) * (m - t.gm))
+                     / (sum(n * (m - t.gm) * (m - t.gm)) + sum((n - 1) * v)) AS eta
+              FROM g, (SELECT sum(n * m) / sum(n) AS gm FROM g) t
+              GROUP BY t.gm
+            )
+            SELECT round(d.d, 6) AS cohens_d, round(e.eta, 6) AS eta_squared FROM d, e
+        """,
+        "chi2_cramers": """
+            WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+            o AS (
+              SELECT event_type, CAST(value > med.m AS INT) AS hi, count(*) AS c
+              FROM events, med GROUP BY 1, 2
+            ), n AS (SELECT sum(c) AS t FROM o),
+            e AS (
+              SELECT o.c,
+                     (sum(o.c) OVER (PARTITION BY o.event_type))
+                     * (sum(o.c) OVER (PARTITION BY o.hi)) / n.t AS exp
+              FROM o, n
+            ), chi AS (SELECT sum((c - exp) * (c - exp) / exp) AS chi2 FROM e)
+            SELECT round(chi.chi2, 6) AS chi2, CAST(4 AS INT) AS dof,
+                   round(sqrt(chi.chi2 / n.t), 6) AS cramers_v
+            FROM chi, n
+        """,
+        "class_imbalance": """
+            WITH d AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+            SELECT
+              (SELECT event_type FROM d ORDER BY n DESC, event_type ASC LIMIT 1) AS majority,
+              (SELECT event_type FROM d ORDER BY n ASC, event_type DESC LIMIT 1) AS minority,
+              round(CAST((SELECT max(n) FROM d) AS DOUBLE) / (SELECT min(n) FROM d), 6) AS ratio
+        """,
+        "categorical_summary": """
+            WITH tot AS (SELECT count(*) AS t FROM documents),
+            u AS (
+              SELECT 'lang' AS col_name,
+                     (SELECT count(DISTINCT lang) FROM documents) AS n_unique,
+                     (SELECT lang FROM documents WHERE lang IS NOT NULL
+                      GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 1) AS mode,
+                     (SELECT count(*) FROM documents WHERE lang IS NOT NULL GROUP BY lang
+                      ORDER BY count(*) DESC, lang ASC LIMIT 1) AS top_freq
+              UNION ALL
+              SELECT 'source',
+                     (SELECT count(DISTINCT source) FROM documents),
+                     (SELECT source FROM documents WHERE source IS NOT NULL
+                      GROUP BY source ORDER BY count(*) DESC, source ASC LIMIT 1),
+                     (SELECT count(*) FROM documents WHERE source IS NOT NULL GROUP BY source
+                      ORDER BY count(*) DESC, source ASC LIMIT 1)
+            )
+            SELECT col_name, n_unique, mode, top_freq,
+                   round(100.0 * top_freq / tot.t, 6) AS top_pct
+            FROM u, tot
+        """,
+        "data_quality": """
+            WITH src AS (
+              SELECT user_id, event_type,
+                     CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+                     1 AS const_col
+              FROM events
+            )
+            SELECT count(*) AS n_rows,
+                   (SELECT sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) FROM src) AS total_nulls,
+                   CAST(1 AS BIGINT) AS n_constant,
+                   count(*) - (SELECT count(*) FROM
+                               (SELECT DISTINCT user_id, event_type, v, const_col FROM src))
+                     AS n_duplicates
+            FROM src
+        """,
+        "uniform_bin": """
+            WITH s AS (
+              SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+            ), e AS (
+              SELECT lo, hi, (hi - lo) / 4 AS st, lo - (hi - lo) * 0.001 AS e0 FROM s
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_extendedprice > e.e0 AND l_extendedprice <= e.hi THEN
+                     CAST(l_extendedprice > e.lo + 1 * e.st AS INT)
+                     + CAST(l_extendedprice > e.lo + 2 * e.st AS INT)
+                     + CAST(l_extendedprice > e.lo + 3 * e.st AS INT)
+                   END AS price_bin
+            FROM lineitem, e
+        """,
+        "spearman_corr": """
+            WITH r AS (
+              SELECT l_quantity, l_extendedprice,
+                     row_number() OVER (ORDER BY l_quantity) AS rq,
+                     row_number() OVER (ORDER BY l_extendedprice) AS rp
+              FROM lineitem
+            ), a AS (
+              SELECT avg(rq) OVER (PARTITION BY l_quantity) AS arq,
+                     avg(rp) OVER (PARTITION BY l_extendedprice) AS arp
+              FROM r
+            )
+            SELECT round(corr(arq, arp), 6) AS rho FROM a
+        """,
+        "vif": """
+            WITH c AS (
+              SELECT corr(l_quantity, l_extendedprice) AS r12,
+                     corr(l_quantity, l_discount) AS r13,
+                     corr(l_extendedprice, l_discount) AS r23
+              FROM lineitem
+            ), d AS (
+              SELECT 1 + 2 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23 AS det,
+                     r12, r13, r23
+              FROM c
+            )
+            SELECT 'l_quantity' AS feature, round((1 - r23 * r23) / det, 6) AS vif FROM d
+            UNION ALL SELECT 'l_extendedprice', round((1 - r13 * r13) / det, 6) FROM d
+            UNION ALL SELECT 'l_discount', round((1 - r12 * r12) / det, 6) FROM d
+        """,
+        "range_join": """
+            WITH anchors AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), v AS (
+              SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+            )
+            SELECT a.event_id, a.user_id,
+                   count(v.value) AS n_views_1h,
+                   round(sum(v.value), 6) AS sum_views_1h
+            FROM anchors a LEFT JOIN v
+              ON a.user_id = v.user_id
+             AND epoch(v.ts) <= epoch(a.ts)
+             AND epoch(v.ts) >= epoch(a.ts) - 3600.0
+            GROUP BY a.event_id, a.user_id
+        """,
+        "tumbling_daily": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 86400) * 86400 AS DOUBLE) AS day_start_s,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+            FROM events
+            GROUP BY event_type, floor(epoch(ts) / 86400)
+        """,
+        "ngram_jaccard": """
+            WITH t AS (
+              SELECT doc_id,
+                     str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents WHERE doc_id < 20
+            ), d AS (
+              SELECT doc_id,
+                     list_distinct(
+                       list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM t
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1),
+                         6) AS jaccard
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+        """,
+        "mode_impute": """
+            WITH v AS (
+              SELECT doc_id,
+                     CASE WHEN source = 'src0' THEN NULL ELSE lang END AS lang2
+              FROM documents
+            ), m AS (
+              SELECT lang2 FROM v WHERE lang2 IS NOT NULL
+              GROUP BY lang2 ORDER BY count(*) DESC, lang2 ASC LIMIT 1
+            )
+            SELECT v.doc_id, coalesce(v.lang2, m.lang2) AS lang_imputed FROM v, m
         """,
     }

@@ -215,3 +215,56 @@ def validate_data_quality(df: DataFrame, high_card_threshold: float = 0.95) -> d
         "duplicates": dups,
         "issues": issues,
     }
+
+
+def calculate_vif(df: DataFrame, columns: list[str] | None = None) -> list[dict]:
+    """Variance inflation factors (reference ``data_analysis.py:214-274``:
+    mean-impute → drop zero-std → intercept → statsmodels VIF per
+    feature). Distributed part: one pass for means, one pass for the
+    Gram matrix (counts + co-moments of the imputed columns); the
+    driver inverts the (k × k) correlation matrix — with an intercept,
+    ``VIF_i = diag(inv(corr))_i``. No per-feature regression jobs.
+    """
+    cols = columns or numeric_columns(df)
+    inf = float("inf")
+
+    def _finite(c: str):
+        # ±inf → null before imputation (one inf row would otherwise
+        # poison the whole Gram matrix)
+        v = F.col(c).cast("double")
+        return F.when((v != inf) & (v != -inf), v)
+
+    means_row = df.agg(*[F.avg(_finite(c)).alias(c) for c in cols]).first()
+    means = {c: means_row[c] for c in cols}
+    cols = [c for c in cols if means[c] is not None]
+    imp = {c: F.coalesce(_finite(c), F.lit(float(means[c]))) for c in cols}
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(imp[a]).alias(f"s__{i}"))
+        for j in range(i, len(cols)):
+            aggs.append(F.sum(imp[a] * imp[cols[j]]).alias(f"p__{i}__{j}"))
+    row = df.agg(*aggs).first()
+    n = row["_n"]
+    if n < 2:
+        return []
+
+    k = len(cols)
+    cov = np.empty((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            cov[i, j] = cov[j, i] = (
+                row[f"p__{i}__{j}"] / n - (row[f"s__{i}"] / n) * (row[f"s__{j}"] / n)
+            )
+    sd = np.sqrt(np.diag(cov))
+    keep = [i for i in range(k) if sd[i] > 0]  # drop zero-variance (reference does)
+    if len(keep) < 2:
+        return [{"feature": cols[i], "vif": 1.0} for i in keep]
+    sub = cov[np.ix_(keep, keep)]
+    d = np.sqrt(np.diag(sub))
+    corr = sub / np.outer(d, d)
+    inv = np.linalg.pinv(corr)
+    return [
+        {"feature": cols[i], "vif": float(inv[a, a])}
+        for a, i in enumerate(keep)
+    ]

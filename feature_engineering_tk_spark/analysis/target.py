@@ -48,7 +48,14 @@ class TargetAnalyzer:
         """value_counts → count, %, imbalance ratio (core.py:119-147)."""
         if "class_dist" in self._cache:
             return self._cache["class_dist"]
-        rows = self.df.groupBy(self.target).count().orderBy(F.col("count").desc()).collect()
+        # deterministic tie-break on class value (pandas value_counts is
+        # appearance-ordered on ties; a sort key is the distributed analog)
+        rows = (
+            self.df.groupBy(self.target)
+            .count()
+            .orderBy(F.col("count").desc(), F.col(self.target).asc())
+            .collect()
+        )
         total = sum(r["count"] for r in rows)
         mx = rows[0]["count"] if rows else 0
         out = [

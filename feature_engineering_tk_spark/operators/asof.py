@@ -137,3 +137,73 @@ def asof_join_broadcast(
         *[F.col(c) for c in left_cols],
         *[F.col(f"_rv_{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def range_join_agg(
+    left: DataFrame,
+    right: DataFrame,
+    entity: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: float = 3600.0,
+    value_col: str = "value",
+    funcs: tuple[str, ...] = ("count", "sum"),
+    prefix: str | None = None,
+) -> DataFrame:
+    """Time-range join: for every left anchor, aggregate right rows with
+    ``left.ts - window <= right.ts <= left.ts`` for the same entity
+    (both bounds inclusive). Past-only ⇒ leakage-free.
+
+    Scale path — NO unbounded inequality join: both sides are bucketed
+    by ``floor(ts / window)``; each right row is replicated to its own
+    bucket and the next (the only two buckets whose anchors can match),
+    the join is a plain equi-join on (entity, bucket), and the exact
+    range predicate filters the at-most-2x candidates. Cost: one 2x
+    duplication of the (projected) right side + one shuffle join +
+    one partial-aggregatable groupBy, instead of a per-entity cross
+    product.
+    """
+    _aggs = {
+        "count": lambda c: F.count(c),
+        "sum": lambda c: F.sum(c),
+        "mean": lambda c: F.avg(c),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+    }
+    unknown = set(funcs) - set(_aggs)
+    if unknown:
+        raise ValueError(f"unsupported range aggs: {sorted(unknown)}")
+    prefix = prefix if prefix is not None else f"{value_col}_range"
+    win = float(window_seconds)
+    left_cols = left.columns
+
+    lid = left.withColumn("_aid", F.monotonically_increasing_id()).withColumn(
+        "_lt", epoch_seconds(F.col(left_ts))
+    )
+    lk = lid.withColumn("_bkt", F.floor(F.col("_lt") / F.lit(win)))
+
+    r = right.select(
+        F.col(entity).alias("_re"),
+        epoch_seconds(F.col(right_ts)).alias("_rt"),
+        F.col(value_col).alias("_rv"),
+    )
+    rk = r.withColumn(
+        "_bkt", F.explode(F.array(F.floor(F.col("_rt") / F.lit(win)), F.floor(F.col("_rt") / F.lit(win)) + 1))
+    )
+
+    j = lk.join(
+        rk,
+        (lk[entity] == rk["_re"]) & (lk["_bkt"] == rk["_bkt"]),
+        "left",
+    )
+    in_range = (F.col("_rt") >= F.col("_lt") - F.lit(win)) & (F.col("_rt") <= F.col("_lt"))
+    matched = F.when(in_range, F.col("_rv"))
+
+    out = j.groupBy("_aid").agg(
+        *[F.first(c).alias(c) for c in left_cols],
+        *[_aggs[f](matched).alias(f"{prefix}_{f}") for f in funcs],
+    )
+    # count over an all-null group yields 0 (SQL), matching "no rows in range"
+    return out.select(
+        *left_cols, *[F.col(f"{prefix}_{f}") for f in funcs]
+    )

@@ -277,3 +277,25 @@ def group_transform(
     return df.withColumns(
         {f"{agg_col}_{name}_{f}": _AGGS[f](F.col(agg_col)).over(w) for f in funcs}
     )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    window_seconds: int,
+    ts: str = "ts",
+    keys: list[str] | None = None,
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Tumbling time-bucket aggregation (batch analog of a streaming
+    tumbling window): ``F.window(ts, ...)`` groupBy, epoch-aligned
+    buckets. Output carries ``window_start`` (timestamp) — partial
+    aggregation is map-side, one shuffle on (keys, bucket)."""
+    keys = keys or []
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    win = F.window(F.col(ts), f"{int(window_seconds)} seconds")
+    out = df.groupBy(*keys, win.alias("_w")).agg(
+        *[a.alias(name) for name, a in aggs.items()]
+    )
+    return out.select(
+        *keys, F.col("_w.start").alias("window_start"), *aggs.keys()
+    )

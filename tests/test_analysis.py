@@ -290,3 +290,23 @@ def test_levene_from_spark(spark):
     )
     res = ST.levene_from_spark(spark.createDataFrame(pdf), "x", "g")
     assert res["pvalue"] < 0.01 and not res["equal_variance"]
+
+
+def test_calculate_vif_matches_numpy(spark, transcripts):
+    """Gram-matrix VIF == diag(inv(R)) of the mean-imputed correlation
+    matrix (statsmodels variance_inflation_factor equivalence)."""
+    import numpy as np
+
+    from feature_engineering_tk_spark.analysis.eda import calculate_vif
+
+    df = transcripts.select("tokens", "latency_ms", "score")
+    got = {r["feature"]: r["vif"] for r in calculate_vif(df, ["tokens", "latency_ms", "score"])}
+
+    pdf = df.toPandas().astype("float64")
+    # replicate reference preprocessing: mean-impute, inf→nan→mean first
+    pdf = pdf.replace([np.inf, -np.inf], np.nan)
+    pdf = pdf.fillna(pdf.mean())
+    R = np.corrcoef(pdf.values.T)
+    exp = np.diag(np.linalg.inv(R))
+    for i, c in enumerate(["tokens", "latency_ms", "score"]):
+        assert abs(got[c] - exp[i]) < 1e-6, (c, got[c], exp[i])

@@ -5,6 +5,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from feature_engineering_tk_spark.operators.asof import asof_join, asof_join_broadcast
 
 
@@ -103,3 +105,70 @@ def test_asof_exact_ts_tie_included(spark):
         .tolist()
     )
     assert got == [1.0, 2.0]
+
+
+def test_range_join_agg_matches_bruteforce(spark, transcripts):
+    """Bucketed range join == brute-force pandas range merge."""
+    from feature_engineering_tk_spark.operators.asof import range_join_agg
+
+    anchors = transcripts.filter(F.col("role") == "user").select(
+        "conv_id", "turn_idx", "ts"
+    )
+    feats = transcripts.filter(F.col("role") == "assistant").select(
+        "conv_id", "ts", F.col("tokens").cast("double").alias("tok")
+    )
+    got = (
+        range_join_agg(
+            anchors, feats, entity="conv_id", window_seconds=120.0,
+            value_col="tok", funcs=("count", "sum", "max"),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    ap = anchors.toPandas()
+    fp = feats.toPandas()
+    m = ap.merge(fp, on="conv_id", suffixes=("", "_f"))
+    m = m[(m.ts_f <= m.ts) & (m.ts_f >= m.ts - pd.Timedelta(seconds=120))]
+    g = m.groupby(["conv_id", "turn_idx"])["tok"].agg(["count", "sum", "max"])
+    exp = (
+        ap.set_index(["conv_id", "turn_idx"])
+        .join(g)
+        .fillna({"count": 0})
+        .reset_index()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (got["tok_range_count"] == exp["count"]).all()
+    assert np.allclose(
+        got["tok_range_sum"].fillna(-1), exp["sum"].fillna(-1)
+    )
+    assert np.allclose(
+        got["tok_range_max"].fillna(-1), exp["max"].fillna(-1)
+    )
+
+
+def test_range_join_agg_leakage_free(spark, transcripts):
+    """Deleting future rows must not change any anchor's range aggregate."""
+    from feature_engineering_tk_spark.operators.asof import range_join_agg
+
+    anchors = transcripts.filter(F.col("role") == "user").select(
+        "conv_id", "turn_idx", "ts"
+    )
+    feats = transcripts.select("conv_id", "ts", F.col("tokens").cast("double").alias("tok"))
+    full = range_join_agg(anchors, feats, entity="conv_id", window_seconds=300.0,
+                          value_col="tok", funcs=("sum",)).toPandas()
+    cut = full["ts"].quantile(0.5)
+    trunc = range_join_agg(
+        anchors.filter(F.col("ts") <= F.lit(cut)),
+        feats.filter(F.col("ts") <= F.lit(cut)),
+        entity="conv_id", window_seconds=300.0, value_col="tok", funcs=("sum",),
+    ).toPandas()
+    merged = full[full.ts <= cut].merge(
+        trunc, on=["conv_id", "turn_idx"], suffixes=("_full", "_trunc")
+    )
+    assert len(merged) == len(trunc)
+    assert np.allclose(
+        merged["tok_range_sum_full"].fillna(-1), merged["tok_range_sum_trunc"].fillna(-1)
+    )

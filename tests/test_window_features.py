@@ -162,3 +162,34 @@ def test_leakage_truncate_future_invariance(spark, transcripts, transcripts_pdf)
         assert np.allclose(
             full[c].astype(float), trunc[c].astype(float), equal_nan=True
         ), c
+
+
+def test_tumbling_agg_epoch_aligned(spark, transcripts):
+    """Tumbling buckets align to the epoch and partition counts exactly."""
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.operators.window_features import tumbling_agg
+
+    got = (
+        tumbling_agg(
+            transcripts, 3600, keys=["role"],
+            aggs={"n": F.count(F.lit(1)), "tok": F.sum("tokens")},
+        )
+        .toPandas()
+        .sort_values(["role", "window_start"])
+        .reset_index(drop=True)
+    )
+    pdf = transcripts.select("role", "ts", "tokens").toPandas()
+    pdf["window_start"] = pdf["ts"].dt.floor("1h")
+    exp = (
+        pdf.groupby(["role", "window_start"])
+        .agg(n=("tokens", "size"), tok=("tokens", "sum"))
+        .reset_index()
+        .sort_values(["role", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["n"].values == exp["n"].values).all()
+    assert (got["tok"].values == exp["tok"].values).all()
+    # every turn lands in exactly one bucket
+    assert got["n"].sum() == len(pdf)
