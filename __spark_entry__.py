@@ -1014,6 +1014,147 @@ def q_mode_impute(spark, sf_dir):
     return out.select("doc_id", F.col("lang2").alias("lang_imputed"))
 
 
+def q_detect_task(spark, sf_dir):
+    """_detect_task heuristics (target_analyzer/core.py:66-92): dtype +
+    cardinality rules."""
+    from feature_engineering_tk_spark.analysis.target import detect_task
+
+    ev = _t(spark, sf_dir, "events")
+    return spark.createDataFrame(
+        [(detect_task(ev, "event_type"), detect_task(ev, "value"))],
+        "task_event_type string, task_value string",
+    )
+
+
+def q_basic_info(spark, sf_dir):
+    """get_basic_info (data_analysis.py:36-44): shape + duplicate count."""
+    from feature_engineering_tk_spark.analysis.eda import get_basic_info
+
+    d = _t(spark, sf_dir, "documents").select("text", "lang", "source")
+    info = get_basic_info(d)
+    return spark.createDataFrame(
+        [(info["rows"], info["columns"], info["duplicates"])],
+        "n_rows long, n_cols long, n_duplicates long",
+    )
+
+
+def q_custom_udf(spark, sf_dir):
+    """apply_custom_function (preprocessing.py:772-824) through the
+    Arrow-vectorized Series→Series pandas UDF path (never per-row
+    Python) — oracle proves numeric equivalence with the SQL form."""
+    import numpy as np
+
+    from feature_engineering_tk_spark.operators.rows import apply_custom_function
+
+    ev = _t(spark, sf_dir, "events")
+    out = apply_custom_function(
+        ev, "value", lambda s: np.log1p(s) * 2.0, out="v_custom"
+    )
+    return out.select("event_id", F.round("v_custom", 6).alias("v_custom"))
+
+
+def q_levene(spark, sf_dir):
+    """Brown-Forsythe Levene (statistical_utils.py:184-256): per-group
+    medians then ANOVA on |x - median| — two distributed passes, closed
+    form on driver. p-value omitted (F-dist CDF isn't ANSI SQL)."""
+    from feature_engineering_tk_spark.analysis.stats import levene_from_spark
+
+    ev = _t(spark, sf_dir, "events")
+    res = levene_from_spark(ev, "value", "event_type")
+    return spark.createDataFrame([(round(res["statistic"], 6),)], "levene_w double")
+
+
+def q_mutual_info(spark, sf_dir):
+    """analyze_mutual_information (statistical.py:429-533): binned
+    plug-in MI estimator from a distributed contingency job, normalized
+    by log(n_classes)."""
+    from feature_engineering_tk_spark.analysis.target import TargetAnalyzer
+
+    ev = _t(spark, sf_dir, "events")
+    rows = TargetAnalyzer(ev, "event_type", task="classification").analyze_mutual_information(
+        ["value"], bins=16
+    )
+    return spark.createDataFrame(
+        [(r["feature"], round(r["mi"], 6)) for r in rows], "feature string, mi double"
+    )
+
+
+def q_anova_per_feature(spark, sf_dir):
+    """analyze_feature_target_relationship (statistical.py:31-250):
+    per-feature ANOVA F across target classes (p-values and BH-FDR are
+    driver-side scipy-equivalents — see feature_target_fdr)."""
+    from feature_engineering_tk_spark.analysis import stats as ST
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        groups = ST.group_moments(li, c, "l_returnflag")
+        rows.append((c, round(ST.anova_f_from_groups(groups)["F"], 6)))
+    return spark.createDataFrame(rows, "feature string, f_stat double")
+
+
+def q_feature_target_fdr(spark, sf_dir):
+    """Full relationship pipeline incl. p-values + Benjamini-Hochberg
+    FDR (statistical_utils.py:723-795). F-distribution tails aren't
+    ANSI-SQL-expressible → rows-only check; the F statistics themselves
+    are oracle-verified by anova_per_feature."""
+    from feature_engineering_tk_spark.analysis.target import TargetAnalyzer
+
+    ev = _t(spark, sf_dir, "events")
+    rows = TargetAnalyzer(ev, "event_type", task="classification").analyze_feature_target_relationship(
+        ["value"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["feature"],
+                r["test"],
+                round(float(r["statistic"]), 6),
+                round(float(r["pvalue"]), 9),
+                round(float(r.get("pvalue_adj", r["pvalue"])), 9),
+            )
+            for r in rows
+        ],
+        "feature string, test string, statistic double, pvalue double, pvalue_adj double",
+    )
+
+
+def q_mean_ci(spark, sf_dir):
+    """calculate_mean_ci (statistical_utils.py:802-856): t-distribution
+    CI from distributed (n, mean, std). t-quantiles aren't ANSI SQL →
+    rows-only check (the sufficient stats are oracle-covered by
+    numeric_summary)."""
+    from feature_engineering_tk_spark.analysis.stats import mean_ci
+
+    ev = _t(spark, sf_dir, "events")
+    row = ev.agg(
+        F.count("value").alias("n"),
+        F.avg("value").alias("m"),
+        F.stddev_samp("value").alias("s"),
+    ).first()
+    lo, hi = mean_ci(row["n"], row["m"], row["s"], confidence=0.95)
+    return spark.createDataFrame(
+        [(round(lo, 6), round(hi, 6))], "ci_lo double, ci_hi double"
+    )
+
+
+def q_constant_columns(spark, sf_dir):
+    """remove_constant_columns (preprocessing.py:520-559): one-pass
+    null-excluding countDistinct, drop cols with <= 1 unique."""
+    from feature_engineering_tk_spark.operators.rows import remove_constant_columns
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("const_a", F.lit(7))
+        .withColumn("all_null", F.lit(None).cast("double"))
+        .select("event_id", "event_type", "value", "const_a", "all_null")
+    )
+    out = remove_constant_columns(ev)
+    return spark.createDataFrame(
+        [(c,) for c in sorted(out.columns)], "kept_column string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1088,6 +1229,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_daily": q_tumbling_daily,
         "ngram_jaccard": q_ngram_jaccard,
         "mode_impute": q_mode_impute,
+        "detect_task": q_detect_task,
+        "basic_info": q_basic_info,
+        "custom_udf": q_custom_udf,
+        "levene": q_levene,
+        "mutual_info": q_mutual_info,
+        "anova_per_feature": q_anova_per_feature,
+        "feature_target_fdr": q_feature_target_fdr,
+        "mean_ci": q_mean_ci,
+        "constant_columns": q_constant_columns,
     }
 
 
@@ -1774,5 +1924,103 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY lang2 ORDER BY count(*) DESC, lang2 ASC LIMIT 1
             )
             SELECT v.doc_id, coalesce(v.lang2, m.lang2) AS lang_imputed FROM v, m
+        """,
+        "detect_task": """
+            WITH s AS (
+              SELECT count(DISTINCT event_type) AS nu_t, count(event_type) AS n_t,
+                     count(DISTINCT value) AS nu_v, count(value) AS n_v
+              FROM events
+            )
+            SELECT 'classification' AS task_event_type,  -- non-numeric target
+                   CASE WHEN nu_v = 2 THEN 'classification'
+                        WHEN nu_v <= 20 OR CAST(nu_v AS DOUBLE) / n_v < 0.05
+                          THEN 'classification'
+                        ELSE 'regression' END AS task_value
+            FROM s
+        """,
+        "basic_info": """
+            SELECT count(*) AS n_rows,
+                   CAST(3 AS BIGINT) AS n_cols,
+                   count(*) - (SELECT count(*) FROM
+                               (SELECT DISTINCT text, lang, source FROM documents))
+                     AS n_duplicates
+            FROM documents
+        """,
+        "custom_udf": """
+            SELECT event_id, round(ln(1 + value) * 2.0, 6) AS v_custom FROM events
+        """,
+        "levene": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1
+            ), z AS (
+              SELECT e.event_type, abs(e.value - med.m) AS z
+              FROM events e JOIN med USING (event_type)
+            ), g AS (
+              SELECT event_type, count(z) AS n, avg(z) AS m, var_samp(z) AS v
+              FROM z GROUP BY 1
+            ), tot AS (
+              SELECT sum(n) AS n_tot, count(*) AS k, sum(n * m) / sum(n) AS grand FROM g
+            )
+            SELECT round(
+              (sum(g.n * (g.m - tot.grand) * (g.m - tot.grand)) / (tot.k - 1))
+              / (sum((g.n - 1) * g.v) / (tot.n_tot - tot.k)), 6) AS levene_w
+            FROM g, tot
+            GROUP BY tot.k, tot.n_tot
+        """,
+        "mutual_info": """
+            WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+            b AS (
+              SELECT event_type,
+                     least(floor((coalesce(value, 0.0) - s.lo) / ((s.hi - s.lo) / 16)),
+                           15) AS bin
+              FROM events, s
+            ), c AS (
+              SELECT bin, event_type, count(*) AS n FROM b GROUP BY 1, 2
+            ), t AS (SELECT sum(n) AS tot FROM c),
+            p AS (
+              SELECT n / t.tot AS pxy,
+                     (sum(n) OVER (PARTITION BY bin)) / t.tot AS px,
+                     (sum(n) OVER (PARTITION BY event_type)) / t.tot AS py
+              FROM c, t
+            ), mi AS (SELECT sum(pxy * ln(pxy / (px * py))) AS mi FROM p),
+            k AS (SELECT count(DISTINCT event_type) AS k FROM events)
+            SELECT 'value' AS feature, round(mi.mi / ln(k.k), 6) AS mi FROM mi, k
+        """,
+        "anova_per_feature": """
+            WITH g AS (
+              SELECT feature, l_returnflag, count(v) AS n, avg(v) AS m, var_samp(v) AS var
+              FROM (
+                SELECT 'l_quantity' AS feature, l_returnflag, l_quantity AS v FROM lineitem
+                UNION ALL SELECT 'l_extendedprice', l_returnflag, l_extendedprice FROM lineitem
+                UNION ALL SELECT 'l_discount', l_returnflag, l_discount FROM lineitem
+              ) GROUP BY 1, 2
+            ), tot AS (
+              SELECT feature, sum(n) AS n_tot, count(*) AS k,
+                     sum(n * m) / sum(n) AS grand
+              FROM g GROUP BY 1
+            )
+            SELECT g.feature,
+                   round(
+                     (sum(g.n * (g.m - tot.grand) * (g.m - tot.grand)) / (tot.k - 1))
+                     / (sum((g.n - 1) * g.var) / (tot.n_tot - tot.k)), 6) AS f_stat
+            FROM g JOIN tot ON g.feature = tot.feature
+            GROUP BY g.feature, tot.k, tot.n_tot
+        """,
+        "constant_columns": """
+            WITH d AS (
+              SELECT count(DISTINCT event_id) AS c1,
+                     count(DISTINCT event_type) AS c2,
+                     count(DISTINCT value) AS c3,
+                     count(DISTINCT 7) AS c4,
+                     count(DISTINCT CAST(NULL AS DOUBLE)) AS c5
+              FROM events
+            )
+            SELECT kept_column FROM (
+              SELECT 'event_id' AS kept_column, c1 AS nu FROM d
+              UNION ALL SELECT 'event_type', c2 FROM d
+              UNION ALL SELECT 'value', c3 FROM d
+              UNION ALL SELECT 'const_a', c4 FROM d
+              UNION ALL SELECT 'all_null', c5 FROM d
+            ) WHERE nu > 1
         """,
     }

@@ -181,3 +181,14 @@ def stable_sort(df: DataFrame, order: tuple[str, ...] = STABLE_ORDER) -> DataFra
     (conv_id, turn_idx) ordering' — a total sort for verification paths;
     production writes use sortWithinPartitions (no extra exchange)."""
     return df.orderBy(*order)
+
+
+def apply_custom_function(df: DataFrame, column: str, func, out: str | None = None, returnType: str = "double") -> DataFrame:
+    """reference ``apply_custom_function`` (preprocessing.py:772-824):
+    user function over one column. ALWAYS a vectorized Series→Series
+    pandas UDF (Arrow batches) — never per-row Python ``udf`` (north-
+    rule prohibition; ~10-100x slower)."""
+    from pyspark.sql.functions import pandas_udf
+
+    wrapped = pandas_udf(func, returnType=returnType)
+    return df.withColumn(out or column, wrapped(F.col(column)))

@@ -197,3 +197,30 @@ def test_quality_and_langid_run(spark):
     assert q["stopword_ratio"].iloc[0] > q["stopword_ratio"].iloc[1]
     l = TX.lang_id(df, "text").toPandas().sort_values("doc_id")
     assert l["lang_pred"].tolist() == ["en", "unknown"]
+
+
+def test_apply_custom_function_vectorized(spark, transcripts):
+    """Series→Series pandas UDF == equivalent column expression."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.operators.rows import apply_custom_function
+
+    got = (
+        apply_custom_function(
+            transcripts, "tokens", lambda s: np.log1p(s) * 2.0, out="g"
+        )
+        .select("conv_id", "turn_idx", "g")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])["g"]
+        .values
+    )
+    exp = (
+        transcripts.select(
+            "conv_id", "turn_idx", (F.log1p(F.col("tokens")) * 2.0).alias("e")
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])["e"]
+        .values
+    )
+    assert np.allclose(got, exp)
