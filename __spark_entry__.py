@@ -1156,6 +1156,275 @@ def q_constant_columns(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# queries — row ops / sampling / set ops
+
+def q_filter_project(spark, sf_dir):
+    """filter_rows (preprocessing.py:610-654) + rename_columns (:696-729)
+    + reorder_columns (:731-770) in one declarative plan — the filter and
+    projection both reach the parquet scan (PushedFilters/ReadSchema)."""
+    from feature_engineering_tk_spark.operators.rows import (
+        filter_rows,
+        rename_columns,
+        reorder_columns,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    out = filter_rows(od, (F.col("o_totalprice") > 200000) & (F.col("o_orderstatus") == "O"))
+    out = rename_columns(out, {"o_totalprice": "total", "o_orderpriority": "priority"})
+    out = reorder_columns(out, ["o_orderkey", "total", "priority"])
+    return out.select("o_orderkey", "total", "priority")
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """sample_data (preprocessing.py:857-908) re-expressed as a
+    deterministic arithmetic-hash sample — the only sampling form that
+    is reproducible across engines AND across cluster sizes (Bernoulli
+    `df.sample(seed)` changes with partitioning; this never does)."""
+    od = _t(spark, sf_dir, "orders")
+    keep = F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(1000)) < 100
+    return od.filter(keep).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_set_ops(spark, sf_dir):
+    """Set-op surface (SURVEY.md §2.12): users with purchases INTERSECT /
+    EXCEPT users with errors, tagged and unioned — distinct-aggregate
+    shaped, shuffles once per branch on the same key."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = buyers.intersect(erroring).withColumn("tag", F.lit("both"))
+    only_buy = buyers.subtract(erroring).withColumn("tag", F.lit("purchase_only"))
+    return both.unionByName(only_buy)
+
+
+def q_drop_missing(spark, sf_dir):
+    """handle_missing_values strategy='drop' (preprocessing.py:152-163):
+    na.drop on the target column (+ the 30% destructive-op guard lives in
+    the pipeline layer)."""
+    from feature_engineering_tk_spark.transforms.impute import Imputer
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    imp = Imputer(strategy="drop").fit(ev, ["v"])
+    return imp.transform(ev).select("event_id", F.round("v", 6).alias("v"))
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured props column: JSON path extraction stays JVM-side
+    (get_json_object inside whole-stage codegen) — the engine's answer to
+    per-row Python json.loads."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_ranking(spark, sf_dir):
+    """Ranking analytics family (row_number / rank / dense_rank / ntile)
+    over the per-user ordered window — completes the §2.11 window surface
+    (row_number is the reference's duplicate keep='first' primitive)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vb", F.floor(F.col("value") / 100).cast("int")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("vb").desc(), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "vb",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — outliers / selection / correlation extensions
+
+def q_outlier_replace(spark, sf_dir):
+    """handle_outliers action='replace' (preprocessing.py:388-401):
+    IQR-fenced outliers replaced with the exact median (percentile, not
+    approx); int upcast to double (pandas parity)."""
+    from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
+
+    ev = _t(spark, sf_dir, "events")
+    med = ev.agg(F.percentile("value", F.lit(0.5)).alias("m")).first()["m"]
+    det = OutlierDetector(method="iqr", factor=1.5).fit(ev, ["value"])
+    out = det.replace(ev, {"value": float(med)})
+    return out.select("event_id", F.round("value", 6).alias("value_replaced"))
+
+
+def q_target_corr_select(spark, sf_dir):
+    """select_by_target_correlation (feature_selection.py:116-162):
+    top-k |corr(feature, target)| — one agg pass, top-k on the driver."""
+    from feature_engineering_tk_spark.analysis.selection import FeatureSelector
+
+    li = _t(spark, sf_dir, "lineitem")
+    sel = FeatureSelector(li, target="l_extendedprice")
+    kept = sel.select_by_target_correlation(
+        top_k=2, columns=["l_quantity", "l_discount", "l_tax"]
+    )
+    return spark.createDataFrame(
+        [(c, round(sel.scores_[c], 6)) for c in kept], "feature string, abs_corr double"
+    )
+
+
+def q_correlation_select(spark, sf_dir):
+    """select_by_correlation greedy upper-triangle drop in column order
+    (feature_selection.py:87-114) — order matters for parity; the oracle
+    unrolls the same greedy logic over the collected corr values."""
+    from feature_engineering_tk_spark.analysis.selection import FeatureSelector
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("qty2", F.col("l_quantity") * 2 + 1)
+        .withColumn("negq", -F.col("l_quantity"))
+    )
+    sel = FeatureSelector(li)
+    kept = sel.select_by_correlation(
+        threshold=0.9, columns=["l_quantity", "qty2", "l_extendedprice", "negq"]
+    )
+    return spark.createDataFrame([(c,) for c in kept], "kept_column string")
+
+
+def q_correlation_ci(spark, sf_dir):
+    """calculate_correlation_ci (statistical_utils.py:859-923): Fisher-Z
+    interval from distributed (r, n) — formula on the driver, tanh'd
+    bounds; NaN for |r|>=1 or n<4."""
+    from feature_engineering_tk_spark.analysis.stats import correlation_ci
+
+    li = _t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    lo, hi = correlation_ci(row["r"], row["n"], confidence=0.95)
+    return spark.createDataFrame(
+        [(round(row["r"], 6), round(lo, 6), round(hi, 6))],
+        "r double, ci_lo double, ci_hi double",
+    )
+
+
+def q_residuals_ols(spark, sf_dir):
+    """analyze_residuals (target_analyzer/statistical.py:535-578) on a
+    closed-form OLS fit: slope/intercept via regr_slope/regr_intercept
+    (sufficient statistics — no iterative solver), residual MAE/RMSE/R²
+    through DECIMAL sums so partial-aggregation order can't shift the
+    result."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.agg(
+        F.expr("regr_slope(l_extendedprice, l_quantity)").alias("sl"),
+        F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("ic"),
+    ).first()
+    res = F.col("l_extendedprice") - (F.lit(f["sl"]) * F.col("l_quantity") + F.lit(f["ic"]))
+    d = li.withColumn("_res", res)
+    dec = "decimal(38,6)"
+    row = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("_res")).cast(dec)).alias("sae"),
+        F.sum((F.col("_res") * F.col("_res")).cast(dec)).alias("ss_res"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(dec)).alias("ss_y2"),
+        F.sum(F.col("l_extendedprice").cast(dec)).alias("sum_y"),
+    ).first()
+    n = row["n"]
+    ss_res = float(row["ss_res"])
+    ss_tot = float(row["ss_y2"]) - float(row["sum_y"]) ** 2 / n
+    import math as _m
+
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                round(float(row["sae"]) / n, 4),
+                round(_m.sqrt(ss_res / n), 4),
+                round(1.0 - ss_res / ss_tot, 6),
+            )
+        ],
+        "n long, mae double, rmse double, r2 double",
+    )
+
+
+def q_jarque_bera(spark, sf_dir):
+    """check_normality analog from sufficient statistics
+    (statistical_utils.py:39-181 runs Shapiro on a sample; the engine's
+    distributed path is Jarque-Bera from population moments — exact at
+    any scale, one agg pass)."""
+    from feature_engineering_tk_spark.analysis.stats import normality_from_moments
+
+    ev = _t(spark, sf_dir, "events")
+    row = ev.agg(
+        F.count("value").alias("n"),
+        F.skewness("value").alias("g1"),
+        F.kurtosis("value").alias("g2"),
+    ).first()
+    res = normality_from_moments(row["n"], row["g1"], row["g2"])
+    return spark.createDataFrame(
+        [(row["n"], round(res["statistic"], 4), round(res["pvalue"], 6))],
+        "n long, jb double, pvalue double",
+    )
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """bootstrap_ci (statistical_utils.py:926-1002): percentile bootstrap
+    of the per-class median, seeded default_rng on a deterministic
+    per-class sample (ORDER BY event_id LIMIT 5000 — reproducible across
+    partitionings, unlike df.sample). Non-SQL-expressible → rows-only."""
+    from feature_engineering_tk_spark.analysis.stats import bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events")
+    classes = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    rows = []
+    for cls in sorted(classes):
+        vals = (
+            ev.filter(F.col("event_type") == cls)
+            .orderBy("event_id")
+            .limit(5000)
+            .select("value")
+            .toPandas()["value"]
+            .to_numpy()
+        )
+        lo, hi = bootstrap_ci(vals, n_boot=200, seed=42)
+        rows.append((cls, round(lo, 6), round(hi, 6)))
+    return spark.createDataFrame(rows, "event_type string, ci_lo double, ci_hi double")
+
+
+# ---------------------------------------------------------------------------
+# queries — suggestions / recommendations (§2.17)
+
+def q_suggest_binning(spark, sf_dir):
+    """suggest_binning (data_analysis.py:351-443): strategy per column
+    from one distributed profile pass (cardinality, bias-corrected skew,
+    exact quartiles)."""
+    from feature_engineering_tk_spark.analysis.suggest import suggest_binning
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = suggest_binning(li, ["l_linenumber", "l_quantity", "l_extendedprice"])
+    return spark.createDataFrame(
+        [(d["column"], d["strategy"], d["suggested_bins"]) for d in out],
+        "col string, strategy string, suggested_bins int",
+    )
+
+
+def q_suggest_transforms(spark, sf_dir):
+    """suggest_feature_engineering (target_analyzer/suggestions.py:63-259):
+    skew>1 → log, range>100 → scale, >5% missing → indicator — rule table
+    on collected profile scalars."""
+    from feature_engineering_tk_spark.analysis.suggest import suggest_feature_engineering
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v_gappy",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    out = suggest_feature_engineering(ev, ["value", "v_gappy"])
+    return spark.createDataFrame(
+        [(d["column"], ",".join(d["suggestions"])) for d in out],
+        "col string, suggestions string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1238,6 +1507,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_target_fdr": q_feature_target_fdr,
         "mean_ci": q_mean_ci,
         "constant_columns": q_constant_columns,
+        "filter_project": q_filter_project,
+        "deterministic_sample": q_deterministic_sample,
+        "set_ops": q_set_ops,
+        "drop_missing": q_drop_missing,
+        "json_extract": q_json_extract,
+        "ranking": q_ranking,
+        "outlier_replace": q_outlier_replace,
+        "target_corr_select": q_target_corr_select,
+        "correlation_select": q_correlation_select,
+        "correlation_ci": q_correlation_ci,
+        "residuals_ols": q_residuals_ols,
+        "jarque_bera": q_jarque_bera,
+        "bootstrap_ci": q_bootstrap_ci,
+        "suggest_binning": q_suggest_binning,
+        "suggest_transforms": q_suggest_transforms,
     }
 
 
@@ -2022,5 +2306,189 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'const_a', c4 FROM d
               UNION ALL SELECT 'all_null', c5 FROM d
             ) WHERE nu > 1
+        """,
+        "filter_project": """
+            SELECT o_orderkey, o_totalprice AS total, o_orderpriority AS priority
+            FROM orders
+            WHERE o_totalprice > 200000 AND o_orderstatus = 'O'
+        """,
+        "deterministic_sample": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE (o_orderkey * 2654435761) % 1000 < 100
+        """,
+        "set_ops": """
+            SELECT user_id, 'both' AS tag FROM (
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'error')
+            UNION ALL
+            SELECT user_id, 'purchase_only' AS tag FROM (
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              EXCEPT
+              SELECT user_id FROM events WHERE event_type = 'error')
+        """,
+        "drop_missing": """
+            SELECT event_id, round(value, 6) AS v
+            FROM events WHERE event_type <> 'error'
+        """,
+        "json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+        """,
+        "ranking": """
+            SELECT event_id, user_id, CAST(floor(value / 100) AS INT) AS vb,
+                   row_number() OVER w AS rn,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   ntile(4) OVER w AS quartile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(value / 100) AS INT) DESC, event_id)
+        """,
+        "outlier_replace": """
+            WITH q AS (
+              SELECT quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3,
+                     quantile_cont(value, 0.5) AS med
+              FROM events
+            )
+            SELECT event_id,
+                   round(CASE WHEN value < q.q1 - 1.5 * (q.q3 - q.q1)
+                                OR value > q.q3 + 1.5 * (q.q3 - q.q1)
+                              THEN q.med ELSE value END, 6) AS value_replaced
+            FROM events, q
+        """,
+        "target_corr_select": """
+            WITH s AS (
+              SELECT 'l_quantity' AS feature,
+                     abs(corr(l_quantity, l_extendedprice)) AS a FROM lineitem
+              UNION ALL SELECT 'l_discount', abs(corr(l_discount, l_extendedprice)) FROM lineitem
+              UNION ALL SELECT 'l_tax', abs(corr(l_tax, l_extendedprice)) FROM lineitem
+            )
+            SELECT feature, round(a, 6) AS abs_corr
+            FROM s ORDER BY a DESC LIMIT 2
+        """,
+        "correlation_select": """
+            WITH c AS (
+              SELECT corr(l_quantity, l_quantity * 2 + 1) AS r12,
+                     corr(l_quantity, l_extendedprice) AS r13,
+                     corr(l_quantity, -l_quantity) AS r14,
+                     corr(l_quantity * 2 + 1, l_extendedprice) AS r23,
+                     corr(l_quantity * 2 + 1, -l_quantity) AS r24,
+                     corr(l_extendedprice, -l_quantity) AS r34
+              FROM lineitem
+            ), d AS (
+              SELECT abs(r12) > 0.9 AS d2,
+                     (abs(r13) > 0.9 OR (NOT (abs(r12) > 0.9) AND abs(r23) > 0.9)) AS d3,
+                     r14, r24, r34
+              FROM c
+            )
+            SELECT 'l_quantity' AS kept_column FROM d
+            UNION ALL SELECT 'qty2' FROM d WHERE NOT d2
+            UNION ALL SELECT 'l_extendedprice' FROM d WHERE NOT d3
+            UNION ALL SELECT 'negq' FROM d
+              WHERE NOT (abs(r14) > 0.9 OR (NOT d2 AND abs(r24) > 0.9)
+                         OR (NOT d3 AND abs(r34) > 0.9))
+        """,
+        "correlation_ci": """
+            WITH c AS (
+              SELECT corr(l_quantity, l_extendedprice) AS r, count(*) AS n FROM lineitem
+            ), z AS (
+              SELECT r,
+                     0.5 * ln((1 + r) / (1 - r)) - 1.9599639845400318 / sqrt(n - 3) AS zlo,
+                     0.5 * ln((1 + r) / (1 - r)) + 1.9599639845400318 / sqrt(n - 3) AS zhi
+              FROM c
+            )
+            SELECT round(r, 6) AS r,
+                   round((exp(2 * zlo) - 1) / (exp(2 * zlo) + 1), 6) AS ci_lo,
+                   round((exp(2 * zhi) - 1) / (exp(2 * zhi) + 1), 6) AS ci_hi
+            FROM z
+        """,
+        "residuals_ols": """
+            WITH f AS (
+              SELECT regr_slope(l_extendedprice, l_quantity) AS sl,
+                     regr_intercept(l_extendedprice, l_quantity) AS ic
+              FROM lineitem
+            ), r AS (
+              SELECT l_extendedprice - (f.sl * l_quantity + f.ic) AS res,
+                     l_extendedprice AS y
+              FROM lineitem, f
+            ), a AS (
+              SELECT count(*) AS n,
+                     CAST(sum(CAST(abs(res) AS DECIMAL(38,6))) AS DOUBLE) AS sae,
+                     CAST(sum(CAST(res * res AS DECIMAL(38,6))) AS DOUBLE) AS ss_res,
+                     CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS ss_y2,
+                     CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sum_y
+              FROM r
+            )
+            SELECT n, round(sae / n, 4) AS mae,
+                   round(sqrt(ss_res / n), 4) AS rmse,
+                   round(1 - ss_res / (ss_y2 - sum_y * sum_y / n), 6) AS r2
+            FROM a
+        """,
+        "jarque_bera": """
+            WITH m AS (
+              SELECT count(value) AS n, skewness(value) AS sG1,
+                     kurtosis_pop(value) AS g2
+              FROM events
+            ), p AS (
+              SELECT n, sG1 * (n - 2) / sqrt(n * (n - 1.0)) AS g1, g2 FROM m
+            ), j AS (
+              SELECT n, n / 6.0 * (g1 * g1 + g2 * g2 / 4.0) AS jb FROM p
+            )
+            SELECT n, round(jb, 4) AS jb, round(exp(-jb / 2.0), 6) AS pvalue FROM j
+        """,
+        "suggest_binning": """
+            WITH prof AS (
+              SELECT 'l_linenumber' AS col, count(DISTINCT l_linenumber) AS u,
+                     skewness(l_linenumber) AS sk, max(l_linenumber) AS mx,
+                     quantile_cont(l_linenumber, 0.25) AS q1,
+                     quantile_cont(l_linenumber, 0.75) AS q3
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', count(DISTINCT l_quantity), skewness(l_quantity),
+                     max(l_quantity), quantile_cont(l_quantity, 0.25),
+                     quantile_cont(l_quantity, 0.75)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', count(DISTINCT l_extendedprice),
+                     skewness(l_extendedprice), max(l_extendedprice),
+                     quantile_cont(l_extendedprice, 0.25),
+                     quantile_cont(l_extendedprice, 0.75)
+              FROM lineitem
+            )
+            SELECT col,
+                   CASE WHEN u <= 10 THEN 'none'
+                        WHEN abs(sk) > 1.0 THEN 'quantile'
+                        WHEN q3 - q1 > 0 AND (mx - q3) > 3.0 * (q3 - q1) THEN 'quantile'
+                        ELSE 'uniform' END AS strategy,
+                   CASE WHEN u <= 10 THEN 0 ELSE 5 END AS suggested_bins
+            FROM prof
+        """,
+        "suggest_transforms": """
+            WITH prof AS (
+              SELECT 'value' AS col, count(*) AS rows_, count(value) AS n,
+                     skewness(value) AS sk, min(value) AS mn, max(value) AS mx
+              FROM events
+              UNION ALL
+              SELECT 'v_gappy', count(*),
+                     count(CASE WHEN event_type = 'error' THEN NULL ELSE value END),
+                     skewness(CASE WHEN event_type = 'error' THEN NULL ELSE value END),
+                     min(CASE WHEN event_type = 'error' THEN NULL ELSE value END),
+                     max(CASE WHEN event_type = 'error' THEN NULL ELSE value END)
+              FROM events
+            )
+            SELECT col,
+                   coalesce(nullif(concat_ws(',',
+                     CASE WHEN sk > 1.0 THEN
+                            CASE WHEN mn >= 0 THEN 'log_transform'
+                                 ELSE 'sqrt_after_shift' END
+                          WHEN sk < -1.0 THEN 'square_transform' END,
+                     CASE WHEN mx - mn > 100.0 THEN 'scale' END,
+                     CASE WHEN 100.0 * (rows_ - n) / rows_ > 5.0
+                          THEN 'missing_indicator' END
+                   ), ''), 'none') AS suggestions
+            FROM prof
         """,
     }

@@ -79,6 +79,8 @@ def get_categorical_summary(df: DataFrame, columns: list[str] | None = None, max
     """Per string col ≤ max_unique uniques: nunique, mode (smallest on
     ties — pandas mode()[0]), top freq/% (data_analysis.py:69-94)."""
     cols = columns or string_columns(df)
+    if not cols:
+        return {}
     total = df.count()
     cd = df.agg(*[F.countDistinct(c).alias(c) for c in cols]).first()
     out = {}

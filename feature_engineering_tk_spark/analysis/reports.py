@@ -1,0 +1,137 @@
+"""Report generation (reference §2.17 / §3 entry points).
+
+- quick_analysis          data_analysis.py:559-706  — one-shot EDA
+- generate_full_report    target_analyzer/reporting.py:28-115
+- export_report           target_analyzer/reporting.py:117-142
+  (markdown + JSON writers; HTML dropped — visualization is out of
+  engine scope, SURVEY.md §2.18)
+
+All heavy passes are distributed aggregations; the report assembles
+collected scalars on the driver, mirroring the reference's flow where
+`generate_full_report` runs every analysis once and reuses results.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def quick_analysis(df: DataFrame, max_corr_cols: int = 12) -> dict[str, Any]:
+    """One-shot EDA over a DataFrame (data_analysis.py:559-706):
+    shape/dtypes, missing, numeric + categorical summaries,
+    cardinality, data-quality issues, high correlations."""
+    from feature_engineering_tk_spark.analysis.eda import (
+        get_basic_info,
+        get_categorical_summary,
+        get_high_correlations,
+        get_missing_summary,
+        get_numeric_summary,
+        numeric_columns,
+        validate_data_quality,
+    )
+
+    info = get_basic_info(df)
+    num_cols = numeric_columns(df)[:max_corr_cols]
+    return {
+        "basic_info": info,
+        "missing": get_missing_summary(df, total=info["rows"]),
+        "numeric_summary": get_numeric_summary(df),
+        "categorical_summary": get_categorical_summary(df),
+        "quality": validate_data_quality(df),
+        "high_correlations": get_high_correlations(df, columns=num_cols)
+        if len(num_cols) >= 2
+        else [],
+    }
+
+
+def generate_full_report(df: DataFrame, target: str) -> dict[str, Any]:
+    """TargetAnalyzer full report (reporting.py:28-115): every analysis
+    once, results reused — distribution, relationships, correlations,
+    quality, suggestions, model recommendations."""
+    from feature_engineering_tk_spark.analysis.eda import numeric_columns
+    from feature_engineering_tk_spark.analysis.suggest import (
+        recommend_models,
+        suggest_feature_engineering,
+    )
+    from feature_engineering_tk_spark.analysis.target import TargetAnalyzer
+
+    ta = TargetAnalyzer(df, target)
+    features = [c for c in numeric_columns(df) if c != target]
+    report: dict[str, Any] = {"target": target, "task": ta.task}
+    if ta.task == "classification":
+        report["class_distribution"] = ta.analyze_class_distribution()
+        report["imbalance"] = ta.get_class_imbalance_info()
+    else:
+        report["target_distribution"] = ta.analyze_target_distribution()
+    report["feature_relationships"] = ta.analyze_feature_target_relationship(features)
+    report["feature_correlations"] = (
+        ta.analyze_feature_correlations(features) if ta.task == "regression" else []
+    )
+    report["data_quality"] = ta.analyze_data_quality()
+    report["suggestions"] = suggest_feature_engineering(df, features)
+    n_rows = df.count()
+    report["model_recommendations"] = recommend_models(
+        n_rows,
+        len(features),
+        ta.task,
+        imbalance_ratio=report.get("imbalance", {}).get("imbalance_ratio"),
+    )
+    return report
+
+
+def _md_section(title: str, body: str) -> str:
+    return f"## {title}\n\n{body}\n"
+
+
+def report_to_markdown(report: dict[str, Any]) -> str:
+    """Markdown writer (reporting.py `_export_markdown`)."""
+    parts = [f"# Target analysis: `{report.get('target', '?')}` ({report.get('task', '?')})\n"]
+    if "class_distribution" in report:
+        rows = "\n".join(
+            f"| {d['value']} | {d['count']} | {d['pct']:.2f}% |"
+            for d in report["class_distribution"]
+        )
+        parts.append(_md_section("Class distribution", "| class | count | % |\n|---|---|---|\n" + rows))
+    if "target_distribution" in report:
+        td = report["target_distribution"]
+        body = "\n".join(f"- **{k}**: {v}" for k, v in td.items() if not isinstance(v, dict))
+        parts.append(_md_section("Target distribution", body))
+    if report.get("feature_relationships"):
+        rows = "\n".join(
+            f"| {r['feature']} | {r['test']} | {r['statistic']:.4g} | {r['pvalue']:.3g} |"
+            for r in report["feature_relationships"]
+        )
+        parts.append(
+            _md_section(
+                "Feature–target relationships",
+                "| feature | test | statistic | p |\n|---|---|---|---|\n" + rows,
+            )
+        )
+    if report.get("suggestions"):
+        body = "\n".join(
+            f"- `{s['column']}`: {', '.join(s['suggestions'])}" for s in report["suggestions"]
+        )
+        parts.append(_md_section("Feature-engineering suggestions", body))
+    if report.get("model_recommendations"):
+        body = "\n".join(
+            f"- [{m['priority']}] **{m['model']}** — {m['reason']}"
+            for m in report["model_recommendations"]
+        )
+        parts.append(_md_section("Model recommendations", body))
+    return "\n".join(parts)
+
+
+def export_report(report: dict[str, Any], path: str, fmt: str = "markdown") -> str:
+    """Write the report (reporting.py:117-142). fmt ∈ {markdown, json}."""
+    if fmt == "json":
+        content = json.dumps(report, indent=2, default=str)
+    elif fmt == "markdown":
+        content = report_to_markdown(report)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+    with open(path, "w") as fh:
+        fh.write(content)
+    return path

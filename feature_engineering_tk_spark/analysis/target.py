@@ -327,3 +327,43 @@ class TargetAnalyzer:
             c for c, v in get_cardinality_info(self.df).items() if v["unique"] <= 1
         ]
         return {"missing": missing, "leakage_suspects": suspects, "constant_features": constant}
+
+
+def analyze_residuals(df, actual: str, predicted: str) -> dict:
+    """Residual diagnostics (target_analyzer/statistical.py:535-578):
+    residual mean/std, MAE, RMSE, R² = 1 - SS_res/SS_tot, plus a
+    Jarque-Bera normality check from distributed moments — ONE
+    aggregation pass, no collect of row data."""
+    from feature_engineering_tk_spark.analysis.stats import normality_from_moments
+
+    res = F.col(actual) - F.col(predicted)
+    d = df.withColumn("_res", res)
+    row = d.agg(
+        F.count("_res").alias("n"),
+        F.avg("_res").alias("mean"),
+        F.stddev_samp("_res").alias("std"),
+        F.avg(F.abs(F.col("_res"))).alias("mae"),
+        F.sqrt(F.avg(F.col("_res") * F.col("_res"))).alias("rmse"),
+        F.sum(F.col("_res") * F.col("_res")).alias("ss_res"),
+        F.sum(F.col(actual) * F.col(actual)).alias("ss_y2"),
+        F.sum(F.col(actual)).alias("sum_y"),
+        F.skewness("_res").alias("g1"),
+        F.kurtosis("_res").alias("g2"),
+    ).first()
+    n = row["n"] or 0
+    ss_tot = row["ss_y2"] - (row["sum_y"] ** 2) / n if n else float("nan")
+    r2 = 1.0 - row["ss_res"] / ss_tot if ss_tot else float("nan")
+    norm = (
+        normality_from_moments(n, row["g1"], row["g2"])
+        if row["g1"] is not None
+        else {"statistic": float("nan"), "pvalue": float("nan"), "is_normal": None}
+    )
+    return {
+        "n": n,
+        "residual_mean": row["mean"],
+        "residual_std": row["std"],
+        "mae": row["mae"],
+        "rmse": row["rmse"],
+        "r2": r2,
+        "normality": norm,
+    }

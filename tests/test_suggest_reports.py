@@ -1,0 +1,144 @@
+"""Suggestions / recommendations / reports (reference §2.17) and
+residual analysis (§2.15) — driver-side rule tables over distributed
+sufficient statistics, verified against pandas/numpy on the same data."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "skewed": rng.lognormal(0.0, 1.0, 400),
+            "flat": rng.uniform(0.0, 10.0, 400),
+            "wide": rng.uniform(0.0, 500.0, 400),
+            "lowcard": rng.integers(0, 5, 400).astype(float),
+            "target": rng.uniform(0.0, 1.0, 400),
+        }
+    )
+    pdf.loc[pdf.index[:40], "skewed"] = np.nan  # 10% missing
+    return spark.createDataFrame(pdf)
+
+
+def test_suggest_feature_engineering_rules(spark, skewed_df):
+    from feature_engineering_tk_spark.analysis.suggest import suggest_feature_engineering
+
+    out = {d["column"]: d["suggestions"] for d in suggest_feature_engineering(
+        skewed_df, ["skewed", "flat", "wide"]
+    )}
+    # lognormal: heavy right skew and >5% missing
+    assert "log_transform" in out["skewed"]
+    assert "missing_indicator" in out["skewed"]
+    # uniform on [0,10]: nothing to do
+    assert out["flat"] == ["none"]
+    # uniform on [0,500]: range > 100 → scale only
+    assert out["wide"] == ["scale"]
+
+
+def test_suggest_binning_rules(spark, skewed_df):
+    from feature_engineering_tk_spark.analysis.suggest import suggest_binning
+
+    out = {d["column"]: d for d in suggest_binning(skewed_df, ["skewed", "flat", "lowcard"])}
+    assert out["lowcard"]["strategy"] == "none"
+    assert out["lowcard"]["suggested_bins"] == 0
+    assert out["skewed"]["strategy"] == "quantile"  # |G1| > 1
+    assert out["flat"]["strategy"] == "uniform"
+
+
+def test_suggest_skew_matches_pandas(spark, skewed_df):
+    """The profile's skew is pandas bias-corrected G1 (the §2.9 trap)."""
+    from feature_engineering_tk_spark.analysis.suggest import _column_profile
+
+    prof = _column_profile(skewed_df, ["flat"])
+    pdf = skewed_df.select("flat").toPandas()
+    assert math.isclose(prof["flat"]["skew"], pdf["flat"].skew(), rel_tol=1e-9)
+
+
+def test_recommend_models_rule_table():
+    from feature_engineering_tk_spark.analysis.suggest import recommend_models
+
+    small_clf = recommend_models(5_000, 10, "classification", imbalance_ratio=5.0)
+    names = [r["model"] for r in small_clf]
+    assert "LogisticRegression" in names
+    assert any("weighting" in n or "resampling" in n for n in names)
+
+    big_reg = recommend_models(1_000_000, 20, "regression")
+    assert big_reg[0]["model"] == "GradientBoostedTrees"
+
+    wide = recommend_models(100, 50, "regression")
+    assert any(r["model"] == "feature_selection_first" for r in wide)
+
+
+def test_generate_recommendations_priorities():
+    from feature_engineering_tk_spark.analysis.suggest import generate_recommendations
+
+    quality = {
+        "missing_pct": {"a": 45.0, "b": 8.0, "c": 0.0},
+        "duplicate_rows": 3,
+        "constant_columns": ["k"],
+        "high_cardinality_columns": ["id"],
+        "infinite_counts": {"x": 2},
+    }
+    recs = generate_recommendations(quality, [{"col_a": "p", "col_b": "q", "r": 0.95}])
+    joined = "\n".join(recs)
+    assert "[high] drop or model-impute 'a'" in joined
+    assert "[medium] impute 'b'" in joined
+    assert "'c'" not in joined
+    assert "duplicate rows" in joined
+    assert "constant column 'k'" in joined
+    assert "identifier" in joined
+    assert "infinite values in 'x'" in joined
+    assert "'p' and 'q'" in joined
+
+
+def test_analyze_residuals_matches_numpy(spark, skewed_df):
+    from feature_engineering_tk_spark.analysis.target import analyze_residuals
+
+    df = skewed_df.withColumn("pred", F.col("target") * 0.5 + 0.1)
+    res = analyze_residuals(df, "target", "pred")
+
+    pdf = skewed_df.select("target").toPandas()
+    r = pdf["target"] - (pdf["target"] * 0.5 + 0.1)
+    assert res["n"] == len(pdf)
+    assert math.isclose(res["mae"], r.abs().mean(), rel_tol=1e-9)
+    assert math.isclose(res["rmse"], float(np.sqrt((r**2).mean())), rel_tol=1e-9)
+    ss_tot = ((pdf["target"] - pdf["target"].mean()) ** 2).sum()
+    assert math.isclose(res["r2"], 1.0 - (r**2).sum() / ss_tot, rel_tol=1e-6)
+    assert "pvalue" in res["normality"]
+
+
+def test_quick_analysis_shape(spark, skewed_df):
+    from feature_engineering_tk_spark.analysis.reports import quick_analysis
+
+    rep = quick_analysis(skewed_df)
+    assert rep["basic_info"]["rows"] == 400
+    assert any(m["column"] == "skewed" and m["missing"] == 40 for m in rep["missing"])
+    assert "quality" in rep and "numeric_summary" in rep
+
+
+def test_full_report_and_export(spark, skewed_df, tmp_path):
+    from feature_engineering_tk_spark.analysis.reports import (
+        export_report,
+        generate_full_report,
+    )
+
+    rep = generate_full_report(skewed_df, "target")
+    assert rep["task"] == "regression"
+    assert rep["feature_relationships"]
+    assert rep["model_recommendations"]
+
+    md = export_report(rep, str(tmp_path / "r.md"), fmt="markdown")
+    text = open(md).read()
+    assert text.startswith("# Target analysis:")
+    assert "Feature" in text
+
+    js = export_report(rep, str(tmp_path / "r.json"), fmt="json")
+    import json
+
+    assert json.load(open(js))["target"] == "target"
