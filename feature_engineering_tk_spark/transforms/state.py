@@ -73,3 +73,60 @@ class FittedStateMixin:
 
     def get_params(self) -> dict:
         return {}
+
+
+def _registry() -> dict[str, type]:
+    from feature_engineering_tk_spark.transforms.binning import (
+        EdgeBinner,
+        QuantileBinner,
+        UniformBinner,
+    )
+    from feature_engineering_tk_spark.transforms.encode import (
+        LabelEncoder,
+        OneHotEncoder,
+        OrdinalEncoder,
+    )
+    from feature_engineering_tk_spark.transforms.impute import Imputer
+    from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
+    from feature_engineering_tk_spark.transforms.scale import Scaler
+
+    return {
+        c.__name__: c
+        for c in (
+            EdgeBinner,
+            QuantileBinner,
+            UniformBinner,
+            LabelEncoder,
+            OneHotEncoder,
+            OrdinalEncoder,
+            Imputer,
+            OutlierDetector,
+            Scaler,
+        )
+    }
+
+
+def save_transformers(transformers: dict[str, "FittedStateMixin"], path: str) -> None:
+    """Bundle every fitted transformer into ONE JSON artifact — the
+    distributed analog of the reference's joblib-pickled
+    ``save_transformers`` (feature_engineering.py:705-747), except the
+    artifact is plain JSON: readable, diffable, and loadable on any
+    executor without pickle-version coupling."""
+    payload = {name: json.loads(t.to_json()) for name, t in transformers.items()}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+
+
+def load_transformers(path: str, registry: dict[str, type] | None = None) -> dict[str, "FittedStateMixin"]:
+    """Rebuild fitted transformers from a ``save_transformers`` bundle
+    (feature_engineering.py:726-747): resume derives transforms FROM
+    ARTIFACTS — never refits — so a resumed run is bit-identical."""
+    reg = registry or _registry()
+    with open(path) as f:
+        payload = json.load(f)
+    out: dict[str, FittedStateMixin] = {}
+    for name, blob in payload.items():
+        cls = reg[blob["class"]]
+        out[name] = cls.from_json(json.dumps(blob))
+    return out

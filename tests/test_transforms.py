@@ -222,3 +222,30 @@ def test_outlier_cap(spark):
     capped = det.cap(df).toPandas()["a"]
     hi = det.state_["bounds"]["a"]["hi"]
     assert capped.max() == pytest.approx(hi)
+
+
+def test_save_load_transformers_bundle(spark, tmp_path):
+    """save_transformers/load_transformers (feature_engineering.py:705-747):
+    one JSON artifact, reload produces bit-identical transforms."""
+    import pandas as pd
+
+    from feature_engineering_tk_spark.transforms.impute import Imputer
+    from feature_engineering_tk_spark.transforms.scale import Scaler
+    from feature_engineering_tk_spark.transforms.state import (
+        load_transformers,
+        save_transformers,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [1.0, 2.0, None, 4.0], "w": [10.0, 20.0, 30.0, 40.0]})
+    )
+    imp = Imputer(strategy="mean").fit(df, ["v"])
+    sc = Scaler(method="standard").fit(df, ["w"])
+
+    path = str(tmp_path / "transformers.json")
+    save_transformers({"imputer": imp, "scaler": sc}, path)
+    back = load_transformers(path)
+
+    a = sc.transform(imp.transform(df)).orderBy("w").toPandas()
+    b = back["scaler"].transform(back["imputer"].transform(df)).orderBy("w").toPandas()
+    pd.testing.assert_frame_equal(a, b)
