@@ -1,0 +1,87 @@
+"""Sources layer (§2.1) + spark-submit job entry point: storage-agnostic
+load/write with schema enforcement, and the end-to-end feature job with
+checkpoint resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_load_table_parquet_with_schema(spark, transcripts, tmp_path):
+    from feature_engineering_tk_spark.datagen import TRANSCRIPT_SCHEMA
+    from feature_engineering_tk_spark.sources import load_table, write_table
+
+    path = str(tmp_path / "tbl")
+    write_table(transcripts.withColumn("ds", F.to_date("ts")), path, partition_by=("ds",))
+    back = load_table(spark, path, schema=TRANSCRIPT_SCHEMA)
+    assert [f.name for f in back.schema.fields] == [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    assert back.count() == transcripts.count()
+    # partition dirs are Hive-style → partition pruning visible in plan
+    assert any(p.startswith("ds=") for p in os.listdir(path) if not p.startswith("_"))
+
+
+def test_ensure_schema_missing_column_raises(spark):
+    from feature_engineering_tk_spark.sources import ensure_schema
+
+    df = spark.range(3).toDF("a")
+    schema = T.StructType([T.StructField("missing", T.LongType())])
+    with pytest.raises(ValueError, match="missing"):
+        ensure_schema(df, schema)
+
+
+def test_ensure_schema_casts_and_orders(spark):
+    from feature_engineering_tk_spark.sources import ensure_schema
+
+    df = spark.createDataFrame([(1, "2.5")], "b int, a string")
+    schema = T.StructType(
+        [T.StructField("a", T.DoubleType()), T.StructField("b", T.LongType())]
+    )
+    out = ensure_schema(df, schema)
+    assert out.columns == ["a", "b"]
+    assert out.first()["a"] == 2.5
+
+
+def test_feature_job_end_to_end_and_resume(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "jobs"))
+    from feature_engineering_tk_spark.datagen import generate_transcripts
+    from jobs.feature_job import build_pipeline
+
+    df = generate_transcripts(spark, n_convs=40, seed=7)
+    workdir = str(tmp_path / "ckpt")
+
+    pipe = build_pipeline(workdir, gap_seconds=1800.0)
+    out = pipe.run(spark, df, resume=True)
+    rows = out.count()
+    assert rows == df.count()
+    for col in [
+        "session_id",
+        "text_len_lag1",
+        "turn_gap_s",
+        "tokens_roll_mean5",
+        "tokens_cum_sum",
+        "score_ffill",
+        "last_tool",
+        "ds",
+    ]:
+        assert col in out.columns
+
+    # resume: second run skips to the checkpoint (journal records it)
+    pipe2 = build_pipeline(workdir, gap_seconds=1800.0)
+    out2 = pipe2.run(spark, df, resume=True)
+    assert out2.count() == rows
+    journal = open(pipe2.journal_path).read()
+    assert '"event": "resume"' in journal
+
+    # zero-leakage invariant: last_tool at each anchor only reflects
+    # tool calls with ts <= anchor ts (spot-check via recompute)
+    anchors = out.filter(F.col("last_tool").isNotNull()).limit(20).collect()
+    tool_rows = df.filter(F.col("tool").isNotNull()).select("conv_id", "ts", "tool").collect()
+    for a in anchors:
+        past = [t for t in tool_rows if t.conv_id == a.conv_id and t.ts <= a.ts]
+        assert past, f"no past tool call for {a.conv_id}"
+        latest = max(past, key=lambda t: t.ts)
+        assert a.last_tool == latest.tool
