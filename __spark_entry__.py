@@ -1424,6 +1424,49 @@ def q_suggest_transforms(spark, sf_dir):
     )
 
 
+def q_bartlett(spark, sf_dir):
+    """check_homogeneity_of_variance method='bartlett'
+    (statistical_utils.py:184-256): closed form from one group-moments
+    pass; chi2 p-value via analysis.special."""
+    from feature_engineering_tk_spark.analysis.stats import bartlett
+
+    ev = _t(spark, sf_dir, "events")
+    res = bartlett(ev, "value", "event_type")
+    return spark.createDataFrame(
+        [(round(res["statistic"], 6), round(res["pvalue"], 6))],
+        "stat double, pvalue double",
+    )
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H (the reference's ANOVA fallback,
+    target_analyzer/statistical.py:31-250): tie-corrected midranks via
+    distinct-value prefix sums — global ranks with NO global row sort."""
+    from feature_engineering_tk_spark.analysis.stats import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events")
+    res = kruskal_wallis(ev, "value", "event_type")
+    return spark.createDataFrame(
+        [(round(res["statistic"], 6), round(res["pvalue"], 6))],
+        "stat double, pvalue double",
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer (8 buckets), probe the 2
+    nearest buckets, exact cosine inside — the middle of the
+    brute-force / LSH spectrum. Oracle replays the identical index+probe
+    in SQL."""
+    from feature_engineering_tk_spark.functions.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = ivf_topk(e, [float(x) for x in qvec], k=10, n_centroids=8, nprobe=2)
+    return out.select(
+        "vec_id", "centroid_id", F.round("cosine_sim", 6).alias("cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1522,6 +1565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "suggest_binning": q_suggest_binning,
         "suggest_transforms": q_suggest_transforms,
+        "bartlett": q_bartlett,
+        "kruskal_wallis": q_kruskal_wallis,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -2490,5 +2536,92 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'missing_indicator' END
                    ), ''), 'none') AS suggestions
             FROM prof
+        """,
+        "bartlett": """
+            -- events has exactly 5 classes -> chi2 df = 4:
+            -- sf(x, 4) = exp(-x/2) * (1 + x/2) closed form
+            WITH g AS (
+              SELECT event_type, count(value) AS n, var_samp(value) AS v
+              FROM events GROUP BY event_type HAVING count(value) > 1
+            ), agg AS (
+              SELECT count(*) AS k, sum(n) AS N,
+                     sum((n - 1) * v) / (sum(n) - count(*)) AS sp2,
+                     sum((n - 1) * ln(v)) AS slv,
+                     sum(1.0 / (n - 1)) AS sinv
+              FROM g
+            ), t AS (
+              SELECT ((N - k) * ln(sp2) - slv)
+                     / (1 + (sinv - 1.0 / (N - k)) / (3.0 * (k - 1))) AS stat
+              FROM agg
+            )
+            SELECT round(stat, 6) AS stat,
+                   round(exp(-stat / 2) * (1 + stat / 2), 6) AS pvalue
+            FROM t
+        """,
+        "kruskal_wallis": """
+            -- tie-corrected midranks from distinct-value prefix sums;
+            -- 5 classes -> chi2 df = 4 closed-form survival
+            WITH d AS (
+              SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+            ), vc AS (
+              SELECT v, count(*) AS c FROM d GROUP BY v
+            ), vr AS (
+              SELECT v, c, sum(c) OVER (ORDER BY v) - c + (c + 1) / 2.0 AS ar FROM vc
+            ), j AS (
+              SELECT d.g, vr.ar FROM d JOIN vr ON d.v = vr.v
+            ), pg AS (
+              SELECT g, sum(ar) AS R, count(*) AS n FROM j GROUP BY g
+            ), tot AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS N FROM pg
+            ), ties AS (
+              SELECT sum(CAST(c AS DOUBLE) * c * c - c) AS tie FROM vc
+            ), h AS (
+              SELECT (12.0 / (N * (N + 1)) * (SELECT sum(R * R / n) FROM pg)
+                      - 3.0 * (N + 1))
+                     / (1 - tie / (N * N * N - N)) AS stat
+              FROM tot, ties
+            )
+            SELECT round(stat, 6) AS stat,
+                   round(exp(-stat / 2) * (1 + stat / 2), 6) AS pvalue
+            FROM h
+        """,
+        "ivf_topk": """
+            WITH c AS (
+              SELECT vec_id AS centroid_id, embedding AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), s AS (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS csim
+              FROM embeddings e, c
+            ), a AS (
+              SELECT vec_id, embedding, centroid_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY csim DESC, centroid_id ASC) AS rn
+              FROM s
+            ), assign AS (
+              SELECT vec_id, embedding, centroid_id FROM a WHERE rn = 1
+            ), q AS (
+              SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+            ), pr AS (
+              SELECT centroid_id FROM c, q
+              ORDER BY list_sum(list_transform(list_zip(cvec, qvec),
+                                               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+                       centroid_id ASC
+              LIMIT 2
+            )
+            SELECT vec_id, centroid_id,
+                   round(list_sum(list_transform(list_zip(embedding, qvec),
+                                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+            FROM assign, q
+            WHERE centroid_id IN (SELECT centroid_id FROM pr)
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
         """,
     }

@@ -16,7 +16,7 @@ import math
 from dataclasses import dataclass
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from feature_engineering_tk_spark.analysis import special as S
@@ -285,3 +285,82 @@ def validate_sample_size(n_per_group: list[int], test_type: str = "t_test") -> d
     need = minimums.get(test_type, 2)
     ok = all(n >= need for n in n_per_group)
     return {"valid": ok, "minimum": need, "groups": n_per_group}
+
+
+def bartlett(df: DataFrame, value: str, group: str) -> dict:
+    """Bartlett homogeneity-of-variance test from one group-moments pass
+    (reference check_homogeneity_of_variance, statistical_utils.py:184-256
+    maps scipy.bartlett): T = [(N-k)·ln(s_p²) − Σ(n_i−1)·ln(s_i²)] / C."""
+    groups = [g for g in group_moments(df, value, group) if g["n"] and g["n"] > 1]
+    k = len(groups)
+    if k < 2:
+        return {"statistic": float("nan"), "pvalue": float("nan"), "equal_variance": None}
+    N = sum(g["n"] for g in groups)
+    sp2 = sum((g["n"] - 1) * g["var"] for g in groups) / (N - k)
+    T = (N - k) * math.log(sp2) - sum((g["n"] - 1) * math.log(g["var"]) for g in groups)
+    C = 1.0 + (sum(1.0 / (g["n"] - 1) for g in groups) - 1.0 / (N - k)) / (3.0 * (k - 1))
+    stat = T / C
+    p = S.chi2_sf(stat, k - 1)
+    return {"statistic": stat, "pvalue": p, "equal_variance": p > 0.05}
+
+
+def _average_ranks(df: DataFrame, value: str) -> DataFrame:
+    """Distributed average ranks (ties → midrank), scipy.rankdata parity.
+
+    Scalable form: rank arithmetic runs on the DISTINCT values —
+    groupBy(value).count() (one shuffle, map-side combine), then a
+    range-partitioned prefix sum over the sorted distinct values (the
+    quantiles.py pattern: per-partition cumsum + broadcast partition
+    offsets) — never a single-partition window over row data."""
+    sess = df.sparkSession
+    vc = df.groupBy(F.col(value).alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
+    nparts = max(sess.sparkContext.defaultParallelism, 2)
+    vc = vc.repartitionByRange(nparts, "_v").sortWithinPartitions("_v")
+    vc = vc.withColumn("_pid", F.spark_partition_id()).persist()
+    try:
+        part_tot = {
+            r["_pid"]: r["t"]
+            for r in vc.groupBy("_pid").agg(F.sum("_c").alias("t")).collect()
+        }
+        offs, acc = {}, 0
+        for pid in sorted(part_tot):
+            offs[pid] = acc
+            acc += part_tot[pid]
+        off_map = F.create_map(*[x for k, v in offs.items() for x in (F.lit(k), F.lit(v))])
+        w = Window.partitionBy("_pid").orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+        ranked = vc.withColumn(
+            "_avg_rank",
+            off_map[F.col("_pid")] + F.sum("_c").over(w) - F.col("_c") + (F.col("_c") + 1) / 2.0,
+        ).select("_v", "_c", "_avg_rank")
+        ranked = ranked.localCheckpoint(eager=True)  # cut lineage off the persisted shuffle
+        return ranked
+    finally:
+        vc.unpersist()
+
+
+def kruskal_wallis(df: DataFrame, value: str, group: str) -> dict:
+    """Kruskal-Wallis H (scipy.kruskal parity, tie-corrected) — the
+    reference's non-parametric fallback when ANOVA assumptions fail
+    (target_analyzer/statistical.py:31-250). Global ranks WITHOUT a
+    global sort: midranks from distinct-value prefix sums, joined back
+    on the value key."""
+    d = df.select(F.col(group).alias("_g"), F.col(value).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    ranks = _average_ranks(d, "_v")
+    j = d.join(ranks, "_v")
+    per_group = j.groupBy("_g").agg(
+        F.sum("_avg_rank").alias("R"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    k = len(per_group)
+    N = sum(r["n"] for r in per_group)
+    if k < 2 or N < 3:
+        return {"statistic": float("nan"), "pvalue": float("nan")}
+    H = 12.0 / (N * (N + 1.0)) * sum(r["R"] ** 2 / r["n"] for r in per_group) - 3.0 * (N + 1.0)
+    ties = ranks.agg(
+        F.sum(F.col("_c").cast("double") * F.col("_c") * F.col("_c") - F.col("_c")).alias("t")
+    ).first()["t"]
+    C = 1.0 - (ties or 0.0) / (float(N) ** 3 - N)
+    stat = H / C if C > 0 else float("nan")
+    p = S.chi2_sf(stat, k - 1)
+    return {"statistic": stat, "pvalue": p}

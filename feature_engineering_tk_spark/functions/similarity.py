@@ -106,3 +106,73 @@ def lsh_topk(
     bucketed = lsh_assign_buckets(df, vec_col, dim, n_bits, seed)
     cand = bucketed.filter(F.col("lsh_bucket") == F.lit(qbucket))
     return cosine_topk(cand, list(map(float, qv)), k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid bucket (cosine, ties → smallest centroid id).
+
+    Centroid choice here is the ``n_centroids`` smallest-id vectors —
+    deterministic and oracle-checkable; production swaps in
+    ``pyspark.ml.clustering.KMeans(seed=...)`` centroids and the
+    assignment/search plan below is IDENTICAL (small centroid table
+    broadcast, one scored pass, rank-1 filter).
+
+    Returns (assigned_df with a ``centroid_id`` column, centroids_df).
+    """
+    from pyspark.sql import Window
+
+    centroids = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec"))
+    )
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_csim",
+        dot(F.col(vec_col), F.col("_cvec"))
+        / (l2_norm(F.col(vec_col)) * l2_norm(F.col("_cvec"))),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("centroid_id").asc())
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_csim", "_cvec")
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN search: score ONLY the ``nprobe`` buckets whose centroids
+    are nearest the query — the scale path between brute force (exact,
+    O(N·d)) and LSH (hash pruning). At 100 TB the assignment is
+    precomputed once and bucketed/partitioned by ``centroid_id``, so a
+    query touches nprobe/n_centroids of the data."""
+    assigned, centroids = ivf_assign(df, vec_col, id_col, n_centroids)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r["centroid_id"]
+        for r in centroids.withColumn(
+            "_qsim", dot(F.col("_cvec"), q) / (l2_norm(F.col("_cvec")) * l2_norm(q))
+        )
+        .orderBy(F.col("_qsim").desc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .collect()
+    ]
+    cand = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    out = cand.withColumn(
+        "cosine_sim", dot(F.col(vec_col), q) / (l2_norm(F.col(vec_col)) * l2_norm(q))
+    )
+    return out.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)

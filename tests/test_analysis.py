@@ -310,3 +310,75 @@ def test_calculate_vif_matches_numpy(spark, transcripts):
     exp = np.diag(np.linalg.inv(R))
     for i, c in enumerate(["tokens", "latency_ms", "score"]):
         assert abs(got[c] - exp[i]) < 1e-6, (c, got[c], exp[i])
+
+
+def test_bartlett_matches_closed_form(spark, transcripts):
+    """Bartlett statistic equals the textbook formula computed in
+    numpy on the collected data (scipy.bartlett parity)."""
+    import math
+
+    from feature_engineering_tk_spark.analysis.stats import bartlett
+
+    res = bartlett(transcripts, "tokens", "role")
+    pdf = transcripts.select("role", "tokens").toPandas()
+    gs = [g["tokens"].to_numpy().astype(float) for _, g in pdf.groupby("role")]
+    gs = [g for g in gs if len(g) > 1]
+    k, N = len(gs), sum(len(g) for g in gs)
+    sp2 = sum((len(g) - 1) * g.var(ddof=1) for g in gs) / (N - k)
+    T = (N - k) * math.log(sp2) - sum((len(g) - 1) * math.log(g.var(ddof=1)) for g in gs)
+    C = 1 + (sum(1 / (len(g) - 1) for g in gs) - 1 / (N - k)) / (3 * (k - 1))
+    assert math.isclose(res["statistic"], T / C, rel_tol=1e-9)
+    assert 0.0 <= res["pvalue"] <= 1.0
+
+
+def test_kruskal_wallis_matches_pandas_ranks(spark, transcripts):
+    """Tie-corrected H equals the scipy formula computed with pandas
+    midranks — proving the distributed distinct-value prefix-sum ranks
+    are exact."""
+    import math
+
+    import numpy as np
+
+    from feature_engineering_tk_spark.analysis.stats import kruskal_wallis
+
+    res = kruskal_wallis(transcripts, "tokens", "role")
+    pdf = transcripts.select("role", "tokens").toPandas()
+    N = len(pdf)
+    pdf["r"] = pdf["tokens"].rank(method="average")
+    H = (
+        12.0 / (N * (N + 1))
+        * sum(g["r"].sum() ** 2 / len(g) for _, g in pdf.groupby("role"))
+        - 3.0 * (N + 1)
+    )
+    _, t = np.unique(pdf["tokens"].to_numpy(), return_counts=True)
+    C = 1 - ((t**3 - t).sum()) / (N**3 - N)
+    assert math.isclose(res["statistic"], H / C, rel_tol=1e-9)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with all buckets probed == brute force; with nprobe=2 the
+    top hit (the query itself) is still found."""
+    import numpy as np
+    import pandas as pd
+
+    from feature_engineering_tk_spark.functions.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(200),
+            "embedding": [rng.normal(size=16).astype("float32").tolist() for _ in range(200)],
+        }
+    )
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    q = pdf["embedding"][0]
+
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    full_probe = [
+        r["vec_id"] for r in ivf_topk(df, q, k=5, n_centroids=4, nprobe=4).collect()
+    ]
+    assert full_probe == exact  # all buckets probed == exhaustive
+
+    pruned = ivf_topk(df, q, k=5, n_centroids=4, nprobe=2).collect()
+    assert pruned[0]["vec_id"] == 0  # query's own bucket always probed
+    assert abs(pruned[0]["cosine_sim"] - 1.0) < 1e-9
