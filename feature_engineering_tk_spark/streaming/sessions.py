@@ -88,3 +88,46 @@ def run_available_now(query_df: DataFrame, sink_table: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_running_features(
+    stream: DataFrame,
+    entity: str = "conv_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-entity
+    running feature state (turn count, cumulative tokens, last event
+    time) carried ACROSS micro-batches — the streaming twin of the batch
+    engine's cumulative window aggregates.
+
+    State per key is three scalars (bounded, no row buffering); each
+    micro-batch is processed vectorized in pandas (Arrow transfer, never
+    per-row Python). Append-mode output: one row per incoming turn with
+    its running aggregates as of that turn."""
+    import pandas as pd  # noqa: F401 (vectorized path)
+
+    out_schema = (
+        f"{entity} string, turn_idx int, ts timestamp, "
+        "running_turns long, tokens_cum long, gap_s double"
+    )
+    state_schema = "n long, tok long, last_ts double"
+
+    def update(key, pdfs, state):
+        n, tok, last_ts = state.get if state.exists else (0, 0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts, "turn_idx"], kind="mergesort")
+            sec = pdf[ts].astype("int64") / 1e9
+            pdf["gap_s"] = sec.diff()
+            if last_ts is not None:
+                pdf.iloc[0, pdf.columns.get_loc("gap_s")] = sec.iloc[0] - last_ts
+            pdf["running_turns"] = range(n + 1, n + len(pdf) + 1)
+            pdf["tokens_cum"] = tok + pdf["tokens"].cumsum()
+            n += len(pdf)
+            tok += int(pdf["tokens"].sum())
+            last_ts = float(sec.iloc[-1])
+            yield pdf[[entity, "turn_idx", ts, "running_turns", "tokens_cum", "gap_s"]]
+        state.update((n, tok, last_ts))
+
+    return stream.groupBy(entity).applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -49,3 +49,51 @@ def test_streaming_turn_rate_total(spark, transcripts, parquet_transcripts):
     SS.run_available_now(agg, "stream_rate")
     total = spark.sql("SELECT sum(n_turns) AS n FROM stream_rate").first()["n"]
     assert total == transcripts.count()
+
+
+def test_streaming_running_features_stateful(spark, transcripts, tmp_path):
+    """applyInPandasWithState carries per-conversation state across
+    micro-batches: final running totals equal the batch answer even when
+    the source is drained one file at a time."""
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.streaming.sessions import (
+        read_transcript_stream,
+        streaming_running_features,
+    )
+
+    src = str(tmp_path / "src")
+    # several files => several micro-batches with maxFilesPerTrigger=1
+    transcripts.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files=1)
+    feat = streaming_running_features(stream)
+    q = (
+        feat.writeStream.format("memory")
+        .queryName("running_feat")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.table("running_feat")
+    assert got.count() == transcripts.count()  # one output row per turn
+
+    # final per-conversation state equals the batch aggregate
+    final = (
+        got.groupBy("conv_id")
+        .agg(
+            F.max("running_turns").alias("n"),
+            F.max("tokens_cum").alias("tok"),
+        )
+        .collect()
+    )
+    expected = {
+        r["conv_id"]: (r["n"], r["tok"])
+        for r in transcripts.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tokens").alias("tok"))
+        .collect()
+    }
+    for r in final:
+        assert (r["n"], r["tok"]) == expected[r["conv_id"]], r["conv_id"]
