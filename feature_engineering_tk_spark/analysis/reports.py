@@ -77,7 +77,7 @@ def generate_full_report(df: DataFrame, target: str) -> dict[str, Any]:
         n_rows,
         len(features),
         ta.task,
-        imbalance_ratio=report.get("imbalance", {}).get("imbalance_ratio"),
+        imbalance_ratio=report.get("imbalance", {}).get("ratio"),
     )
     return report
 
@@ -91,7 +91,7 @@ def report_to_markdown(report: dict[str, Any]) -> str:
     parts = [f"# Target analysis: `{report.get('target', '?')}` ({report.get('task', '?')})\n"]
     if "class_distribution" in report:
         rows = "\n".join(
-            f"| {d['value']} | {d['count']} | {d['pct']:.2f}% |"
+            f"| {d['class']} | {d['count']} | {d['pct']:.2f}% |"
             for d in report["class_distribution"]
         )
         parts.append(_md_section("Class distribution", "| class | count | % |\n|---|---|---|\n" + rows))

@@ -142,3 +142,32 @@ def test_full_report_and_export(spark, skewed_df, tmp_path):
     import json
 
     assert json.load(open(js))["target"] == "target"
+
+
+def test_full_report_classification_markdown(spark):
+    """Classification branch: class table + imbalance flow into the
+    markdown writer and model recommendations."""
+    import numpy as np
+    import pandas as pd
+
+    from feature_engineering_tk_spark.analysis.reports import (
+        generate_full_report,
+        report_to_markdown,
+    )
+
+    rng = np.random.RandomState(42)
+    pdf = pd.DataFrame(
+        {
+            "f1": rng.randn(500),
+            "f2": rng.randn(500),
+            "target": rng.choice([0, 1], 500, p=[0.85, 0.15]),
+        }
+    )
+    rep = generate_full_report(spark.createDataFrame(pdf), "target")
+    assert rep["task"] == "classification"
+    assert rep["imbalance"]["ratio"] > 3.0
+    # imbalance propagates into the recommendation rule table
+    assert any("weighting" in m["model"] or "resampling" in m["model"]
+               for m in rep["model_recommendations"])
+    md = report_to_markdown(rep)
+    assert "Class distribution" in md and "| 0 |" in md
