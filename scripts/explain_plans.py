@@ -111,6 +111,54 @@ def main() -> None:
         )
     )
 
+    # 6. Q5-shaped 6-table join: every join must be a broadcast
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.q_regional_revenue(spark, SF))
+    n_bhj = len(set(re.findall(r"BroadcastHashJoin[^(\n]*\((\d+)\)", p)))
+    n_smj = len(set(re.findall(r"SortMergeJoin[^(\n]*\((\d+)\)", p)))
+    sections.append(
+        (
+            "6-table dim chain (TPC-H Q5 shape)",
+            p,
+            [f"broadcast_joins={n_bhj} (want 5)", f"sort_merge_joins={n_smj} (want 0)"],
+        )
+    )
+
+    # 7. IVF ANN: centroid table broadcast, no cross-join explosion beyond it
+    from feature_engineering_tk_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    p = plan_of(ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=2))
+    sections.append(
+        (
+            "IVF ANN search (bucket-pruned)",
+            p,
+            [
+                f"centroids_broadcast={'BroadcastNestedLoopJoin' in p or 'BroadcastExchange' in p}",
+                f"takeordered={'TakeOrderedAndProject' in p} (top-k heap, no full sort)",
+            ],
+        )
+    )
+
+    # 8. distributed midranks: rank arithmetic on DISTINCT values only
+    from feature_engineering_tk_spark.analysis.stats import _average_ranks
+
+    d = ev.select(F.col("event_type").alias("_g"), F.col("value").alias("_v"))
+    p = plan_of(_average_ranks(d, "_v"))
+    single_part_window = "Exchange SinglePartition" in p and "Window" in p
+    sections.append(
+        (
+            "Kruskal-Wallis midranks (distinct-value prefix sums)",
+            p,
+            [
+                f"no_single_partition_window={not single_part_window} "
+                "(ranks from per-range-partition cumsums, never a global-sort window)"
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
