@@ -1424,6 +1424,48 @@ def q_suggest_transforms(spark, sf_dir):
     )
 
 
+def q_group_join_agg(spark, sf_dir):
+    """Skew-safe twin of group_broadcast_agg: same create_aggregations
+    semantics via partial-agg groupBy + join-back (the heavy-tailed-
+    entity default; see BENCH/BASELINE.md skew-stress section) —
+    identical results, different physical plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = W.group_transform_join(li, ["l_partkey"], "l_quantity", funcs=["mean", "max"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round("l_quantity_l_partkey_mean", 6).alias("qty_part_mean"),
+        F.col("l_quantity_l_partkey_max").alias("qty_part_max"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal column plumbing end-to-end (binary payload + typed
+    metadata → JVM-side sha256/crc32 dedup keys → Arrow-batched
+    mapInPandas feature extraction dropping the payload before any
+    shuffle). Decode step is a deterministic stub (no codec libs in
+    the runtime) → rows-only check; the table itself is seeded, not
+    read from sf_dir."""
+    from feature_engineering_tk_spark.functions.multimodal import (
+        extract_media_features,
+        synthesize_media,
+        with_payload_meta,
+    )
+    from feature_engineering_tk_spark.functions.similarity import l2_norm
+
+    media = synthesize_media(spark, n=60, seed=42)
+    meta = with_payload_meta(media)
+    feat = extract_media_features(meta, feature_dim=8)
+    return feat.select(
+        "media_id",
+        "mime",
+        "payload_bytes",
+        F.substring("payload_sha256", 1, 16).alias("sha_prefix"),
+        F.round(l2_norm(F.col("feature")), 6).alias("feature_norm"),
+    )
+
+
 def q_regional_revenue(spark, sf_dir):
     """TPC-H Q5-shaped 6-table join: dims (region→nation→customer/
     supplier) broadcast down the chain onto the lineitem fact — one
@@ -1606,6 +1648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": q_kruskal_wallis,
         "ivf_topk": q_ivf_topk,
         "regional_revenue": q_regional_revenue,
+        "multimodal_features": q_multimodal_features,
+        "group_join_agg": q_group_join_agg,
     }
 
 
@@ -2574,6 +2618,12 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'missing_indicator' END
                    ), ''), 'none') AS suggestions
             FROM prof
+        """,
+        "group_join_agg": """
+            SELECT l_orderkey, l_linenumber, l_partkey,
+                   round(avg(l_quantity) OVER (PARTITION BY l_partkey), 6) AS qty_part_mean,
+                   max(l_quantity) OVER (PARTITION BY l_partkey) AS qty_part_max
+            FROM lineitem
         """,
         "regional_revenue": """
             SELECT n_name,

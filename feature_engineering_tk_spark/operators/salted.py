@@ -14,6 +14,16 @@ stage 2: group by key — merge partials (sums of sums, min of mins,
 Non-decomposable rolling stats (rolling median) can't be salted; they
 fall back to ``applyInPandas`` per entity with a max-group-size guard
 (see ``window_features``/SURVEY §7 hard-part 3).
+
+MEASURED GUIDANCE (BENCH/BASELINE.md skew-stress section): for a plain
+``groupBy().agg()`` of decomposable stats, Spark's map-side partial
+aggregation ALREADY pre-merges hot keys inside every scan task — the
+naive plan has no skewed reducer and salting only adds a shuffle
+(~3x slower at 8M rows / one 50% hot key). Reach for salting / this
+module only for stages WITHOUT partial aggregation: whole-partition
+windows (prefer ``window_features.group_transform_join``), holistic
+aggregates (collect_list, exact percentile per key), and custom
+``applyInPandas`` stages.
 """
 
 from __future__ import annotations

@@ -299,3 +299,34 @@ def tumbling_agg(
     return out.select(
         *keys, F.col("_w.start").alias("window_start"), *aggs.keys()
     )
+
+
+def group_transform_join(
+    df: DataFrame,
+    group_by: list[str],
+    agg_col: str,
+    funcs: list[str] = ("mean", "sum", "std", "min", "max"),
+    broadcast: bool = True,
+) -> DataFrame:
+    """Skew-safe twin of :func:`group_transform`: whole-group statistics
+    via ``groupBy`` (map-side PARTIAL aggregation pre-merges a hot
+    entity inside every scan task — no single reducer ever holds the
+    whole group) then joined back onto the rows. Identical output
+    columns.
+
+    Use this over the window form whenever the entity distribution is
+    heavy-tailed: a whole-partition window must co-locate each entity
+    in one task, which is exactly what a 10^7-turn conversation breaks.
+    ``broadcast=True`` for dim-sized group counts; False lets AQE pick
+    (shuffle join with skew splitting) when the group count itself is
+    huge."""
+    name = "_".join(group_by)
+    stats = df.groupBy(*group_by).agg(
+        *[
+            _AGGS[f](F.col(agg_col)).alias(f"{agg_col}_{name}_{f}")
+            for f in funcs
+        ]
+    )
+    if broadcast:
+        stats = F.broadcast(stats)
+    return df.join(stats, group_by, "left")

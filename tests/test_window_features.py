@@ -193,3 +193,28 @@ def test_tumbling_agg_epoch_aligned(spark, transcripts):
     assert (got["tok"].values == exp["tok"].values).all()
     # every turn lands in exactly one bucket
     assert got["n"].sum() == len(pdf)
+
+
+def test_group_transform_join_matches_window_form(spark, transcripts):
+    """Skew-safe join-back variant produces identical columns/values to
+    the whole-partition window form."""
+    import pandas as pd
+
+    from feature_engineering_tk_spark.operators.window_features import (
+        group_transform,
+        group_transform_join,
+    )
+
+    a = (
+        group_transform(transcripts, ["conv_id"], "tokens", ["mean", "sum", "max"])
+        .select("conv_id", "turn_idx", "tokens_conv_id_mean", "tokens_conv_id_sum", "tokens_conv_id_max")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    b = (
+        group_transform_join(transcripts, ["conv_id"], "tokens", ["mean", "sum", "max"])
+        .select("conv_id", "turn_idx", "tokens_conv_id_mean", "tokens_conv_id_sum", "tokens_conv_id_max")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-12)
