@@ -1424,6 +1424,41 @@ def q_suggest_transforms(spark, sf_dir):
     )
 
 
+def q_rolling_median(spark, sf_dir):
+    """Rolling median — non-decomposable stat through the guarded
+    applyInPandas path (pandas rolling().median() parity; SURVEY §7
+    hard-part 3)."""
+    ev = _t(spark, sf_dir, "events")
+    out = W.rolling_median(
+        ev, "value", window_rows=5, entity="user_id", order=EVENT_ORDER, out="roll_med5"
+    )
+    return out.select("event_id", "user_id", F.round("roll_med5", 6).alias("roll_med5"))
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a max-staleness tolerance (only matches within
+    the last hour count) — checked against DuckDB's native ASOF JOIN
+    plus the tolerance mask."""
+    ev = _t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        anchors,
+        purchases,
+        entity="user_id",
+        value_cols=["purchase_value"],
+        tolerance_seconds=3600.0,
+        suffix="",
+    )
+    return out.select(
+        "event_id", "user_id", _epoch("ts").alias("ts_s"), "purchase_value"
+    )
+
+
 def q_group_join_agg(spark, sf_dir):
     """Skew-safe twin of group_broadcast_agg: same create_aggregations
     semantics via partial-agg groupBy + join-back (the heavy-tailed-
@@ -1650,6 +1685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
         "group_join_agg": q_group_join_agg,
+        "rolling_median": q_rolling_median,
+        "asof_tolerance": q_asof_tolerance,
     }
 
 
@@ -2618,6 +2655,26 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'missing_indicator' END
                    ), ''), 'none') AS suggestions
             FROM prof
+        """,
+        "rolling_median": """
+            SELECT event_id, user_id,
+                   round(median(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med5
+            FROM events
+        """,
+        "asof_tolerance": """
+            WITH anchors AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), features AS (
+              SELECT user_id, ts, max(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT a.event_id, a.user_id, epoch(a.ts) AS ts_s,
+                   CASE WHEN epoch(a.ts) - epoch(f.ts) <= 3600
+                        THEN f.purchase_value END AS purchase_value
+            FROM anchors a ASOF LEFT JOIN features f
+              ON a.user_id = f.user_id AND a.ts >= f.ts
         """,
         "group_join_agg": """
             SELECT l_orderkey, l_linenumber, l_partkey,

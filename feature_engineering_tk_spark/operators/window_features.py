@@ -330,3 +330,43 @@ def group_transform_join(
     if broadcast:
         stats = F.broadcast(stats)
     return df.join(stats, group_by, "left")
+
+
+def rolling_median(
+    df: DataFrame,
+    col: str,
+    window_rows: int = 5,
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    out: str | None = None,
+    max_group_rows: int = 5_000_000,
+) -> DataFrame:
+    """Rolling MEDIAN — non-decomposable (no moment algebra, cannot be
+    salted; SURVEY §7 hard-part 3), so it runs as ``applyInPandas`` per
+    entity with exact ``pandas.rolling(min_periods=1).median()``
+    semantics (linear interpolation on even windows).
+
+    Guard: the largest entity is counted first (one cheap partial-agg
+    job); groups beyond ``max_group_rows`` are refused with guidance
+    instead of OOMing an executor — at that size pre-split by session
+    or switch to an approximate sketch."""
+    from pyspark.sql import types as T
+
+    out = out or f"{col}_roll_median{window_rows}"
+    biggest_row = df.groupBy(entity).count().agg(F.max("count").alias("m")).first()
+    biggest = biggest_row["m"] or 0
+    if biggest > max_group_rows:
+        raise ValueError(
+            f"largest {entity} group has {biggest} rows > max_group_rows="
+            f"{max_group_rows}; pre-split by session_id or use an "
+            "approximate rolling quantile before applyInPandas"
+        )
+    order_cols = [order] if isinstance(order, str) else list(order)
+    schema = T.StructType(df.schema.fields + [T.StructField(out, T.DoubleType(), True)])
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf[out] = pdf[col].rolling(window_rows, min_periods=1).median()
+        return pdf
+
+    return df.groupBy(entity).applyInPandas(fn, schema)

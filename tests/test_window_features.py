@@ -218,3 +218,28 @@ def test_group_transform_join_matches_window_form(spark, transcripts):
         .toPandas()
     )
     pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-12)
+
+
+def test_rolling_median_pandas_parity_and_guard(spark, transcripts, transcripts_pdf):
+    import numpy as np
+    import pytest as _pytest
+
+    from feature_engineering_tk_spark.operators.window_features import rolling_median
+
+    out = (
+        rolling_median(transcripts, "tokens", window_rows=3)
+        .select("conv_id", "turn_idx", "tokens_roll_median3")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        transcripts_pdf.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")["tokens"]
+        .apply(lambda s: s.rolling(3, min_periods=1).median())
+        .reset_index(drop=True)
+    )
+    assert np.allclose(out["tokens_roll_median3"].to_numpy(), exp.to_numpy())
+
+    with _pytest.raises(ValueError, match="max_group_rows"):
+        rolling_median(transcripts, "tokens", max_group_rows=2)
