@@ -86,3 +86,49 @@ def partition_stats(path: str, partition_col: str = "ds") -> list[dict]:
                 }
             )
     return out
+
+
+def stage_snapshot(spark) -> dict[int, dict]:
+    """Per-Spark-stage execution metrics (shuffle read/write bytes,
+    input/output bytes, task counts) straight from the JVM
+    ``AppStatusStore`` — no UI or REST endpoint needed, works the same
+    on ``local[*]`` and a real cluster master."""
+    store = spark._jsc.sc().statusStore()
+    gw = spark.sparkContext._gateway
+    stages = store.stageList(
+        gw.jvm.java.util.ArrayList(),
+        False,
+        False,
+        gw.new_array(gw.jvm.double, 0),
+        gw.jvm.java.util.ArrayList(),
+    )
+    out: dict[int, dict] = {}
+    it = stages.iterator()
+    while it.hasNext():
+        st = it.next()
+        out[int(st.stageId())] = {
+            "shuffle_write_bytes": int(st.shuffleWriteBytes()),
+            "shuffle_read_bytes": int(st.shuffleReadBytes()),
+            "input_bytes": int(st.inputBytes()),
+            "output_bytes": int(st.outputBytes()),
+            "tasks": int(st.numCompleteTasks()),
+        }
+    return out
+
+
+def stage_delta(before: dict[int, dict], after: dict[int, dict]) -> dict:
+    """Aggregate metrics of the Spark stages that ran between two
+    :func:`stage_snapshot` calls — what one pipeline stage actually
+    shuffled/read, for the lineage journal."""
+    keys = ("shuffle_write_bytes", "shuffle_read_bytes", "input_bytes", "output_bytes", "tasks")
+    agg = dict.fromkeys(keys, 0)
+    n_stages = 0
+    for sid, m in after.items():
+        prev = before.get(sid, dict.fromkeys(keys, 0))
+        diff = {k: m[k] - prev.get(k, 0) for k in keys}
+        if any(diff.values()):
+            n_stages += 1
+            for k in keys:
+                agg[k] += max(diff[k], 0)
+    agg["spark_stages"] = n_stages
+    return agg

@@ -153,6 +153,7 @@ class Pipeline:
 
         for stage in self.stages[start_idx:]:
             t0 = time.perf_counter()
+            snap0 = M.stage_snapshot(spark) if self.collect_metrics else {}
             cur = stage.fn(cur)
             record: dict = {
                 "event": "stage",
@@ -178,6 +179,9 @@ class Pipeline:
                     record["rows"] = cur.count()
                     if self.entity in cur.columns:
                         record["skew"] = M.entity_skew(cur, self.entity)
+                # shuffle bytes actually moved by this stage's Spark jobs
+                # (lazy stages show up in the checkpointing stage's delta)
+                record["exec"] = M.stage_delta(snap0, M.stage_snapshot(spark))
             record["wall_s"] = round(time.perf_counter() - t0, 3)
             self._journal(record)
         return cur

@@ -124,3 +124,26 @@ def test_salted_group_agg_matches_plain(transcripts, transcripts_pdf):
     assert np.allclose(got["tokens_std"], exp["std"], equal_nan=True)
     assert np.allclose(got["tokens_min"], exp["min"])
     assert np.allclose(got["tokens_max"], exp["max"])
+
+
+def test_journal_records_shuffle_bytes(spark, transcripts, tmp_path):
+    """Lineage journal carries per-stage execution metrics (shuffle
+    read/write bytes, tasks) from the JVM AppStatusStore — the
+    'shuffle bytes' leg of the north-rule lineage triple."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.operators import window_features as W
+    from feature_engineering_tk_spark.plans.pipeline import Pipeline
+
+    pipe = Pipeline(str(tmp_path / "wd"), entity="conv_id", partition_col="ds")
+    pipe.add("feat", lambda df: W.sessionize(df, 1800.0).withColumn("ds", F.to_date("ts")), checkpoint=True)
+    pipe.run(spark, transcripts, resume=False)
+
+    records = [json.loads(l) for l in open(pipe.journal_path)]
+    stage_rec = next(r for r in records if r.get("stage") == "feat")
+    assert "exec" in stage_rec
+    # sessionize shuffles on conv_id; the checkpoint write reads input
+    assert stage_rec["exec"]["shuffle_write_bytes"] > 0
+    assert stage_rec["exec"]["tasks"] > 0
