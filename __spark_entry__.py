@@ -1424,6 +1424,54 @@ def q_suggest_transforms(spark, sf_dir):
     )
 
 
+def q_edge_bin(spark, sf_dir):
+    """create_binning with an explicit edge list (pd.cut(bins=[...])
+    parity: (lo,hi] intervals, outside -> null) —
+    feature_engineering.py:370-442."""
+    from feature_engineering_tk_spark.transforms.binning import EdgeBinner
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = EdgeBinner(edges=[0.0, 10.0, 25.0, 40.0]).fit(li, "l_quantity").transform(
+        li, out="qty_bin"
+    )
+    return out.select("l_orderkey", "l_linenumber", "qty_bin")
+
+
+def q_whitespace_clean(spark, sf_dir):
+    """handle_whitespace_variants (preprocessing.py:1000-1054): strip +
+    collapse internal whitespace, exact-text contract."""
+    from feature_engineering_tk_spark.functions.strings import handle_whitespace_variants
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "messy", F.concat(F.lit("  "), F.col("text"), F.lit("   x  "))
+    )
+    out = handle_whitespace_variants(d, ["messy"])
+    return out.select("doc_id", F.col("messy").alias("cleaned"))
+
+
+def q_missing_select(spark, sf_dir):
+    """select_by_missing_values (feature_selection.py:302-319): keep
+    columns whose null ratio <= threshold — one null-ratio agg pass."""
+    from feature_engineering_tk_spark.analysis.selection import FeatureSelector
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "mostly_null",
+            F.when(F.col("event_type") == "view", F.col("value")),
+        )
+        .withColumn(
+            "sometimes_null",
+            F.when(F.col("event_type") != "error", F.col("value")),
+        )
+    )
+    sel = FeatureSelector(ev)
+    kept = sel.select_by_missing_values(
+        threshold=0.5, columns=["value", "mostly_null", "sometimes_null"]
+    )
+    return spark.createDataFrame([(c,) for c in sorted(kept)], "kept_column string")
+
+
 def q_rolling_median(spark, sf_dir):
     """Rolling median — non-decomposable stat through the guarded
     applyInPandas path (pandas rolling().median() parity; SURVEY §7
@@ -1687,6 +1735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_join_agg": q_group_join_agg,
         "rolling_median": q_rolling_median,
         "asof_tolerance": q_asof_tolerance,
+        "edge_bin": q_edge_bin,
+        "whitespace_clean": q_whitespace_clean,
+        "missing_select": q_missing_select,
     }
 
 
@@ -2655,6 +2706,32 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'missing_indicator' END
                    ), ''), 'none') AS suggestions
             FROM prof
+        """,
+        "edge_bin": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_quantity > 0 AND l_quantity <= 40
+                        THEN CAST(l_quantity > 10 AS INT) + CAST(l_quantity > 25 AS INT)
+                   END AS qty_bin
+            FROM lineitem
+        """,
+        "whitespace_clean": """
+            SELECT doc_id,
+                   trim(regexp_replace('  ' || text || '   x  ', '\\s+', ' ', 'g')) AS cleaned
+            FROM documents
+        """,
+        "missing_select": """
+            WITH m AS (
+              SELECT count(*) AS n,
+                     sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS miss_v,
+                     sum(CASE WHEN event_type = 'view' THEN 0 ELSE 1 END) AS miss_mostly,
+                     sum(CASE WHEN event_type <> 'error' THEN 0 ELSE 1 END) AS miss_some
+              FROM events
+            )
+            SELECT kept_column FROM (
+              SELECT 'value' AS kept_column, miss_v / CAST(n AS DOUBLE) AS r FROM m
+              UNION ALL SELECT 'mostly_null', miss_mostly / CAST(n AS DOUBLE) FROM m
+              UNION ALL SELECT 'sometimes_null', miss_some / CAST(n AS DOUBLE) FROM m
+            ) WHERE r <= 0.5
         """,
         "rolling_median": """
             SELECT event_id, user_id,
