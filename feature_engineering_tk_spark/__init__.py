@@ -24,3 +24,24 @@ pandas/Arrow UDFs — never per-row Python ``udf``.
 __version__ = "0.1.0"
 
 from feature_engineering_tk_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    """Reference-shaped facade classes, lazily imported so ``import
+    feature_engineering_tk_spark`` stays dependency-light:
+    DataPreprocessor / FeatureEngineer / DataAnalyzer (api.py),
+    TargetAnalyzer (analysis.target), FeatureSelector
+    (analysis.selection)."""
+    if name in ("DataPreprocessor", "FeatureEngineer", "DataAnalyzer"):
+        from feature_engineering_tk_spark import api
+
+        return getattr(api, name)
+    if name == "TargetAnalyzer":
+        from feature_engineering_tk_spark.analysis.target import TargetAnalyzer
+
+        return TargetAnalyzer
+    if name == "FeatureSelector":
+        from feature_engineering_tk_spark.analysis.selection import FeatureSelector
+
+        return FeatureSelector
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,515 @@
+"""Reference-shaped facade: the classes and method names a
+``feature_engineering_tk`` user already knows, mapped onto the
+distributed engine — switch the import, keep the call sites.
+
+- :class:`DataPreprocessor`  — preprocessing.py surface
+- :class:`FeatureEngineer`   — feature_engineering.py surface
+- :class:`DataAnalyzer`      — data_analysis.py surface
+(:class:`~feature_engineering_tk_spark.analysis.target.TargetAnalyzer`
+and :class:`~feature_engineering_tk_spark.analysis.selection.FeatureSelector`
+already carry their reference names.)
+
+Differences from the reference, by design:
+- the wrapped object is a Spark DataFrame; methods stay LAZY where the
+  reference was eager (an op history entry records parameters, not row
+  counts, unless the op itself had to run a job);
+- ``inplace`` is gone — every method updates ``self.df`` and returns
+  ``self`` for chaining; grab ``.df`` for the DataFrame;
+- row order is partition order; the reference's positional-index
+  semantics map to the stable ``(conv_id, turn_idx)`` ordering
+  contract (``order=`` arguments on order-sensitive ops).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _numeric_cols(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC_TYPES)]
+
+
+def _string_cols(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+
+
+class _Tracked:
+    """Shared df + operation-history plumbing (reference base.py:28-39,
+    preprocessing.py:1290-1425)."""
+
+    def __init__(self, df: DataFrame):
+        if not isinstance(df, DataFrame):
+            raise TypeError("expected a pyspark DataFrame")
+        self.df = df
+        self.operation_history: list[dict] = []
+
+    def _record(self, op: str, **params) -> None:
+        self.operation_history.append({"operation": op, "params": params, "ts": time.time()})
+
+    # -- reference export_summary (preprocessing.py:1427-1497) ----------
+    def get_preprocessing_summary(self) -> str:
+        lines = [f"{type(self).__name__} — {len(self.operation_history)} operations"]
+        for i, h in enumerate(self.operation_history, 1):
+            p = ", ".join(f"{k}={v!r}" for k, v in h["params"].items())
+            lines.append(f"{i:3d}. {h['operation']}({p})")
+        return "\n".join(lines)
+
+    def export_summary(self, path: str, fmt: str = "text") -> str:
+        if fmt == "json":
+            content = json.dumps(self.operation_history, indent=2, default=str)
+        else:
+            content = self.get_preprocessing_summary()
+        with open(path, "w") as f:
+            f.write(content)
+        return path
+
+
+class DataPreprocessor(_Tracked):
+    """preprocessing.py surface on Spark."""
+
+    DESTRUCTIVE_OPERATION_THRESHOLD = 0.3  # preprocessing.py:50
+
+    # -- missing values (preprocessing.py:95-221) -----------------------
+    def handle_missing_values(
+        self,
+        strategy: str = "mean",
+        columns: list[str] | None = None,
+        fill_value=None,
+        entity: str = "conv_id",
+        order: str | list[str] = "turn_idx",
+    ) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.operators import window_features as W
+        from feature_engineering_tk_spark.transforms.impute import Imputer
+
+        columns = columns or _numeric_cols(self.df)
+        if strategy in ("mean", "median", "mode", "drop", "fill_value"):
+            imp = Imputer(strategy=strategy, fill_value=fill_value).fit(self.df, columns)
+            self.df = imp.transform(self.df)
+        elif strategy == "forward_fill":
+            self.df = W.forward_fill(self.df, columns, entity=entity, order=order)
+        elif strategy == "backward_fill":
+            self.df = W.backward_fill(
+                self.df, columns, entity=entity, order=order, allow_future=True
+            )
+        elif strategy == "interpolate":
+            self.df = W.interpolate_linear(self.df, columns, entity=entity, order=order)
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+        self._record("handle_missing_values", strategy=strategy, columns=columns)
+        return self
+
+    # -- duplicates / outliers / clipping -------------------------------
+    def remove_duplicates(self, subset=None, keep="first") -> "DataPreprocessor":
+        from feature_engineering_tk_spark.operators.rows import remove_duplicates
+
+        self.df = remove_duplicates(self.df, subset=subset, keep=keep)
+        self._record("remove_duplicates", subset=subset, keep=keep)
+        return self
+
+    def handle_outliers(
+        self,
+        columns: list[str] | None = None,
+        method: str = "iqr",
+        action: str = "cap",
+        factor: float = 1.5,
+        threshold: float = 3.0,
+        replacement: str = "median",
+    ) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
+
+        columns = columns or _numeric_cols(self.df)
+        det = OutlierDetector(method=method, factor=factor, threshold=threshold).fit(
+            self.df, columns
+        )
+        if action == "remove":
+            self.df = det.remove(self.df)
+        elif action == "cap":
+            self.df = det.cap(self.df)
+        elif action == "replace":
+            if replacement == "nan":
+                repl = {}
+            else:
+                fn = F.avg if replacement == "mean" else (
+                    lambda c: F.percentile(F.col(c), F.lit(0.5))
+                )
+                row = self.df.agg(*[fn(c).alias(c) for c in columns]).first()
+                repl = {c: float(row[c]) for c in columns if row[c] is not None}
+            self.df = det.replace(self.df, repl)
+        else:
+            raise ValueError(f"unknown action {action!r}")
+        self._record("handle_outliers", columns=columns, method=method, action=action)
+        return self
+
+    def clip_values(self, column: str, lower=None, upper=None) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.operators.rows import clip_values
+
+        self.df = clip_values(self.df, column, lower, upper)
+        self._record("clip_values", column=column, lower=lower, upper=upper)
+        return self
+
+    # -- column hygiene --------------------------------------------------
+    def remove_constant_columns(self, columns=None) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.operators.rows import remove_constant_columns
+
+        before = set(self.df.columns)
+        self.df = remove_constant_columns(self.df, columns)
+        self._record("remove_constant_columns", removed=sorted(before - set(self.df.columns)))
+        return self
+
+    def remove_high_cardinality_columns(self, threshold: float = 0.95, columns=None) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.operators.rows import (
+            remove_high_cardinality_columns,
+        )
+
+        before = set(self.df.columns)
+        self.df = remove_high_cardinality_columns(self.df, columns, threshold)
+        self._record(
+            "remove_high_cardinality_columns",
+            threshold=threshold,
+            removed=sorted(before - set(self.df.columns)),
+        )
+        return self
+
+    # -- row/column ops --------------------------------------------------
+    def filter_rows(self, condition) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.operators.rows import filter_rows
+
+        self.df = filter_rows(self.df, condition)
+        self._record("filter_rows", condition=str(condition))
+        return self
+
+    def drop_columns(self, columns: list[str]) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.operators.rows import drop_columns
+
+        self.df = drop_columns(self.df, columns)
+        self._record("drop_columns", columns=columns)
+        return self
+
+    def rename_columns(self, mapping: dict[str, str]) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.operators.rows import rename_columns
+
+        self.df = rename_columns(self.df, mapping)
+        self._record("rename_columns", mapping=mapping)
+        return self
+
+    def reorder_columns(self, first: list[str]) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.operators.rows import reorder_columns
+
+        self.df = reorder_columns(self.df, first)
+        self._record("reorder_columns", first=first)
+        return self
+
+    def apply_custom_function(self, column: str, func, out=None, returnType="double") -> "DataPreprocessor":
+        from feature_engineering_tk_spark.operators.rows import apply_custom_function
+
+        self.df = apply_custom_function(self.df, column, func, out, returnType)
+        self._record("apply_custom_function", column=column, out=out)
+        return self
+
+    def sample_data(self, n=None, frac=None, seed: int = 42) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.operators.rows import sample_data
+
+        self.df = sample_data(self.df, n=n, frac=frac, seed=seed)
+        self._record("sample_data", n=n, frac=frac, seed=seed)
+        return self
+
+    # -- strings ---------------------------------------------------------
+    def clean_string_columns(self, columns=None, operations=("strip", "lower")) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.functions.strings import clean_strings
+
+        columns = columns or _string_cols(self.df)
+        self.df = clean_strings(self.df, columns, list(operations))
+        self._record("clean_string_columns", columns=columns, operations=list(operations))
+        return self
+
+    def handle_whitespace_variants(self, columns=None) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.functions.strings import (
+            handle_whitespace_variants,
+        )
+
+        columns = columns or _string_cols(self.df)
+        self.df = handle_whitespace_variants(self.df, columns)
+        self._record("handle_whitespace_variants", columns=columns)
+        return self
+
+    def extract_string_length(self, columns=None, suffix: str = "_length") -> "DataPreprocessor":
+        from feature_engineering_tk_spark.functions.strings import extract_string_length
+
+        columns = columns or _string_cols(self.df)
+        self.df = extract_string_length(self.df, columns, suffix)
+        self._record("extract_string_length", columns=columns)
+        return self
+
+    # -- quality ---------------------------------------------------------
+    def validate_data_quality(self, high_card_threshold: float = 0.95) -> dict:
+        from feature_engineering_tk_spark.analysis.eda import validate_data_quality
+
+        return validate_data_quality(self.df, high_card_threshold)
+
+    def detect_infinite_values(self, columns=None) -> dict:
+        from feature_engineering_tk_spark.operators.rows import detect_infinite_values
+
+        return detect_infinite_values(self.df, columns or _numeric_cols(self.df))
+
+
+class FeatureEngineer(_Tracked):
+    """feature_engineering.py surface on Spark. Fitted transformers are
+    kept in ``self.transformers`` / ``self.scalers`` / ``self.encoders``
+    and persist/reload through ``save_transformers``/``load_transformers``."""
+
+    def __init__(self, df: DataFrame):
+        super().__init__(df)
+        self.transformers: dict[str, object] = {}
+
+    # aliases matching the reference attribute names
+    @property
+    def encoders(self):
+        return {k: v for k, v in self.transformers.items() if "encode" in k}
+
+    @property
+    def scalers(self):
+        return {k: v for k, v in self.transformers.items() if "scaler" in k}
+
+    # -- encodings -------------------------------------------------------
+    def encode_categorical_label(self, columns: list[str]) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.transforms.encode import LabelEncoder
+
+        for c in columns:
+            enc = LabelEncoder().fit(self.df, c)
+            self.df = enc.transform(self.df)
+            self.transformers[f"label_encode_{c}"] = enc
+        self._record("encode_categorical_label", columns=columns)
+        return self
+
+    def encode_categorical_onehot(
+        self, columns: list[str], drop_first: bool = False, dummy_na: bool = False
+    ) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.transforms.encode import OneHotEncoder
+
+        for c in columns:
+            enc = OneHotEncoder(drop_first=drop_first, dummy_na=dummy_na).fit(self.df, c)
+            self.df = enc.transform(self.df)
+            self.transformers[f"onehot_encode_{c}"] = enc
+        self._record("encode_categorical_onehot", columns=columns, drop_first=drop_first)
+        return self
+
+    def encode_categorical_ordinal(self, column: str, categories: list) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.transforms.encode import OrdinalEncoder
+
+        enc = OrdinalEncoder(categories=categories).fit(self.df, column)
+        self.df = enc.transform(self.df)
+        self.transformers[f"ordinal_encode_{column}"] = enc
+        self._record("encode_categorical_ordinal", column=column)
+        return self
+
+    # -- scaling ---------------------------------------------------------
+    def scale_features(self, columns: list[str] | None = None, method: str = "standard") -> "FeatureEngineer":
+        from feature_engineering_tk_spark.transforms.scale import Scaler
+
+        columns = columns or _numeric_cols(self.df)
+        sc = Scaler(method=method).fit(self.df, columns)
+        self.df = sc.transform(self.df)
+        self.transformers[f"{method}_scaler"] = sc  # feature_engineering.py:285
+        self._record("scale_features", columns=columns, method=method)
+        return self
+
+    # -- constructors ----------------------------------------------------
+    def create_polynomial_features(self, columns, degree: int = 2, interaction_only: bool = False) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.functions.numeric import polynomial_features
+
+        self.df = polynomial_features(self.df, columns, degree, interaction_only)
+        self._record("create_polynomial_features", columns=columns, degree=degree)
+        return self
+
+    def create_binning(self, column: str, bins=5, strategy: str = "quantile", out=None) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.transforms.binning import (
+            EdgeBinner,
+            QuantileBinner,
+            UniformBinner,
+        )
+
+        if isinstance(bins, (list, tuple)):
+            binner = EdgeBinner(edges=list(bins)).fit(self.df, column)
+        elif strategy == "quantile":
+            binner = QuantileBinner(bins=bins).fit(self.df, column)
+        else:
+            binner = UniformBinner(bins=bins).fit(self.df, column)
+        self.df = binner.transform(self.df, out=out)
+        self.transformers[f"binning_{column}"] = binner
+        self._record("create_binning", column=column, bins=bins, strategy=strategy)
+        return self
+
+    def create_log_transform(self, columns: list[str]) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.functions.numeric import log_transform
+
+        self.df = log_transform(self.df, columns)
+        self._record("create_log_transform", columns=columns)
+        return self
+
+    def create_sqrt_transform(self, columns: list[str]) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.functions.numeric import sqrt_transform
+
+        self.df = sqrt_transform(self.df, columns)
+        self._record("create_sqrt_transform", columns=columns)
+        return self
+
+    def create_ratio_features(self, pairs, eps: float = 1e-8, names=None) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.functions.numeric import ratio_features
+
+        self.df = ratio_features(self.df, pairs, eps, names)
+        self._record("create_ratio_features", pairs=pairs)
+        return self
+
+    def create_flag_features(self, flags: dict) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.functions.numeric import flag_features
+
+        self.df = flag_features(self.df, flags)
+        self._record("create_flag_features", flags=list(flags))
+        return self
+
+    def create_datetime_features(self, column: str, features=None) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.functions.datetime_features import (
+            datetime_features,
+        )
+
+        self.df = datetime_features(self.df, column, features)
+        self._record("create_datetime_features", column=column, features=features)
+        return self
+
+    def create_aggregations(
+        self,
+        group_by: list[str],
+        agg_col: str,
+        funcs=("mean", "sum", "std", "min", "max"),
+        skew_safe: bool = True,
+    ) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.operators import window_features as W
+
+        fn = W.group_transform_join if skew_safe else W.group_transform
+        self.df = fn(self.df, group_by, agg_col, list(funcs))
+        self._record("create_aggregations", group_by=group_by, agg_col=agg_col, funcs=list(funcs))
+        return self
+
+    # -- persistence (feature_engineering.py:705-747) -------------------
+    def save_transformers(self, path: str) -> str:
+        from feature_engineering_tk_spark.transforms.state import save_transformers
+
+        save_transformers(self.transformers, path)
+        self._record("save_transformers", path=path)
+        return path
+
+    def load_transformers(self, path: str) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.transforms.state import load_transformers
+
+        self.transformers = load_transformers(path)
+        self._record("load_transformers", path=path)
+        return self
+
+
+class DataAnalyzer:
+    """data_analysis.py surface on Spark (read-only — no op history)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def get_basic_info(self) -> dict:
+        from feature_engineering_tk_spark.analysis.eda import get_basic_info
+
+        return get_basic_info(self.df)
+
+    def get_numeric_summary(self, columns=None):
+        from feature_engineering_tk_spark.analysis.eda import get_numeric_summary
+
+        return get_numeric_summary(self.df, columns)
+
+    def get_categorical_summary(self, columns=None):
+        from feature_engineering_tk_spark.analysis.eda import get_categorical_summary
+
+        return get_categorical_summary(self.df, columns)
+
+    def get_missing_summary(self):
+        from feature_engineering_tk_spark.analysis.eda import get_missing_summary
+
+        return get_missing_summary(self.df)
+
+    def get_cardinality_info(self, columns=None, exact: bool = True):
+        from feature_engineering_tk_spark.analysis.eda import get_cardinality_info
+
+        return get_cardinality_info(self.df, columns, exact)
+
+    def get_correlation_matrix(self, columns=None, method: str = "pearson"):
+        from feature_engineering_tk_spark.analysis.eda import correlation_matrix
+
+        return correlation_matrix(self.df, columns, method)
+
+    def get_high_correlations(self, threshold: float = 0.7, columns=None):
+        from feature_engineering_tk_spark.analysis.eda import get_high_correlations
+
+        return get_high_correlations(self.df, threshold, columns)
+
+    def calculate_vif(self, columns=None):
+        from feature_engineering_tk_spark.analysis.eda import calculate_vif
+
+        return calculate_vif(self.df, columns)
+
+    def detect_outliers_iqr(self, column: str, factor: float = 1.5) -> DataFrame:
+        from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
+
+        return OutlierDetector(method="iqr", factor=factor).fit(self.df, [column]).flag(
+            self.df, [column]
+        )
+
+    def detect_outliers_zscore(self, column: str, threshold: float = 3.0) -> DataFrame:
+        from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
+
+        return OutlierDetector(method="zscore", threshold=threshold).fit(
+            self.df, [column]
+        ).flag(self.df, [column])
+
+    def detect_misclassified_categorical(
+        self, max_unique: int = 20, max_ratio: float = 0.05
+    ) -> list[dict]:
+        """Numeric columns that look categorical (data_analysis.py:276-349):
+        few distinct values AND tiny unique/total ratio AND integral
+        values — one aggregate pass."""
+        cols = _numeric_cols(self.df)
+        if not cols:
+            return []
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            aggs += [
+                F.countDistinct(c).alias(f"{c}__u"),
+                F.sum((F.col(c) != F.floor(c)).cast("long")).alias(f"{c}__frac"),
+            ]
+        row = self.df.agg(*aggs).first()
+        out = []
+        for c in cols:
+            u, n = row[f"{c}__u"], row["_n"] or 1
+            if (
+                u is not None
+                and u <= max_unique
+                and u / n < max_ratio
+                and not (row[f"{c}__frac"] or 0)
+            ):
+                out.append({"column": c, "unique": u, "ratio": u / n})
+        return out
+
+    def suggest_binning(self, columns=None):
+        from feature_engineering_tk_spark.analysis.suggest import suggest_binning
+
+        return suggest_binning(self.df, columns or _numeric_cols(self.df))
+
+    def quick_analysis(self):
+        from feature_engineering_tk_spark.analysis.reports import quick_analysis
+
+        return quick_analysis(self.df)

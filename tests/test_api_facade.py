@@ -1,0 +1,118 @@
+"""Reference-shaped facade (api.py): a feature_engineering_tk user's
+call sites run unchanged against the Spark engine, with op history and
+transformer persistence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def mixed_df(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 5 + ["b"] * 5,
+            "turn_idx": list(range(5)) * 2,
+            "numeric1": [1.0, 2.0, None, 4.0, 5.0, 2.0, 3.0, 4.0, None, 6.0],
+            "numeric2": [10.0, 20.0, 30.0, 40.0, 50.0, 15.0, 25.0, 35.0, 45.0, 55.0],
+            "categorical": ["A", "B", "A", "C", "B", "A", "B", "C", "A", "B"],
+            "text": ["  Hello  World ", "FOO bar", "x", "Y  z", "ab"] * 2,
+            "const": [7.0] * 10,
+            "date": pd.date_range("2024-01-01", periods=10, freq="D"),
+        }
+    )
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_preprocessor_reference_call_sites(mixed_df):
+    from feature_engineering_tk_spark import DataPreprocessor
+
+    pdf, df = mixed_df
+    prep = DataPreprocessor(df)
+    prep.handle_missing_values(
+        strategy="mean", columns=["numeric1"]
+    ).remove_constant_columns().clean_string_columns(
+        ["text"], ["strip", "lower", "remove_extra_spaces"]
+    ).extract_string_length(["text"])
+
+    out = prep.df.orderBy("conv_id", "turn_idx").toPandas()
+    assert "const" not in out.columns
+    assert out["numeric1"].notna().all()
+    expected_mean = pdf["numeric1"].mean()
+    assert np.isclose(out["numeric1"].iloc[2], expected_mean)
+    assert out["text"].iloc[0] == "hello world"
+    assert out["text_length"].iloc[0] == len("hello world")
+    assert len(prep.operation_history) == 4
+    summary = prep.get_preprocessing_summary()
+    assert "handle_missing_values" in summary and "1." in summary
+
+
+def test_preprocessor_outliers_and_quality(spark):
+    from feature_engineering_tk_spark import DataPreprocessor
+
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0, 100.0], "k": list("abcde")})
+    prep = DataPreprocessor(spark.createDataFrame(pdf))
+    prep.handle_outliers(["v"], method="iqr", action="cap")
+    capped = prep.df.orderBy("k").toPandas()["v"]
+    q1, q3 = pdf["v"].quantile([0.25, 0.75])
+    hi = q3 + 1.5 * (q3 - q1)
+    assert np.isclose(capped.max(), hi)
+
+    quality = prep.validate_data_quality()
+    assert isinstance(quality, dict)
+
+
+def test_feature_engineer_chain_and_persistence(mixed_df, tmp_path):
+    from feature_engineering_tk_spark import FeatureEngineer
+
+    pdf, df = mixed_df
+    fe = FeatureEngineer(df)
+    fe.encode_categorical_label(["categorical"]).scale_features(
+        ["numeric2"], method="standard"
+    ).create_polynomial_features(["numeric2"], degree=2).create_datetime_features(
+        "date", ["year", "dayofweek"]
+    )
+    out = fe.df.orderBy("conv_id", "turn_idx").toPandas()
+    assert out["categorical"].tolist()[:5] == [0, 1, 0, 2, 1]
+    assert np.isclose(out["numeric2"].std(ddof=0), 1.0)
+    assert "numeric2_squared" in out.columns
+    assert out["date_dayofweek"].tolist() == pdf.sort_values(["conv_id", "turn_idx"])[
+        "date"
+    ].dt.dayofweek.tolist()
+    assert "standard_scaler" in fe.scalers  # reference attribute contract
+
+    # persistence round trip: reload and re-apply to fresh data
+    path = fe.save_transformers(str(tmp_path / "t.json"))
+    fe2 = FeatureEngineer(df).load_transformers(path)
+    assert set(fe2.transformers) == set(fe.transformers)
+    reapplied = fe2.transformers["label_encode_categorical"].transform(df).toPandas()
+    assert sorted(reapplied["categorical"].unique()) == [0, 1, 2]
+
+
+def test_data_analyzer_surface(mixed_df):
+    from feature_engineering_tk_spark import DataAnalyzer
+
+    pdf, df = mixed_df
+    an = DataAnalyzer(df)
+    info = an.get_basic_info()
+    assert info["rows"] == 10
+    names, mat = an.get_correlation_matrix(["numeric1", "numeric2"])
+    assert names == ["numeric1", "numeric2"]
+    # pairwise-complete parity with pandas
+    assert np.isclose(mat[0][1], pdf["numeric1"].corr(pdf["numeric2"]))
+
+    flags = an.detect_outliers_iqr("numeric2").toPandas()
+    assert "numeric2_is_outlier" in flags.columns
+
+    misclass = an.detect_misclassified_categorical(max_unique=20, max_ratio=1.1)
+    # turn_idx: 5 distinct ints over 10 rows → flagged with lenient ratio
+    assert any(d["column"] == "turn_idx" for d in misclass)
+
+
+def test_facade_exports():
+    import feature_engineering_tk_spark as fe
+
+    for name in ("DataPreprocessor", "FeatureEngineer", "DataAnalyzer",
+                 "TargetAnalyzer", "FeatureSelector"):
+        assert getattr(fe, name) is not None
