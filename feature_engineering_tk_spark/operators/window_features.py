@@ -89,10 +89,14 @@ def with_turn_gap(
     out: str = "turn_gap_s",
 ) -> DataFrame:
     """Seconds since the previous turn in the same conversation (null on
-    the first turn). Sub-second precision preserved via double cast."""
+    the first turn). Differenced in INTEGER microseconds then divided —
+    subtracting two ~1.7e9 epoch doubles first would lose ~1e-7 s to
+    float cancellation (pandas timedelta subtraction is exact, so the
+    allclose contract needs the exact form)."""
     w = entity_window(entity, order)
-    cur = epoch_seconds(ts)
-    return df.withColumn(out, cur - F.lag(cur, 1).over(w))
+    cur = epoch_micros(ts)
+    gap_us = cur - F.lag(cur, 1).over(w)
+    return df.withColumn(out, gap_us.cast("double") / F.lit(1_000_000.0))
 
 
 def rolling_agg(
@@ -238,9 +242,12 @@ def sessionize(
     orders = [ts] if order is None else ([order] if isinstance(order, str) else list(order))
     w = entity_window(entity, orders)
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    cur = epoch_seconds(ts)
-    gap = cur - F.lag(cur, 1).over(w)
-    is_new = F.when(gap.isNull() | (gap > F.lit(float(gap_seconds))), 1).otherwise(0)
+    # exact integer-microsecond gap (no float cancellation at the
+    # gap_seconds boundary — see with_turn_gap)
+    cur = epoch_micros(ts)
+    gap_us = cur - F.lag(cur, 1).over(w)
+    thresh_us = F.lit(int(round(float(gap_seconds) * 1_000_000)))
+    is_new = F.when(gap_us.isNull() | (gap_us > thresh_us), 1).otherwise(0)
     return df.withColumn(out, (F.sum(is_new).over(wc) - F.lit(1)).cast("long"))
 
 
@@ -255,7 +262,7 @@ def session_bounds(
     return df.groupBy(entity, session_col).agg(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
-        (F.max(epoch_seconds(ts)) - F.min(epoch_seconds(ts))).alias(
+        ((F.max(epoch_micros(ts)) - F.min(epoch_micros(ts))).cast("double") / 1e6).alias(
             "session_duration_s"
         ),
         F.count(F.lit(1)).alias("n_turns"),

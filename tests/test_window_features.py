@@ -243,3 +243,65 @@ def test_rolling_median_pandas_parity_and_guard(spark, transcripts, transcripts_
 
     with _pytest.raises(ValueError, match="max_group_rows"):
         rolling_median(transcripts, "tokens", max_group_rows=2)
+
+
+def test_flagship_feature_vector_allclose(spark, transcripts, transcripts_pdf):
+    """THE north-star check, end to end: the full flagship pipeline
+    (sessionize + lag + turn gap + rolling mean + cumulative sum +
+    LOCF + as-of last-tool join) against a complete pandas oracle —
+    every feature at every (conv_id, turn_idx) anchor numpy-allclose,
+    text/tool values exactly equal, under stable ordering."""
+    import numpy as np
+
+    from jobs.feature_job import build_pipeline
+
+    out = (
+        build_pipeline(workdir="/tmp/_unused_fv", gap_seconds=1800.0)
+        .stages[0]
+        .fn(transcripts)
+    )
+    # run the remaining stages without checkpointing machinery
+    import jobs.feature_job as J
+
+    pipe = J.build_pipeline(workdir="/tmp/_unused_fv", gap_seconds=1800.0)
+    cur = transcripts
+    for stage in pipe.stages:
+        cur = stage.fn(cur)
+    got = (
+        cur.select(
+            "conv_id", "turn_idx", "session_id", "text_len_lag1", "turn_gap_s",
+            "tokens_roll_mean5", "tokens_cum_sum", "score_ffill", "last_tool",
+        )
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+
+    # pandas oracle
+    pdf = transcripts_pdf.sort_values(["conv_id", "ts", "turn_idx"]).copy()
+    g = pdf.groupby("conv_id", sort=False)
+    gap = (pdf["ts"] - g["ts"].shift(1)).dt.total_seconds()
+    pdf["turn_gap_s"] = gap
+    pdf["session_id"] = (gap > 1800.0).fillna(False).astype(int).groupby(pdf["conv_id"]).cumsum()
+    pdf["text_len_lag1"] = g["text"].shift(1).str.len()
+    pdf["tokens_roll_mean5"] = g["tokens"].transform(
+        lambda s: s.rolling(5, min_periods=1).mean()
+    )
+    pdf["tokens_cum_sum"] = g["tokens"].cumsum()
+    pdf["score_ffill"] = g["score"].ffill()
+    # as-of: latest tool value with tool_ts <= anchor ts per conv
+    pdf["last_tool"] = g["tool"].ffill()
+    exp = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    assert len(got) == len(exp)
+    for col in ["session_id", "tokens_cum_sum"]:
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+    for col in ["text_len_lag1", "turn_gap_s", "tokens_roll_mean5", "score_ffill"]:
+        a, b = got[col].to_numpy(dtype=float), exp[col].to_numpy(dtype=float)
+        both_nan = np.isnan(a) & np.isnan(b)
+        assert (both_nan | np.isclose(a, b, rtol=1e-9, equal_nan=False)).all(), col
+    # exact equality for the text-typed feature (per-turn text contract)
+    assert (
+        got["last_tool"].fillna("<NA>").tolist()
+        == exp["last_tool"].fillna("<NA>").tolist()
+    )
