@@ -1424,6 +1424,28 @@ def q_suggest_transforms(spark, sf_dir):
     )
 
 
+def q_expanding_impute(spark, sf_dir):
+    """Point-in-time imputation (SURVEY §2.3 'past-only mean via
+    expanding Window'): nulls filled with the expanding PAST-ONLY mean
+    within the entity — the leakage-free variant of global mean fill."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    # same frame as W.expanding_impute (unit-tested for semantics); the
+    # running mean goes through DECIMAL sums here so partial-summation
+    # order can't flip the 6-dp rounding across engines
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*EVENT_ORDER)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fill = (
+        F.sum(F.col("v").cast("decimal(28,10)")).over(w) / F.count("v").over(w)
+    ).cast("double")
+    out = ev.withColumn("v", F.coalesce(F.col("v"), fill))
+    return out.select("event_id", "user_id", F.round("v", 6).alias("v_pit"))
+
+
 def q_edge_bin(spark, sf_dir):
     """create_binning with an explicit edge list (pd.cut(bins=[...])
     parity: (lo,hi] intervals, outside -> null) —
@@ -1735,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_join_agg": q_group_join_agg,
         "rolling_median": q_rolling_median,
         "asof_tolerance": q_asof_tolerance,
+        "expanding_impute": q_expanding_impute,
         "edge_bin": q_edge_bin,
         "whitespace_clean": q_whitespace_clean,
         "missing_select": q_missing_select,
@@ -2706,6 +2729,20 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'missing_indicator' END
                    ), ''), 'none') AS suggestions
             FROM prof
+        """,
+        "expanding_impute": """
+            SELECT event_id, user_id,
+                   round(coalesce(
+                     CASE WHEN event_type = 'error' THEN NULL ELSE value END,
+                     CAST(sum(CAST(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                                   AS DECIMAL(28,10)))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                     / count(CASE WHEN event_type = 'error' THEN NULL ELSE value END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   ), 6) AS v_pit
+            FROM events
         """,
         "edge_bin": """
             SELECT l_orderkey, l_linenumber,

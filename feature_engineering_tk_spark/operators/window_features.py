@@ -377,3 +377,26 @@ def rolling_median(
         return pdf
 
     return df.groupBy(entity).applyInPandas(fn, schema)
+
+
+def expanding_impute(
+    df: DataFrame,
+    cols: list[str],
+    func: str = "mean",
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+) -> DataFrame:
+    """Point-in-time imputation (SURVEY §2.3): fill nulls with the
+    expanding PAST-ONLY statistic of the column within the entity —
+    the leakage-free variant of global mean/median fill (a global
+    statistic read at train time leaks future rows into past anchors).
+    Frame ends at the PREVIOUS row, so the fill at an anchor never sees
+    the anchor itself or anything after it."""
+    if func not in ("mean", "min", "max", "last"):
+        raise ValueError("expanding_impute supports mean/min/max/last")
+    w = entity_window(entity, order).rowsBetween(Window.unboundedPreceding, -1)
+    agg = {"mean": F.avg, "min": F.min, "max": F.max,
+           "last": lambda c: F.last(c, ignorenulls=True)}[func]
+    return df.withColumns(
+        {c: F.coalesce(F.col(c), agg(F.col(c)).over(w)) for c in cols}
+    )

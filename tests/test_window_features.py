@@ -305,3 +305,32 @@ def test_flagship_feature_vector_allclose(spark, transcripts, transcripts_pdf):
         got["last_tool"].fillna("<NA>").tolist()
         == exp["last_tool"].fillna("<NA>").tolist()
     )
+
+
+def test_expanding_impute_past_only(spark):
+    """Fill equals the mean of STRICTLY EARLIER non-null values —
+    never the anchor row or anything after it."""
+    import pandas as pd
+
+    from feature_engineering_tk_spark.operators.window_features import expanding_impute
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 6,
+            "turn_idx": range(6),
+            "v": [2.0, None, 4.0, None, 100.0, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        expanding_impute(df, ["v"], func="mean")
+        .orderBy("turn_idx")
+        .toPandas()["v"]
+        .tolist()
+    )
+    # idx1: mean(2)=2; idx3: mean(2,4)=3; idx5: mean(2,4,100)
+    assert out == [2.0, 2.0, 4.0, 3.0, 100.0, pytest.approx((2 + 4 + 100) / 3)]
+    # leading null stays null (no past)
+    pdf2 = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0], "v": [None]})
+    df2 = spark.createDataFrame(pdf2, "conv_id string, turn_idx int, v double")
+    assert expanding_impute(df2, ["v"]).first()["v"] is None
