@@ -1424,6 +1424,21 @@ def q_suggest_transforms(spark, sf_dir):
     )
 
 
+def q_detect_misclassified(spark, sf_dir):
+    """detect_misclassified_categorical (data_analysis.py:276-349):
+    numeric columns that look categorical — few distinct, tiny
+    unique/total ratio, all-integral — one aggregate pass."""
+    from feature_engineering_tk_spark.api import DataAnalyzer
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    out = DataAnalyzer(li).detect_misclassified_categorical(max_unique=60, max_ratio=0.01)
+    return spark.createDataFrame(
+        [(d["column"], d["unique"]) for d in out], "col string, n_unique long"
+    )
+
+
 def q_expanding_impute(spark, sf_dir):
     """Point-in-time imputation (SURVEY §2.3 'past-only mean via
     expanding Window'): nulls filled with the expanding PAST-ONLY mean
@@ -1757,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_join_agg": q_group_join_agg,
         "rolling_median": q_rolling_median,
         "asof_tolerance": q_asof_tolerance,
+        "detect_misclassified": q_detect_misclassified,
         "expanding_impute": q_expanding_impute,
         "edge_bin": q_edge_bin,
         "whitespace_clean": q_whitespace_clean,
@@ -2729,6 +2745,23 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'missing_indicator' END
                    ), ''), 'none') AS suggestions
             FROM prof
+        """,
+        "detect_misclassified": """
+            WITH s AS (
+              SELECT count(*) AS n,
+                     count(DISTINCT l_linenumber) AS u1,
+                     sum(CASE WHEN l_linenumber <> floor(l_linenumber) THEN 1 ELSE 0 END) AS f1,
+                     count(DISTINCT l_quantity) AS u2,
+                     sum(CASE WHEN l_quantity <> floor(l_quantity) THEN 1 ELSE 0 END) AS f2,
+                     count(DISTINCT l_extendedprice) AS u3,
+                     sum(CASE WHEN l_extendedprice <> floor(l_extendedprice) THEN 1 ELSE 0 END) AS f3
+              FROM lineitem
+            )
+            SELECT col, n_unique FROM (
+              SELECT 'l_linenumber' AS col, u1 AS n_unique, f1 AS frac, n FROM s
+              UNION ALL SELECT 'l_quantity', u2, f2, n FROM s
+              UNION ALL SELECT 'l_extendedprice', u3, f3, n FROM s
+            ) WHERE n_unique <= 60 AND n_unique / CAST(n AS DOUBLE) < 0.01 AND frac = 0
         """,
         "expanding_impute": """
             SELECT event_id, user_id,

@@ -8,7 +8,12 @@ and parquet-footer caching don't favor either side.
 Writes BENCH/BASELINE.md with throughput at both levels and
 efficiency = (thr_4N / thr_N) / 4.
 
-Usage: python scripts/scaling_bench.py [n_convs] (default 400_000)
+Usage: python scripts/scaling_bench.py [n_convs] (default 2_000_000 convs
+~= 40M turns). Don't measure below ~40M turns: with an ~11 s wall at
+local[32], fixed per-job overheads (JVM startup amortization, stage
+scheduling, parquet footer reads) dominate and efficiency under-reports
+— at 8M turns the same job measures ~0.4 even though the per-stage
+compute scales cleanly.
 """
 
 from __future__ import annotations
@@ -65,7 +70,7 @@ spark.stop()
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 
     if not os.path.exists(DATA):
         sys.path.insert(0, REPO)
