@@ -58,7 +58,13 @@ def exact_quantiles(
         needed: set[int] = set()
         brackets: list[tuple[int, int, float]] = []
         for p in probs:
-            pos = (n - 1) * float(p)
+            # pandas Series.quantile / qcut route probabilities through
+            # the PERCENT scale (np.percentile(q*100)); (p*100)/100 is
+            # one ulp off p for e.g. thirds, which can select a
+            # different bracket row entirely (0.99…82 vs 1.0 on tied
+            # data). Replicate the round trip for bit-exact parity.
+            p_eff = (float(p) * 100.0) / 100.0
+            pos = (n - 1) * p_eff
             lo = int(math.floor(pos))
             hi = min(lo + 1, n - 1)
             g = pos - lo
