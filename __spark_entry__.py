@@ -1424,6 +1424,22 @@ def q_suggest_transforms(spark, sf_dir):
     )
 
 
+def q_snapshot_scale(spark, sf_dir):
+    """Snapshot-stat fitting (SURVEY §7 step 4, north-star train-cutoff
+    rule): scaler statistics computed ONLY from rows before the cutoff,
+    then applied to every row — fitted state never reads the future;
+    the broadcast-back of tiny fitted stats is the engine's §2.10
+    'fit-then-transform' join."""
+    from feature_engineering_tk_spark.transforms.scale import Scaler
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-15 00:00:00"
+    train = ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    sc = Scaler(method="standard").fit(train, ["value"])
+    out = sc.transform(ev)
+    return out.select("event_id", F.round("value", 6).alias("value_scaled"))
+
+
 def q_detect_misclassified(spark, sf_dir):
     """detect_misclassified_categorical (data_analysis.py:276-349):
     numeric columns that look categorical — few distinct, tiny
@@ -1772,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_join_agg": q_group_join_agg,
         "rolling_median": q_rolling_median,
         "asof_tolerance": q_asof_tolerance,
+        "snapshot_scale": q_snapshot_scale,
         "detect_misclassified": q_detect_misclassified,
         "expanding_impute": q_expanding_impute,
         "edge_bin": q_edge_bin,
@@ -2745,6 +2762,15 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'missing_indicator' END
                    ), ''), 'none') AS suggestions
             FROM prof
+        """,
+        "snapshot_scale": """
+            WITH f AS (
+              SELECT avg(value) AS m,
+                     stddev_pop(value) AS s
+              FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+            )
+            SELECT event_id, round((value - f.m) / f.s, 6) AS value_scaled
+            FROM events, f
         """,
         "detect_misclassified": """
             WITH s AS (
