@@ -171,3 +171,101 @@ def test_label_encode_rank_parity(spark, cats):
     got = out.sort_values("i")["code"].tolist()
     vocab = {v: i for i, v in enumerate(sorted(set(cats)))}
     assert got == [vocab[c] for c in cats]
+
+
+@given(
+    left_ts=st.lists(st.integers(0, 1000), min_size=1, max_size=25),
+    right_ts=st.lists(st.integers(0, 1000), min_size=1, max_size=25),
+    tol=st.one_of(st.none(), st.integers(1, 200)),
+)
+@SET
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts, tol):
+    """Engine as-of join == pandas.merge_asof (backward, inclusive <=,
+    optional tolerance) on arbitrary timestamp multisets — including
+    exact-tie anchors and all-misses."""
+    import pandas as pd
+
+    from feature_engineering_tk_spark.operators.asof import asof_join
+
+    left = pd.DataFrame(
+        {
+            "conv_id": ["e"] * len(left_ts),
+            "aid": range(len(left_ts)),
+            "ts": pd.to_datetime(sorted(left_ts), unit="s"),
+        }
+    )
+    # dedupe right timestamps: merge_asof picks the LAST among equal-ts
+    # right rows; the engine's union-tag window does too, but value
+    # disambiguation on exact right-side ts duplicates is undefined in
+    # both — give right unique ts to keep the oracle exact
+    rts = sorted(set(right_ts))
+    right = pd.DataFrame(
+        {
+            "conv_id": ["e"] * len(rts),
+            "ts": pd.to_datetime(rts, unit="s"),
+            "val": [float(t) for t in rts],
+        }
+    )
+    expected = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="conv_id",
+        direction="backward",
+        tolerance=pd.Timedelta(seconds=tol) if tol else None,
+    )
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            entity="conv_id",
+            value_cols=["val"],
+            tolerance_seconds=float(tol) if tol else None,
+            suffix="",
+        )
+        .orderBy("aid")
+        .toPandas()
+    )
+    exp_vals = expected.sort_values("aid")["val"].tolist()
+    got_vals = got["val"].tolist()
+    assert len(exp_vals) == len(got_vals)
+    for g, e in zip(got_vals, exp_vals):
+        if pd.isna(e):
+            assert g is None or pd.isna(g)
+        else:
+            assert g == e
+
+
+@given(
+    gaps=st.lists(st.integers(0, 4000), min_size=1, max_size=30),
+    threshold=st.integers(1, 3600),
+)
+@SET
+def test_sessionize_matches_pandas_cumsum(spark, gaps, threshold):
+    """session_id == pandas (gap > threshold).cumsum() per entity."""
+    import numpy as np
+    import pandas as pd
+
+    from feature_engineering_tk_spark.operators.window_features import sessionize
+
+    ts = pd.to_datetime(np.cumsum([0] + gaps), unit="s")
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"] * len(ts), "turn_idx": range(len(ts)), "ts": ts}
+    )
+    gap_s = pdf["ts"].diff().dt.total_seconds()
+    expected = (gap_s > threshold).fillna(False).astype(int).cumsum().tolist()
+
+    got = (
+        sessionize(
+            spark.createDataFrame(pdf),
+            gap_seconds=float(threshold),
+            entity="conv_id",
+            ts="ts",
+            order="turn_idx",
+        )
+        .orderBy("turn_idx")
+        .toPandas()["session_id"]
+        .tolist()
+    )
+    assert got == expected
