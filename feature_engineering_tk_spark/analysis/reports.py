@@ -135,3 +135,58 @@ def export_report(report: dict[str, Any], path: str, fmt: str = "markdown") -> s
     with open(path, "w") as fh:
         fh.write(content)
     return path
+
+
+def generate_summary_report(df: DataFrame, target: str, width: int = 40) -> str:
+    """ASCII summary report with text bar charts
+    (target_analyzer/core.py:260-369): class distribution or target
+    histogram, top feature relationships, quality flags — driver-side
+    string building over the same collected aggregates as
+    :func:`generate_full_report`."""
+    rep = generate_full_report(df, target)
+    lines = [
+        "=" * (width + 24),
+        f"TARGET ANALYSIS: {target}  (task: {rep['task']})",
+        "=" * (width + 24),
+    ]
+    if "class_distribution" in rep:
+        lines.append("\nClass distribution:")
+        mx = max(d["count"] for d in rep["class_distribution"]) or 1
+        for d in rep["class_distribution"]:
+            bar = "#" * max(1, round(width * d["count"] / mx))
+            lines.append(f"  {str(d['class'])[:12]:>12} | {bar} {d['count']} ({d['pct']:.1f}%)")
+        imb = rep.get("imbalance", {})
+        if imb:
+            lines.append(
+                f"  imbalance ratio {imb['ratio']:.2f} -> {imb['severity']}"
+            )
+    else:
+        td = rep["target_distribution"]
+        lines.append("\nTarget distribution:")
+        for k in ("count", "mean", "median", "std", "min", "max", "skew", "kurtosis"):
+            if k in td:
+                v = td[k]
+                lines.append(f"  {k:>10}: {v:.4g}" if isinstance(v, float) else f"  {k:>10}: {v}")
+    rels = rep.get("feature_relationships", [])
+    if rels:
+        lines.append("\nTop feature relationships (by p-value):")
+        import math as _m
+
+        for r in sorted(rels, key=lambda r: r["pvalue"] if not _m.isnan(r["pvalue"]) else 1.0)[:10]:
+            sig = "***" if r["pvalue"] < 0.001 else "**" if r["pvalue"] < 0.01 else "*" if r["pvalue"] < 0.05 else ""
+            lines.append(
+                f"  {r['feature'][:20]:>20} {r['test']:>10} stat={r['statistic']:.4g} p={r['pvalue']:.3g} {sig}"
+            )
+    sugg = rep.get("suggestions", [])
+    todo = [s for s in sugg if s["suggestions"] != ["none"]]
+    if todo:
+        lines.append("\nSuggested transforms:")
+        for s in todo[:10]:
+            lines.append(f"  {s['column'][:20]:>20}: {', '.join(s['suggestions'])}")
+    recs = rep.get("model_recommendations", [])
+    if recs:
+        lines.append("\nModel recommendations:")
+        for m in recs:
+            lines.append(f"  [{m['priority']}] {m['model']} — {m['reason']}")
+    lines.append("=" * (width + 24))
+    return "\n".join(lines)

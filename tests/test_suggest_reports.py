@@ -171,3 +171,24 @@ def test_full_report_classification_markdown(spark):
                for m in rep["model_recommendations"])
     md = report_to_markdown(rep)
     assert "Class distribution" in md and "| 0 |" in md
+
+
+def test_generate_summary_report_ascii(spark):
+    """ASCII report (core.py:260-369 analog): bar chart rows, severity
+    line, significance stars."""
+    import numpy as np
+    import pandas as pd
+
+    from feature_engineering_tk_spark.analysis.reports import generate_summary_report
+
+    rng = np.random.RandomState(42)
+    y = rng.choice([0, 1], 600, p=[0.8, 0.2])
+    pdf = pd.DataFrame(
+        {"f1": rng.randn(600) + y * 2.0, "f2": rng.randn(600), "target": y}
+    )
+    text = generate_summary_report(spark.createDataFrame(pdf), "target")
+    assert "TARGET ANALYSIS: target" in text
+    assert "#" in text  # bar chart
+    assert "imbalance ratio" in text
+    assert "f1" in text and "***" in text  # strong effect flagged
+    assert "Model recommendations:" in text
