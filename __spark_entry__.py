@@ -1424,6 +1424,26 @@ def q_suggest_transforms(spark, sf_dir):
     )
 
 
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: per-part average quantity (tiny aggregate,
+    broadcast back) gates the fact scan — the correlated-subquery
+    pattern expressed as agg + broadcast join, no per-row subquery
+    execution."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    out = (
+        li.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+    return out.select(F.round("avg_yearly", 4).alias("avg_yearly"), "n_small")
+
+
 def q_snapshot_scale(spark, sf_dir):
     """Snapshot-stat fitting (SURVEY §7 step 4, north-star train-cutoff
     rule): scaler statistics computed ONLY from rows before the cutoff,
@@ -1788,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_join_agg": q_group_join_agg,
         "rolling_median": q_rolling_median,
         "asof_tolerance": q_asof_tolerance,
+        "small_quantity_revenue": q_small_quantity_revenue,
         "snapshot_scale": q_snapshot_scale,
         "detect_misclassified": q_detect_misclassified,
         "expanding_impute": q_expanding_impute,
@@ -2762,6 +2783,16 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'missing_indicator' END
                    ), ''), 'none') AS suggestions
             FROM prof
+        """,
+        "small_quantity_revenue": """
+            WITH pa AS (
+              SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+                   count(*) AS n_small
+            FROM lineitem JOIN pa USING (l_partkey)
+            WHERE l_quantity < pa.half_avg
         """,
         "snapshot_scale": """
             WITH f AS (
