@@ -1424,6 +1424,40 @@ def q_suggest_transforms(spark, sf_dir):
     )
 
 
+def q_corpus_cleanse(spark, sf_dir):
+    """Composite training-data cleanse — the brief's core pipeline in
+    one plan: inject duplicates → exact dedup (hash-groupBy keep-min) →
+    language filter → token-count quality floor → per-source stats.
+    Every stage is individually oracled; this checks the composition."""
+    from feature_engineering_tk_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    dup = d.orderBy("doc_id").limit(100).withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = d.unionByName(dup)
+    deduped = (
+        corpus.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(F.col("text")).orderBy(F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    clean = deduped.filter(F.col("lang") == "en").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    ).filter(F.col("n_tokens") >= 5)
+    return (
+        clean.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: per-part average quantity (tiny aggregate,
     broadcast back) gates the fact scan — the correlated-subquery
@@ -1808,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_join_agg": q_group_join_agg,
         "rolling_median": q_rolling_median,
         "asof_tolerance": q_asof_tolerance,
+        "corpus_cleanse": q_corpus_cleanse,
         "small_quantity_revenue": q_small_quantity_revenue,
         "snapshot_scale": q_snapshot_scale,
         "detect_misclassified": q_detect_misclassified,
@@ -2783,6 +2818,29 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'missing_indicator' END
                    ), ''), 'none') AS suggestions
             FROM prof
+        """,
+        "corpus_cleanse": """
+            WITH corpus AS (
+              SELECT * FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text, lang, source, n_chars
+              FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)
+            ), deduped AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+                FROM corpus
+              ) WHERE rn = 1
+            ), clean AS (
+              SELECT source, doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM deduped WHERE lang = 'en'
+            )
+            SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+                   min(doc_id) AS first_doc
+            FROM clean WHERE n_tokens >= 5
+            GROUP BY source ORDER BY source
         """,
         "small_quantity_revenue": """
             WITH pa AS (

@@ -99,3 +99,21 @@ def exact_quantiles(
         return out
     finally:
         sorted_vals.unpersist()
+
+
+def approx_quantiles(
+    df: DataFrame,
+    column: str,
+    probs: list[float],
+    relative_error: float = 1e-4,
+) -> list[float]:
+    """Greenwald-Khanna approximate quantiles (`approxQuantile`) — the
+    100 TB path when the 2-job sort-select of :func:`exact_quantiles`
+    is not worth it (e.g. re-fitting bin edges every incremental run).
+
+    NOT allclose-parity with pandas: error is bounded by
+    ``relative_error * n`` in RANK space (so e.g. 1e-4 → the returned
+    value's rank is within ±0.01% of the requested one). Callers choose
+    per call site; every parity-contract surface in this repo uses the
+    exact form."""
+    return df.stat.approxQuantile(column, [float(p) for p in probs], relative_error)

@@ -29,21 +29,32 @@ def _code_expr(col: Column, edges: list[float]) -> Column:
 
 
 class QuantileBinner(FittedStateMixin):
-    """pd.qcut parity. ``bins`` = number of quantile bins."""
+    """pd.qcut parity. ``bins`` = number of quantile bins.
+    ``exact=False`` switches edge fitting to Greenwald-Khanna
+    approximate quantiles (one pass, no sort shuffle) — the 100 TB
+    refit path; bin EDGES then deviate by a bounded rank error and
+    qcut parity no longer holds bit-for-bit."""
 
-    def __init__(self, bins: int = 4):
+    def __init__(self, bins: int = 4, exact: bool = True):
         self.bins = bins
+        self.exact = exact
         self.state_ = None
 
     def get_params(self):
-        return {"bins": self.bins}
+        return {"bins": self.bins, "exact": self.exact}
 
     def fit(self, df: DataFrame, column: str) -> "QuantileBinner":
-        from feature_engineering_tk_spark.operators.quantiles import exact_quantiles
+        from feature_engineering_tk_spark.operators.quantiles import (
+            approx_quantiles,
+            exact_quantiles,
+        )
 
         probs = [i / self.bins for i in range(self.bins + 1)]
-        # distributed sort-select: exact, no single-reducer value buffer
-        qs = exact_quantiles(df, column, probs)
+        if self.exact:
+            # distributed sort-select: exact, no single-reducer buffer
+            qs = exact_quantiles(df, column, probs)
+        else:
+            qs = approx_quantiles(df, column, probs)
         edges = list(dict.fromkeys(qs))  # duplicates='drop', order-preserving
         if len(edges) < 2:
             raise ValueError(f"column {column!r} is constant; cannot quantile-bin")

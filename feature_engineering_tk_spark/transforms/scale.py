@@ -22,14 +22,17 @@ from feature_engineering_tk_spark.transforms.state import FittedStateMixin
 
 
 class Scaler(FittedStateMixin):
-    def __init__(self, method: str = "standard"):
+    def __init__(self, method: str = "standard", exact: bool = True):
         if method not in ("standard", "minmax", "robust"):
             raise ValueError(f"unknown scaling method {method!r}")
         self.method = method
+        # exact=False: robust quantiles via percentile_approx — the
+        # 100 TB refit path; parity-contract surfaces keep exact=True
+        self.exact = exact
         self.state_ = None
 
     def get_params(self):
-        return {"method": self.method}
+        return {"method": self.method, "exact": self.exact}
 
     def fit(self, df: DataFrame, columns: list[str]) -> "Scaler":
         if df.isEmpty():
@@ -40,12 +43,14 @@ class Scaler(FittedStateMixin):
                 aggs += [F.avg(c).alias(f"{c}__m"), F.stddev_pop(c).alias(f"{c}__s")]
             elif self.method == "minmax":
                 aggs += [F.min(c).alias(f"{c}__m"), F.max(c).alias(f"{c}__s")]
-            else:  # robust: median + IQR, exact percentiles
+            else:  # robust: median + IQR
+                pct = F.percentile if self.exact else (
+                    lambda col, p: F.percentile_approx(col, p, F.lit(10000))
+                )
                 aggs += [
-                    F.percentile(F.col(c), F.lit(0.5)).alias(f"{c}__m"),
+                    pct(F.col(c), F.lit(0.5)).alias(f"{c}__m"),
                     (
-                        F.percentile(F.col(c), F.lit(0.75))
-                        - F.percentile(F.col(c), F.lit(0.25))
+                        pct(F.col(c), F.lit(0.75)) - pct(F.col(c), F.lit(0.25))
                     ).alias(f"{c}__s"),
                 ]
         row = df.agg(*aggs).first()
