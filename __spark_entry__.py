@@ -1424,6 +1424,48 @@ def q_suggest_transforms(spark, sf_dir):
     )
 
 
+def q_fill_value_impute(spark, sf_dir):
+    """handle_missing_values strategy='fill_value' (preprocessing.py:
+    165-168): constant fill."""
+    from feature_engineering_tk_spark.transforms.impute import Imputer
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    imp = Imputer(strategy="fill_value", fill_value=-1.0).fit(ev, ["v"])
+    return imp.transform(ev).select("event_id", F.round("v", 6).alias("v"))
+
+
+def q_outlier_remove(spark, sf_dir):
+    """handle_outliers action='remove' (preprocessing.py:326-327): OR of
+    per-column IQR masks, one filter pass."""
+    from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
+
+    ev = _t(spark, sf_dir, "events")
+    det = OutlierDetector(method="iqr", factor=1.5).fit(ev, ["value"])
+    return det.remove(ev).select("event_id", F.round("value", 6).alias("value"))
+
+
+def q_udf_predicate_filter(spark, sf_dir):
+    """filter_rows with a CALLABLE predicate (preprocessing.py:610-654 /
+    §2.19): arbitrary Python logic as a vectorized Series→Series pandas
+    UDF returning booleans — never per-row Python; the oracle proves the
+    UDF computes exactly what the SQL form does."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: PEP-563 string annotations (module-level
+    # `from __future__ import annotations`) break pandas_udf inference
+    def _keep(v):
+        return np.sqrt(v) * np.log1p(v) > 20.0
+
+    keep = pandas_udf(_keep, "boolean")
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(keep(F.col("value"))).select("event_id", "value")
+
+
 def q_corpus_cleanse(spark, sf_dir):
     """Composite training-data cleanse — the brief's core pipeline in
     one plan: inject duplicates → exact dedup (hash-groupBy keep-min) →
@@ -1842,6 +1884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_join_agg": q_group_join_agg,
         "rolling_median": q_rolling_median,
         "asof_tolerance": q_asof_tolerance,
+        "fill_value_impute": q_fill_value_impute,
+        "outlier_remove": q_outlier_remove,
+        "udf_predicate_filter": q_udf_predicate_filter,
         "corpus_cleanse": q_corpus_cleanse,
         "small_quantity_revenue": q_small_quantity_revenue,
         "snapshot_scale": q_snapshot_scale,
@@ -2818,6 +2863,28 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'missing_indicator' END
                    ), ''), 'none') AS suggestions
             FROM prof
+        """,
+        "fill_value_impute": """
+            SELECT event_id,
+                   round(coalesce(CASE WHEN event_type = 'error' THEN NULL
+                                       ELSE value END, -1.0), 6) AS v
+            FROM events
+        """,
+        "outlier_remove": """
+            WITH q AS (
+              SELECT quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events
+            )
+            SELECT event_id, round(value, 6) AS value
+            FROM events, q
+            WHERE value >= q.q1 - 1.5 * (q.q3 - q.q1)
+              AND value <= q.q3 + 1.5 * (q.q3 - q.q1)
+        """,
+        "udf_predicate_filter": """
+            SELECT event_id, value
+            FROM events
+            WHERE sqrt(value) * ln(1 + value) > 20.0
         """,
         "corpus_cleanse": """
             WITH corpus AS (
