@@ -1452,7 +1452,6 @@ def q_udf_predicate_filter(spark, sf_dir):
     UDF returning booleans — never per-row Python; the oracle proves the
     UDF computes exactly what the SQL form does."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     # no type annotations: PEP-563 string annotations (module-level
