@@ -52,7 +52,11 @@ def asof_join(
     a specific tie-break is required.
 
     ``tolerance_seconds``: matches older than the tolerance are nulled
-    (pandas ``merge_asof(tolerance=...)`` parity).
+    (pandas ``merge_asof(tolerance=...)`` parity). Timestamps are
+    carried as integer epoch-microseconds and the tolerance compared in
+    integer µs — subtracting two ~1.7e9 epoch-second doubles loses
+    ~2.4e-7 s to cancellation, enough to flip a match exactly at the
+    tolerance boundary.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (entity, right_ts)
@@ -61,19 +65,19 @@ def asof_join(
 
     l_tag = left.select(
         F.col(entity).alias("_e"),
-        epoch_seconds(F.col(left_ts)).alias("_t"),
+        epoch_micros(F.col(left_ts)).alias("_t"),
         F.lit(1).alias("_tag"),
         *[F.col(c) for c in left_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
-        F.lit(None).cast("double").alias("_rt"),
+        F.lit(None).cast("long").alias("_rt"),
     )
     r_tag = right.select(
         F.col(entity).alias("_e"),
-        epoch_seconds(F.col(right_ts)).alias("_t"),
+        epoch_micros(F.col(right_ts)).alias("_t"),
         F.lit(0).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
-        epoch_seconds(F.col(right_ts)).alias("_rt"),
+        epoch_micros(F.col(right_ts)).alias("_rt"),
     )
 
     unioned = l_tag.unionByName(r_tag)
@@ -89,7 +93,8 @@ def asof_join(
     out = carried.filter(F.col("_tag") == 1)
 
     if tolerance_seconds is not None:
-        in_tol = (F.col("_t") - F.col("_c_rt")) <= F.lit(float(tolerance_seconds))
+        tolerance_us = int(round(float(tolerance_seconds) * 1_000_000))
+        in_tol = (F.col("_t") - F.col("_c_rt")) <= F.lit(tolerance_us)
         sel = [
             F.when(in_tol, F.col(f"_c_{c}")).otherwise(F.lit(None)).alias(f"{c}{suffix}")
             for c in value_cols
@@ -123,12 +128,12 @@ def asof_join_broadcast(
     lid = left.withColumn("_lid", F.monotonically_increasing_id())
     r = right.select(
         F.col(entity).alias("_re"),
-        epoch_seconds(F.col(right_ts)).alias("_rt"),
+        epoch_micros(F.col(right_ts)).alias("_rt"),
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
     )
     joined = lid.join(
         F.broadcast(r),
-        (lid[entity] == r["_re"]) & (r["_rt"] <= epoch_seconds(F.col(left_ts))),
+        (lid[entity] == r["_re"]) & (r["_rt"] <= epoch_micros(F.col(left_ts))),
         "left",
     )
     w = Window.partitionBy("_lid").orderBy(F.col("_rt").desc_nulls_last())
@@ -174,21 +179,24 @@ def range_join_agg(
     if unknown:
         raise ValueError(f"unsupported range aggs: {sorted(unknown)}")
     prefix = prefix if prefix is not None else f"{value_col}_range"
-    win = float(window_seconds)
+    # Integer-µs arithmetic end to end: the boundary predicate
+    # ``rt >= lt - win`` on ~1.7e9 epoch-second doubles can flip at
+    # exactly the window edge (half-ulp ≈ 2.4e-7 s); bigint µs cannot.
+    win_us = int(round(float(window_seconds) * 1_000_000))
     left_cols = left.columns
 
     lid = left.withColumn("_aid", F.monotonically_increasing_id()).withColumn(
-        "_lt", epoch_seconds(F.col(left_ts))
+        "_lt", epoch_micros(F.col(left_ts))
     )
-    lk = lid.withColumn("_bkt", F.floor(F.col("_lt") / F.lit(win)))
+    lk = lid.withColumn("_bkt", F.floor(F.col("_lt") / F.lit(win_us)))
 
     r = right.select(
         F.col(entity).alias("_re"),
-        epoch_seconds(F.col(right_ts)).alias("_rt"),
+        epoch_micros(F.col(right_ts)).alias("_rt"),
         F.col(value_col).alias("_rv"),
     )
     rk = r.withColumn(
-        "_bkt", F.explode(F.array(F.floor(F.col("_rt") / F.lit(win)), F.floor(F.col("_rt") / F.lit(win)) + 1))
+        "_bkt", F.explode(F.array(F.floor(F.col("_rt") / F.lit(win_us)), F.floor(F.col("_rt") / F.lit(win_us)) + 1))
     )
 
     j = lk.join(
@@ -196,7 +204,7 @@ def range_join_agg(
         (lk[entity] == rk["_re"]) & (lk["_bkt"] == rk["_bkt"]),
         "left",
     )
-    in_range = (F.col("_rt") >= F.col("_lt") - F.lit(win)) & (F.col("_rt") <= F.col("_lt"))
+    in_range = (F.col("_rt") >= F.col("_lt") - F.lit(win_us)) & (F.col("_rt") <= F.col("_lt"))
     matched = F.when(in_range, F.col("_rv"))
 
     out = j.groupBy("_aid").agg(

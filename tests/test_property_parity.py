@@ -238,6 +238,52 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts, tol):
 
 
 @given(
+    base=st.integers(1_900_000_000, 2_100_000_000),
+    tol=st.integers(1, 600),
+    # right-row offsets relative to each anchor, in seconds BEFORE it;
+    # includes exactly-at-tolerance gaps, the boundary that flips under
+    # epoch-second double subtraction (~2.4e-7 s cancellation at 2e9 s)
+    offsets=st.lists(st.sampled_from([0, 1, -1]), min_size=1, max_size=8),
+)
+@SET
+def test_asof_tolerance_boundary_large_epoch(spark, base, tol, offsets):
+    """Gap == tolerance must MATCH (inclusive), gap == tolerance+1 must
+    not, at year-2030+ epoch magnitudes — guards the integer-µs
+    arithmetic in asof_join against the double-cancellation trap."""
+    import pandas as pd
+
+    from feature_engineering_tk_spark.operators.asof import asof_join
+
+    # one anchor per offset, entities isolate the cases from each other
+    anchors, rights = [], []
+    for i, off in enumerate(offsets):
+        eid = f"e{i}"
+        at = base + i * 100_000
+        anchors.append({"conv_id": eid, "aid": i, "ts": pd.Timestamp(at, unit="s")})
+        rights.append(
+            {"conv_id": eid, "ts": pd.Timestamp(at - (tol + off), unit="s"), "val": float(i)}
+        )
+    got = (
+        asof_join(
+            spark.createDataFrame(pd.DataFrame(anchors)),
+            spark.createDataFrame(pd.DataFrame(rights)),
+            entity="conv_id",
+            value_cols=["val"],
+            tolerance_seconds=float(tol),
+            suffix="",
+        )
+        .orderBy("aid")
+        .toPandas()
+    )
+    for i, off in enumerate(offsets):
+        v = got["val"][i]
+        if off <= 0:  # gap = tol or tol-1 → inside tolerance (inclusive)
+            assert v == float(i), f"gap tol{'-1' if off < 0 else ''} must match (row {i})"
+        else:  # gap = tol+1 → outside
+            assert v is None or pd.isna(v), f"gap tol+1 must be nulled (row {i})"
+
+
+@given(
     gaps=st.lists(st.integers(0, 4000), min_size=1, max_size=30),
     threshold=st.integers(1, 3600),
 )
