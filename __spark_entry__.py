@@ -431,23 +431,32 @@ def q_cosine_topk(spark, sf_dir):
 
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup removal (shingle→minhash→band→bucket-join→
-    exact-Jaccard verify). Not SQL-expressible → rows-only check."""
+    exact-Jaccard verify), dedup.py:67-186. hash_mode='md5' so the
+    DuckDB oracle replays the identical seeded signature pipeline
+    value-for-value (xxhash64 default stays the production fast path)."""
     from feature_engineering_tk_spark.operators.dedup import minhash_lsh_dedup
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(d, threshold=0.7).select("doc_id").orderBy("doc_id")
+    return (
+        minhash_lsh_dedup(d, threshold=0.7, hash_mode="md5")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints (rows-only check)."""
+    """SimHash fingerprints (dedup.py:196) in the oracle-replayable md5
+    hash mode: 60 usable bits, per-bit majority vote replayed in SQL."""
     from feature_engineering_tk_spark.operators.dedup import simhash
 
     d = _t(spark, sf_dir, "documents")
-    return simhash(d).select("doc_id", "simhash")
+    return simhash(d, hash_mode="md5").select("doc_id", "simhash")
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """LSH-bucketed cosine near-dup pairs (rows-only check)."""
+    """LSH-bucketed cosine near-dup pairs. Buckets are pure JVM
+    sequential-fold dot-product signs, so the oracle replays them
+    bit-for-bit with list_reduce over the same inlined hyperplanes."""
     from feature_engineering_tk_spark.operators.dedup import embedding_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
@@ -457,7 +466,9 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    """Rolling-hash document fingerprint (pandas-UDF path; rows-only)."""
+    """Rolling-hash document fingerprint (text.py fingerprint): the
+    polynomial byte-hash mod 2^61-1 is replayed in the oracle with a
+    HUGEINT list_reduce (documents are ASCII, so ord == utf-8 byte)."""
     from feature_engineering_tk_spark.functions.text import fingerprint
 
     d = _t(spark, sf_dir, "documents")
@@ -465,7 +476,8 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
-    """ANN top-k via random-hyperplane bucket pruning (rows-only)."""
+    """ANN top-k via random-hyperplane bucket pruning; bucket bits and
+    cosine scores both sequential-fold doubles → exact SQL replay."""
     from feature_engineering_tk_spark.functions.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1912,8 +1924,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _STOPWORDS = "('the','a','of','to','and','in','is','it','for','on','with','as','by','at')"
 
 
-def oracle_sql() -> dict[str, str]:
+def _h60_sql(expr: str) -> str:
+    """DuckDB replay of dedup._hash60: first 15 hex chars of md5 parsed
+    as a 60-bit integer via a per-char fold."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr(md5({expr}), 1, 15), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(acc, x) -> acc * 16 + x)"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential left-fold dot product — same rounding order as the
+    engine's F.aggregate fold, so doubles are bit-identical."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), "
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+def _l2_sql(a: str) -> str:
+    return (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(acc, x) -> acc + x))"
+    )
+
+
+def _generated_oracles() -> dict[str, str]:
+    """Oracles whose SQL embeds seeded constants (minhash permutation
+    coefficients, LSH hyperplanes) generated with the SAME numpy seeds
+    as the engine — the full signature pipelines are replayed in
+    DuckDB, not just spot-checked."""
+    import numpy as np
+
+    p = (1 << 31) - 1
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, p, 32, dtype=np.int64)
+    b = rng.integers(0, p, 32, dtype=np.int64)
+    perm_values = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(32))
+
+    planes = np.random.default_rng(42).standard_normal((6, 64))
+    plane_values = ", ".join(
+        "(%d, [%s])" % (j, ", ".join(repr(float(x)) for x in planes[j]))
+        for j in range(6)
+    )
+    norm_src = (
+        "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm"
+        " FROM documents"
+    )
+    bucket_sql = (
+        "SELECT e.vec_id, e.embedding, CAST(sum(CASE WHEN "
+        + _dot_sql("e.embedding", "planes.p")
+        + " > 0 THEN CAST(1 AS BIGINT) << planes.j ELSE 0 END) AS BIGINT) AS bucket "
+        "FROM embeddings e, planes GROUP BY e.vec_id, e.embedding"
+    )
+
+    minhash_dedup = f"""
+        WITH perms(pi, a, b) AS (VALUES {perm_values}),
+        src AS ({norm_src}),
+        tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM src),
+        sh AS (SELECT doc_id,
+                      list_transform(range(0, greatest(len(toks) - 2, 1)),
+                                     i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) AS shingles
+               FROM tk),
+        hh AS (SELECT doc_id, {_h60_sql('u.s')} % 2147483647 AS h
+               FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u),
+        sig AS (SELECT doc_id, pi, min((a * h + b) % 2147483647) AS mh
+                FROM hh, perms GROUP BY doc_id, pi),
+        sigarr AS (SELECT doc_id, list(mh ORDER BY pi) AS sig FROM sig GROUP BY doc_id),
+        bands AS (SELECT doc_id,
+                         {_h60_sql("concat(bd.band, '|', array_to_string(list_slice(sig, bd.band * 4 + 1, bd.band * 4 + 4), ','))")} AS bucket
+                  FROM sigarr, (SELECT unnest(range(8)) AS band) bd),
+        cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                 FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        dsh AS (SELECT doc_id, list_distinct(shingles) AS ds FROM sh),
+        jac AS (SELECT id_a, id_b,
+                       CAST(len(list_intersect(da.ds, db.ds)) AS DOUBLE)
+                       / greatest(len(list_distinct(list_concat(da.ds, db.ds))), 1) AS j
+                FROM cand JOIN dsh da ON da.doc_id = id_a JOIN dsh db ON db.doc_id = id_b),
+        dups AS (SELECT DISTINCT id_b FROM jac WHERE j >= 0.7)
+        SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dups)
+        ORDER BY doc_id
+    """
+
+    simhash = f"""
+        WITH src AS ({norm_src}),
+        th AS (SELECT doc_id, {_h60_sql('t.tok')} AS h
+               FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM src) t),
+        votes AS (SELECT doc_id, bt.bit,
+                         sum(CASE WHEN (h >> bt.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                  FROM th, (SELECT unnest(range(60)) AS bit) bt
+                  GROUP BY doc_id, bt.bit)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id
+    """
+
+    doc_fingerprint = f"""
+        WITH src AS ({norm_src})
+        SELECT doc_id,
+               CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                      list_transform(range(1, length(norm) + 1),
+                                     i -> CAST(ord(substr(norm, i, 1)) AS HUGEINT))),
+                    (acc, ch) -> (acc * 257 + ch) % 2305843009213693951) AS BIGINT) AS fingerprint
+        FROM src ORDER BY doc_id
+    """
+
+    embedding_neardup = f"""
+        WITH planes(j, p) AS (VALUES {plane_values}),
+        b AS ({bucket_sql}),
+        pr AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                      {_dot_sql('x.embedding', 'y.embedding')}
+                      / ({_l2_sql('x.embedding')} * {_l2_sql('y.embedding')}) AS cs
+               FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM pr WHERE cs >= 0.2
+    """
+
+    lsh_topk = f"""
+        WITH planes(j, p) AS (VALUES {plane_values}),
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        b AS ({bucket_sql}),
+        qb AS (SELECT CAST(sum(CASE WHEN {_dot_sql('q.qvec', 'planes.p')} > 0
+                                    THEN CAST(1 AS BIGINT) << planes.j ELSE 0 END) AS BIGINT) AS qbucket
+               FROM q, planes),
+        sc AS (SELECT b.vec_id,
+                      {_dot_sql('b.embedding', 'q.qvec')}
+                      / ({_l2_sql('b.embedding')} * {_l2_sql('q.qvec')}) AS cs
+               FROM b, q, qb WHERE b.bucket = qb.qbucket)
+        SELECT vec_id, round(cs, 6) AS cos_sim FROM sc
+        ORDER BY cs DESC, vec_id ASC LIMIT 10
+    """
+
     return {
+        "minhash_dedup": minhash_dedup,
+        "simhash": simhash,
+        "doc_fingerprint": doc_fingerprint,
+        "embedding_neardup": embedding_neardup,
+        "lsh_topk": lsh_topk,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    d = _generated_oracles()
+    d_static = {
         "lag_lead": """
             SELECT event_id, user_id, value,
                    lag(value) OVER w AS value_lag1,
@@ -3121,3 +3277,5 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
     }
+    d.update(d_static)
+    return d

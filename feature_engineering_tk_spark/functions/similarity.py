@@ -83,7 +83,31 @@ def lsh_assign_buckets(
     seed: int = 42,
     out: str = "lsh_bucket",
 ) -> DataFrame:
-    return df.withColumn(out, make_lsh_udf(dim, n_bits, seed)(F.col(vec_col)))
+    """Random-hyperplane bucket id as pure JVM column expressions: per
+    plane, sign of a sequential left-fold dot product; bucket =
+    Σ bit_j·2^j. No Python/Arrow round-trip, and bit-reproducible
+    outside the JVM (the same left-fold in double precision can be
+    replayed by a DuckDB ``list_reduce`` oracle — unlike the BLAS
+    matmul in :func:`make_lsh_udf`, whose summation order differs).
+    """
+    planes = _hyperplanes(dim, n_bits, seed)
+    v = F.col(vec_col)
+    bucket = F.lit(0).cast("long")
+    for j in range(n_bits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bit = (dot(v, plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, j)
+    return df.withColumn(out, bucket)
+
+
+def _seq_dot(a, b) -> float:
+    """Driver-side dot product with the SAME sequential left-fold
+    rounding as :func:`dot` — keeps query-bucket computation bit-equal
+    to the distributed assignment."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
 
 
 def lsh_topk(
@@ -101,11 +125,14 @@ def lsh_topk(
     partition-pruned scan when the table is written bucketed/partitioned
     by ``lsh_bucket``."""
     planes = _hyperplanes(dim, n_bits, seed)
-    qv = np.asarray(query, dtype=np.float64)
-    qbucket = int(((qv @ planes.T) > 0) @ (1 << np.arange(n_bits)).astype(np.int64))
+    qv = [float(x) for x in query]
+    qbucket = 0
+    for j in range(n_bits):
+        if _seq_dot(qv, planes[j]) > 0:
+            qbucket |= 1 << j
     bucketed = lsh_assign_buckets(df, vec_col, dim, n_bits, seed)
     cand = bucketed.filter(F.col("lsh_bucket") == F.lit(qbucket))
-    return cosine_topk(cand, list(map(float, qv)), k=k, id_col=id_col, vec_col=vec_col)
+    return cosine_topk(cand, qv, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def ivf_assign(

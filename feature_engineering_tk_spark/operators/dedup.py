@@ -39,6 +39,23 @@ def _norm_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def _hash60(c: Column) -> Column:
+    """Cross-engine 60-bit hash: first 15 hex chars of md5, parsed as
+    an integer — exactly replayable in DuckDB/pandas (unlike
+    ``xxhash64``, which only exists in Spark). Used by ``hash_mode=
+    'md5'`` so the oracle gate can verify minhash/simhash pipelines
+    value-for-value; the xxhash64 default stays the fast path."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def _token_hash(c: Column, hash_mode: str) -> Column:
+    if hash_mode == "xxhash64":
+        return F.xxhash64(c)
+    if hash_mode == "md5":
+        return _hash60(c)
+    raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -71,17 +88,18 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
     out: str = "minhash",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature column (array<bigint>, length num_hashes).
 
-    Shingle hashes once via ``xxhash64``; each permutation h_i(x) =
-    (a_i·x + b_i) mod p applied with ``transform`` + ``array_min`` —
-    no shuffle, no Python."""
+    Shingle hashes once via ``xxhash64`` (or the oracle-replayable md5
+    mode); each permutation h_i(x) = (a_i·x + b_i) mod p applied with
+    ``transform`` + ``array_min`` — no shuffle, no Python."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE_P, num_hashes, dtype=np.int64)
     b = rng.integers(0, _MERSENNE_P, num_hashes, dtype=np.int64)
     sh = _shingles(F.col(text_col), shingle_n)
-    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    hashes = F.transform(sh, lambda s: F.pmod(_token_hash(s, hash_mode), F.lit(_MERSENNE_P)))
 
     def _perm(ai: int, bi: int):
         # closure factory: PySpark inspects lambda arity, so defaults
@@ -103,6 +121,7 @@ def minhash_lsh_candidates(
     sig_col: str = "minhash",
     bands: int = 8,
     rows_per_band: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs from banded LSH: explode each signature into
     ``bands`` bucket keys (hash of the band slice), self-join per
@@ -113,14 +132,14 @@ def minhash_lsh_candidates(
     Hot buckets (boilerplate docs) are the skew risk → AQE skew-join
     plus an optional bucket-size cap upstream."""
     sig = F.col(sig_col)
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band))
-            )
-            for b in range(bands)
-        ]
-    )
+
+    def _band_key(b: int) -> Column:
+        band_str = F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+        if hash_mode == "xxhash64":
+            return F.xxhash64(F.lit(b), band_str)
+        return _hash60(F.concat_ws("|", F.lit(b), band_str))
+
+    band_keys = F.array(*[_band_key(b) for b in range(bands)])
     buckets = df.select(F.col(id_col), F.explode(band_keys).alias("bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -164,14 +183,15 @@ def minhash_lsh_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup removal: signatures → banded candidates →
     exact Jaccard ≥ threshold → drop the larger id of each dup pair
     (connected-component-free approximation: a doc survives unless it
     duplicates a smaller-id doc — deterministic, one pass)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n, seed)
-    cands = minhash_lsh_candidates(sigs, id_col, "minhash", bands, rows_per_band)
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n, seed, hash_mode=hash_mode)
+    cands = minhash_lsh_candidates(sigs, id_col, "minhash", bands, rows_per_band, hash_mode=hash_mode)
     dups = (
         ngram_jaccard(cands, df, id_col, text_col, shingle_n)
         .filter(F.col("jaccard") >= threshold)
@@ -186,12 +206,14 @@ def simhash(
     text_col: str = "text",
     out: str = "simhash",
     n_bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
     token-hash bits, all in JVM expressions (aggregate over the token
-    array; per-bit sign sum). Equal simhash → near-duplicate."""
+    array; per-bit sign sum). Equal simhash → near-duplicate. md5
+    hash_mode yields 60 usable bits (top 4 always vote negative)."""
     toks = F.split(_norm_text(F.col(text_col)), " ")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    th = F.transform(toks, lambda t: _token_hash(t, hash_mode))
     def _vote(i: int):
         # sum over tokens of (+1 if bit set else -1), majority → bit
         return lambda acc, h: acc + F.when(

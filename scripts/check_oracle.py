@@ -3,7 +3,10 @@
 over the same parquet tables, compare row count, column names, and
 order-insensitive values.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--exact] [sf_dir] [query ...]
+
+--exact drops the 1e-9 float tolerance and requires bit-identical
+values — the same bar as the driver's value-hash gate.
 """
 
 from __future__ import annotations
@@ -28,6 +31,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+EXACT = False
+
+
 def values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     if list(a.columns) != list(b.columns):
         return False, f"columns differ: {list(a.columns)} vs {list(b.columns)}"
@@ -40,9 +46,10 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
             yf = pd.to_numeric(y, errors="raise")
             both_nan = xf.isna() & yf.isna()
             close = (xf == yf) | both_nan
-            # tolerate float repr noise below the rounding we applied
-            diff = (xf.astype(float) - yf.astype(float)).abs()
-            close = close | (diff < 1e-9)
+            if not EXACT:
+                # tolerate float repr noise below the rounding we applied
+                diff = (xf.astype(float) - yf.astype(float)).abs()
+                close = close | (diff < 1e-9)
             if not close.all():
                 bad = (~close).idxmax()
                 return False, f"col {c} differs at row {bad}: {x[bad]!r} vs {y[bad]!r}"
@@ -56,8 +63,11 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global EXACT
+    args = [a for a in sys.argv[1:] if a != "--exact"]
+    EXACT = "--exact" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from feature_engineering_tk_spark.session import get_spark
