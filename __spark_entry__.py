@@ -15,6 +15,7 @@ Determinism notes (the driver hash-compares values):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -484,6 +485,25 @@ def q_lsh_topk(spark, sf_dir):
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     out = lsh_topk(e, [float(x) for x in qvec], k=10, dim=64, n_bits=6)
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cos_sim"))
+
+
+def q_check_normality(spark, sf_dir):
+    """Shapiro-Wilk (Royston AS R94, normality.py) on a deterministic
+    5000-row subset (even event_ids at sf0.01 — exactly the reference's
+    max sample size, statistical_utils.py:39-120). Emits the W statistic
+    and its normalizing z; the oracle replays AS R94 in SQL with the
+    n=5000 weight vector inlined (the p-value needs erfc, which DuckDB
+    lacks — it is covered by the pytest calibration suite instead)."""
+    from feature_engineering_tk_spark.analysis.normality import (
+        sampled_column,
+        shapiro_wilk,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
+    vals, _total = sampled_column(ev, "value")
+    res = shapiro_wilk(vals)
+    rows = [(round(res["statistic"], 6), round(res["z"], 6), res["n"])]
+    return spark.createDataFrame(rows, "stat_w double, z double, n long")
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -1898,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_transforms": q_suggest_transforms,
         "bartlett": q_bartlett,
         "kruskal_wallis": q_kruskal_wallis,
+        "check_normality": q_check_normality,
         "ivf_topk": q_ivf_topk,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
@@ -2058,12 +2079,44 @@ def _generated_oracles() -> dict[str, str]:
         ORDER BY cs DESC, vec_id ASC LIMIT 10
     """
 
+    # Shapiro-Wilk oracle: AS R94 weights depend only on n; the driver
+    # gate runs at sf0.01 where the even-event_id subset is exactly
+    # 5000 rows, so the weight vector is generated here with the same
+    # code the engine uses and inlined. n >= 12 branch: z =
+    # (ln(1-W) - mu)/sigma with n-dependent constants, also inlined.
+    from feature_engineering_tk_spark.analysis.normality import shapiro_weights
+
+    sw_n = 5000
+    sw_a = shapiro_weights(sw_n)
+    sw_arr = "[" + ", ".join(repr(float(v)) for v in sw_a) + "]"
+    u = math.log(sw_n)
+    sw_mu = -1.5861 - 0.31082 * u - 0.083751 * u**2 + 0.0038915 * u**3
+    sw_sigma = math.exp(-0.4803 - 0.082676 * u + 0.0030302 * u**2)
+
+    check_normality = f"""
+        WITH warr AS (SELECT {sw_arr} AS arr),
+        src AS (SELECT value AS v FROM events
+                WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        ord AS (SELECT v, row_number() OVER (ORDER BY v) AS i FROM src),
+        m AS (SELECT avg(v) AS mean, count(*) AS n FROM src),
+        agg AS (SELECT sum(list_extract(warr.arr, ord.i) * ord.v) AS sa,
+                       sum((ord.v - m.mean) * (ord.v - m.mean)) AS den,
+                       max(m.n) AS n
+                FROM ord, m, warr),
+        w AS (SELECT least(sa * sa / den, 1.0) AS stat_w, n FROM agg)
+        SELECT round(stat_w, 6) AS stat_w,
+               round((ln(1.0 - stat_w) - ({sw_mu!r})) / ({sw_sigma!r}), 6) AS z,
+               n
+        FROM w
+    """
+
     return {
         "minhash_dedup": minhash_dedup,
         "simhash": simhash,
         "doc_fingerprint": doc_fingerprint,
         "embedding_neardup": embedding_neardup,
         "lsh_topk": lsh_topk,
+        "check_normality": check_normality,
     }
 
 

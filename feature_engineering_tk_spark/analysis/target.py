@@ -125,6 +125,19 @@ class TargetAnalyzer:
                 n, row["g1"] or 0.0, row["g2"] or 0.0
             ),
         }
+        # Shapiro-Wilk on a seeded <=5000 sample (core.py:240-250's
+        # shapiro_stat/shapiro_pvalue/is_normal fields)
+        if n >= 3:
+            from feature_engineering_tk_spark.analysis.normality import (
+                sampled_column,
+                shapiro_wilk,
+            )
+
+            vals, _ = sampled_column(self.df, t)
+            sw = shapiro_wilk(vals)
+            out["shapiro_stat"] = sw["statistic"]
+            out["shapiro_pvalue"] = sw["pvalue"]
+            out["is_normal"] = bool(sw["pvalue"] > 0.05) if sw["pvalue"] == sw["pvalue"] else False
         self._cache["target_dist"] = out
         return out
 

