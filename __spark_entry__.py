@@ -487,6 +487,23 @@ def q_lsh_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cos_sim"))
 
 
+def q_kendall_corr(spark, sf_dir):
+    """Kendall tau-b matrix (reference data_analysis.py:143-156,
+    corr(method='kendall')) on a deterministic lineitem subset; the
+    oracle counts concordant/discordant/tied pairs explicitly in SQL —
+    Knight's O(n log n) inversion count must equal the O(n²) truth."""
+    from feature_engineering_tk_spark.analysis.eda import kendall_matrix
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 37 == 0)
+    cols, mat = kendall_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    rows = [
+        (f"{cols[i]}|{cols[j]}", round(float(mat[i, j]), 6))
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    return spark.createDataFrame(rows, "pair string, tau double")
+
+
 def q_check_normality(spark, sf_dir):
     """Shapiro-Wilk (Royston AS R94, normality.py) on a deterministic
     5000-row subset (even event_ids at sf0.01 — exactly the reference's
@@ -1919,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bartlett": q_bartlett,
         "kruskal_wallis": q_kruskal_wallis,
         "check_normality": q_check_normality,
+        "kendall_corr": q_kendall_corr,
         "ivf_topk": q_ivf_topk,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
@@ -2110,6 +2128,44 @@ def _generated_oracles() -> dict[str, str]:
         FROM w
     """
 
+    # Kendall tau-b: explicit pair counting. sign() via CASE (no float
+    # subtraction); tau formula written with the identical
+    # sqrt(tot-xt)*sqrt(tot-yt) denominator as the engine.
+    def _tau_pair(xcol: str, ycol: str) -> str:
+        return f"""
+            SELECT '{xcol}|{ycol}' AS pair,
+                   round((C - D) / (sqrt(CAST(tot - xt AS DOUBLE)) * sqrt(CAST(tot - yt AS DOUBLE))), 6) AS tau
+            FROM (
+              SELECT sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS C,
+                     sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS D,
+                     sum(tx) AS xt, sum(ty) AS yt, count(*) AS tot
+              FROM (
+                SELECT (CASE WHEN a.{xcol} > b.{xcol} THEN 1 WHEN a.{xcol} < b.{xcol} THEN -1 ELSE 0 END)
+                       * (CASE WHEN a.{ycol} > b.{ycol} THEN 1 WHEN a.{ycol} < b.{ycol} THEN -1 ELSE 0 END) AS s,
+                       CASE WHEN a.{xcol} = b.{xcol} THEN 1 ELSE 0 END AS tx,
+                       CASE WHEN a.{ycol} = b.{ycol} THEN 1 ELSE 0 END AS ty
+                FROM ksrc a JOIN ksrc b ON a.rid < b.rid
+              )
+            )
+        """
+
+    kendall_corr = f"""
+        WITH ksrc AS (
+          -- any unique rid yields the same unordered-pair set; the
+          -- synthetic lineitem has duplicate (orderkey, linenumber)
+          SELECT row_number() OVER () AS rid,
+                 CAST(l_quantity AS DOUBLE) AS l_quantity,
+                 CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+                 CAST(l_discount AS DOUBLE) AS l_discount
+          FROM lineitem WHERE l_orderkey % 37 = 0
+        )
+        {_tau_pair('l_quantity', 'l_extendedprice')}
+        UNION ALL
+        {_tau_pair('l_quantity', 'l_discount')}
+        UNION ALL
+        {_tau_pair('l_extendedprice', 'l_discount')}
+    """
+
     return {
         "minhash_dedup": minhash_dedup,
         "simhash": simhash,
@@ -2117,6 +2173,7 @@ def _generated_oracles() -> dict[str, str]:
         "embedding_neardup": embedding_neardup,
         "lsh_topk": lsh_topk,
         "check_normality": check_normality,
+        "kendall_corr": kendall_corr,
     }
 
 

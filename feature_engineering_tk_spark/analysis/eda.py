@@ -138,8 +138,10 @@ def correlation_matrix(
     ``ml.stat.Correlation`` which drops whole rows). One job with all
     pairwise co-moments as aggregate expressions."""
     cols = columns or numeric_columns(df)
+    if method == "kendall":
+        return kendall_matrix(df, cols)
     if method not in ("pearson", "spearman"):
-        raise ValueError("method must be pearson|spearman")
+        raise ValueError("method must be pearson|spearman|kendall")
     work = df
     if method == "spearman":
         # rank transform per column (average ranks on ties = pandas)
@@ -161,6 +163,87 @@ def correlation_matrix(
         for j in range(i + 1, k):
             v = row[f"{a}||{cols[j]}"]
             mat[i, j] = mat[j, i] = float("nan") if v is None else v
+    return cols, mat
+
+
+def _inversions(y: np.ndarray) -> int:
+    """Number of strict inversions (i<j, y[i]>y[j]) via a Fenwick tree
+    over rank-compressed values — O(n log n), exact."""
+    _, ranks = np.unique(y, return_inverse=True)
+    k = int(ranks.max()) + 1 if len(ranks) else 0
+    tree = [0] * (k + 1)
+    inv = 0
+    seen = 0
+    for r in ranks:
+        # count seen values with rank <= r  → inversions += seen - that
+        i = int(r) + 1
+        le = 0
+        while i > 0:
+            le += tree[i]
+            i -= i & (-i)
+        inv += seen - le
+        i = int(r) + 1
+        while i <= k:
+            tree[i] += 1
+            i += i & (-i)
+        seen += 1
+    return inv
+
+
+def kendall_tau_values(x: np.ndarray, y: np.ndarray) -> float:
+    """Exact Kendall tau-b (Knight's O(n log n) algorithm, scipy
+    ``kendalltau`` parity): sort by (x, y), count discordant pairs as
+    inversions of y, tie-correct with the pair-count identities."""
+    n = len(x)
+    if n < 2:
+        return float("nan")
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+
+    def _tie_pairs(v: np.ndarray) -> int:
+        _, counts = np.unique(v, return_counts=True)
+        return int(np.sum(counts * (counts - 1) // 2))
+
+    tot = n * (n - 1) // 2
+    xtie = _tie_pairs(xs)
+    ytie = _tie_pairs(ys)
+    # joint ties: pairs equal in BOTH columns
+    joint = np.rec.fromarrays([xs, ys])
+    _, jcounts = np.unique(joint, return_counts=True)
+    ntie = int(np.sum(jcounts * (jcounts - 1) // 2))
+    dis = _inversions(ys)
+    con_minus_dis = tot - xtie - ytie + ntie - 2 * dis
+    denom = math.sqrt(tot - xtie) * math.sqrt(tot - ytie)
+    if denom == 0:
+        return float("nan")
+    return con_minus_dis / denom
+
+
+def kendall_matrix(
+    df: DataFrame, columns: list[str] | None = None, max_n: int = 100_000, seed: int = 42
+) -> tuple[list[str], np.ndarray]:
+    """Kendall tau-b matrix (reference data_analysis.py:143-156,
+    ``corr(method='kendall')``). Pair counting is O(n²) information —
+    inherently a sorted-sequential statistic — so like the reference
+    (which runs pandas in one process) this computes exactly on the
+    driver over a seeded ≤``max_n`` sample: ONE collect job total, then
+    Knight's O(n log n) per pair, pairwise-complete like pandas."""
+    cols = columns or numeric_columns(df)
+    sel = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    n = sel.count()
+    if n > max_n:
+        frac = min(1.0, (max_n * 1.2) / n)
+        sel = sel.sample(fraction=frac, seed=seed).orderBy(F.rand(seed)).limit(max_n)
+    pdf = sel.toPandas()
+    k = len(cols)
+    mat = np.eye(k)
+    for i in range(k):
+        for j in range(i + 1, k):
+            sub = pdf[[cols[i], cols[j]]].dropna()
+            tau = kendall_tau_values(
+                sub[cols[i]].to_numpy(), sub[cols[j]].to_numpy()
+            ) if len(sub) >= 2 else float("nan")
+            mat[i, j] = mat[j, i] = tau
     return cols, mat
 
 

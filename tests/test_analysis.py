@@ -382,3 +382,76 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     pruned = ivf_topk(df, q, k=5, n_centroids=4, nprobe=2).collect()
     assert pruned[0]["vec_id"] == 0  # query's own bucket always probed
     assert abs(pruned[0]["cosine_sim"] - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (reference data_analysis.py:143-156 method='kendall')
+
+def _brute_tau(x, y):
+    n = len(x)
+    c = d = xt = yt = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = np.sign(x[i] - x[j])
+            sy = np.sign(y[i] - y[j])
+            if sx * sy > 0:
+                c += 1
+            elif sx * sy < 0:
+                d += 1
+            if sx == 0:
+                xt += 1
+            if sy == 0:
+                yt += 1
+    tot = n * (n - 1) // 2
+    den = math.sqrt(tot - xt) * math.sqrt(tot - yt)
+    return (c - d) / den if den else float("nan")
+
+
+def test_kendall_tau_matches_brute_force_with_ties():
+    from feature_engineering_tk_spark.analysis.eda import kendall_tau_values
+
+    rng = np.random.default_rng(5)
+    for trial in range(30):
+        n = int(rng.integers(2, 50))
+        x = rng.integers(0, 5, n).astype(float) if trial % 2 else rng.standard_normal(n)
+        y = rng.integers(0, 4, n).astype(float) if trial % 3 else rng.standard_normal(n)
+        got = kendall_tau_values(x, y)
+        exp = _brute_tau(x, y)
+        if math.isnan(exp):
+            assert math.isnan(got)
+        else:
+            assert got == pytest.approx(exp, abs=1e-12)
+
+
+def test_kendall_matrix_spark(spark):
+    from feature_engineering_tk_spark.analysis.eda import correlation_matrix
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            "b": [2.0, 4.0, 6.0, 8.0, 10.0, 12.0],   # perfectly concordant
+            "c": [6.0, 5.0, 4.0, 3.0, 2.0, 1.0],     # perfectly discordant
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cols, mat = correlation_matrix(df, ["a", "b", "c"], method="kendall")
+    ai, bi, ci = cols.index("a"), cols.index("b"), cols.index("c")
+    assert mat[ai, bi] == pytest.approx(1.0)
+    assert mat[ai, ci] == pytest.approx(-1.0)
+    assert mat[ai, ai] == 1.0
+
+
+def test_kendall_matrix_pairwise_complete(spark):
+    from feature_engineering_tk_spark.analysis.eda import correlation_matrix
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, 2.0, 3.0, 4.0, None, 6.0],
+            "b": [1.0, 3.0, 2.0, 4.0, 5.0, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    _, mat = correlation_matrix(df, ["a", "b"], method="kendall")
+    sub = pdf.dropna()
+    exp = _brute_tau(sub["a"].to_numpy(), sub["b"].to_numpy())
+    assert mat[0, 1] == pytest.approx(exp, abs=1e-12)
