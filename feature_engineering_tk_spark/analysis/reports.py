@@ -124,12 +124,130 @@ def report_to_markdown(report: dict[str, Any]) -> str:
     return "\n".join(parts)
 
 
+def _esc(v: Any) -> str:
+    return (
+        str(v)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _html_table(headers: list[str], rows: list[list[Any]]) -> str:
+    head = "".join(f"<th>{_esc(h)}</th>" for h in headers)
+    body = "\n".join(
+        "<tr>" + "".join(f"<td>{_esc(c)}</td>" for c in r) + "</tr>" for r in rows
+    )
+    return f"<table><thead><tr>{head}</tr></thead><tbody>\n{body}\n</tbody></table>"
+
+
+_HTML_CSS = """
+body { font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 64rem;
+       color: #1a1a2e; line-height: 1.45; }
+h1 { border-bottom: 2px solid #4a6fa5; padding-bottom: .3rem; }
+h2 { color: #2d4a6f; margin-top: 1.6rem; }
+table { border-collapse: collapse; margin: .6rem 0; }
+th, td { border: 1px solid #c9d4e3; padding: .3rem .7rem; text-align: left; }
+th { background: #eef2f8; }
+.callout { border-left: 4px solid #d98324; background: #fdf6ec;
+           padding: .5rem .9rem; margin: .6rem 0; }
+.ok { border-left-color: #3a7d44; background: #eef7f0; }
+""".strip()
+
+
+def report_to_html(report: dict[str, Any]) -> str:
+    """Self-contained HTML writer (reporting.py:144-727 surface:
+    header, distribution, relationships, quality, suggestions,
+    recommendations — no external assets, inline CSS)."""
+    target = report.get("target", "?")
+    task = report.get("task", "?")
+    parts = [
+        "<!DOCTYPE html>",
+        f'<html><head><meta charset="utf-8"><title>Target analysis: {_esc(target)}</title>',
+        f"<style>{_HTML_CSS}</style></head><body>",
+        f"<h1>Target analysis: <code>{_esc(target)}</code> ({_esc(task)})</h1>",
+    ]
+    if "class_distribution" in report:
+        parts.append("<h2>Class distribution</h2>")
+        parts.append(
+            _html_table(
+                ["class", "count", "%", "imbalance ratio"],
+                [
+                    [d["class"], d["count"], f"{d['pct']:.2f}", f"{d.get('imbalance_ratio', 1):.2f}"]
+                    for d in report["class_distribution"]
+                ],
+            )
+        )
+        imb = report.get("imbalance") or {}
+        if imb:
+            sev = str(imb.get("severity", "none"))
+            cls = "callout" if sev in ("severe", "moderate") else "callout ok"
+            parts.append(
+                f'<div class="{cls}"><strong>Imbalance: {_esc(sev)}</strong>'
+                f" — {_esc(imb.get('recommendation', 'classes are balanced'))}</div>"
+            )
+    if "target_distribution" in report:
+        td = report["target_distribution"]
+        parts.append("<h2>Target distribution</h2>")
+        parts.append(
+            _html_table(
+                ["statistic", "value"],
+                [[k, v] for k, v in td.items() if not isinstance(v, dict)],
+            )
+        )
+    if report.get("feature_relationships"):
+        parts.append("<h2>Feature–target relationships</h2>")
+        parts.append(
+            _html_table(
+                ["feature", "test", "statistic", "p-value"],
+                [
+                    [r["feature"], r["test"], f"{r['statistic']:.4g}", f"{r['pvalue']:.3g}"]
+                    for r in report["feature_relationships"]
+                ],
+            )
+        )
+    quality = report.get("data_quality") or {}
+    if quality:
+        parts.append("<h2>Data quality</h2>")
+        items = []
+        for key in ("leakage_suspects", "constant_features"):
+            vals = quality.get(key) or []
+            if vals:
+                items.append(
+                    f'<div class="callout"><strong>{_esc(key)}</strong>: '
+                    + ", ".join(f"<code>{_esc(v)}</code>" for v in vals)
+                    + "</div>"
+                )
+        parts.append("\n".join(items) or '<div class="callout ok">No issues detected.</div>')
+    if report.get("suggestions"):
+        parts.append("<h2>Feature-engineering suggestions</h2><ul>")
+        for s in report["suggestions"]:
+            parts.append(
+                f"<li><code>{_esc(s['column'])}</code>: {_esc(', '.join(s['suggestions']))}</li>"
+            )
+        parts.append("</ul>")
+    if report.get("model_recommendations"):
+        parts.append("<h2>Model recommendations</h2><ul>")
+        for m in report["model_recommendations"]:
+            parts.append(
+                f"<li>[{_esc(m['priority'])}] <strong>{_esc(m['model'])}</strong>"
+                f" — {_esc(m['reason'])}</li>"
+            )
+        parts.append("</ul>")
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
 def export_report(report: dict[str, Any], path: str, fmt: str = "markdown") -> str:
-    """Write the report (reporting.py:117-142). fmt ∈ {markdown, json}."""
+    """Write the report (reporting.py:117-142). fmt ∈ {markdown, json,
+    html}."""
     if fmt == "json":
         content = json.dumps(report, indent=2, default=str)
     elif fmt == "markdown":
         content = report_to_markdown(report)
+    elif fmt == "html":
+        content = report_to_html(report)
     else:
         raise ValueError(f"unsupported format: {fmt}")
     with open(path, "w") as fh:

@@ -22,6 +22,15 @@ class FeatureSelector:
         self.target = target
         self.selected_: list[str] | None = None
         self.scores_: dict | None = None
+        # insertion-ordered score_type -> {feature: score}, mirroring
+        # the reference's self.feature_scores (feature_selection.py:321)
+        self.score_history_: dict[str, dict] = {}
+
+    def _record_scores(self, score_type: str, scores: dict) -> None:
+        self.scores_ = scores
+        # re-inserting moves the key to the end = "latest" semantics
+        self.score_history_.pop(score_type, None)
+        self.score_history_[score_type] = dict(scores)
 
     def _features(self, columns=None) -> list[str]:
         return columns or [c for c in numeric_columns(self.df) if c != self.target]
@@ -31,7 +40,7 @@ class FeatureSelector:
         sklearn convention) — feature_selection.py:61-85."""
         cols = self._features(columns)
         row = self.df.agg(*[F.var_pop(c).alias(c) for c in cols]).first()
-        self.scores_ = {c: row[c] for c in cols}
+        self._record_scores("variance", {c: row[c] for c in cols})
         self.selected_ = [c for c in cols if row[c] is not None and row[c] > threshold]
         return self.selected_
 
@@ -58,7 +67,7 @@ class FeatureSelector:
         cols = self._features(columns)
         row = self.df.agg(*[F.corr(c, self.target).alias(c) for c in cols]).first()
         scores = {c: abs(row[c]) if row[c] is not None else 0.0 for c in cols}
-        self.scores_ = scores
+        self._record_scores("target_correlation", scores)
         self.selected_ = sorted(cols, key=lambda c: -scores[c])[:top_k]
         return self.selected_
 
@@ -77,7 +86,7 @@ class FeatureSelector:
             ]
             res = ST.anova_f_from_groups(groups)
             scores[c] = res["F"] if not math.isnan(res["F"]) else 0.0
-        self.scores_ = scores
+        self._record_scores("statistical_test", scores)
         self.selected_ = sorted(cols, key=lambda c: -scores[c])[:k]
         return self.selected_
 
@@ -104,7 +113,7 @@ class FeatureSelector:
             mi = TargetAnalyzer(self.df, self.target).analyze_mutual_information(
                 self._features(columns)
             )
-            self.scores_ = {d["feature"]: d["mi"] for d in mi}
+            self._record_scores("mutual_information", {d["feature"]: d["mi"] for d in mi})
             self.selected_ = [d["feature"] for d in mi[:top_k]]
             return self.selected_
         cols = self._features(columns)
@@ -113,9 +122,30 @@ class FeatureSelector:
         cls = RandomForestClassifier if y.nunique() <= 20 else RandomForestRegressor
         model = cls(n_estimators=100, random_state=seed, n_jobs=-1).fit(X, y)
         imp = dict(zip(cols, model.feature_importances_))
-        self.scores_ = imp
+        self._record_scores("random_forest_importance", imp)
         self.selected_ = sorted(cols, key=lambda c: -imp[c])[:top_k]
         return self.selected_
+
+    def get_feature_importance_df(self, sort: bool = True):
+        """pandas DataFrame (feature, score, score_type) of the LATEST
+        scored selection — feature_selection.py:321-339; empty frame
+        when no scoring method has run."""
+        import pandas as pd
+
+        if not self.score_history_:
+            return pd.DataFrame()
+        score_type = next(reversed(self.score_history_))
+        scores = self.score_history_[score_type]
+        out = pd.DataFrame(
+            {
+                "feature": list(scores.keys()),
+                "score": list(scores.values()),
+                "score_type": score_type,
+            }
+        )
+        if sort:
+            out = out.sort_values("score", ascending=False)
+        return out.reset_index(drop=True)
 
     def apply_selection(self, extra: list[str] | None = None) -> DataFrame:
         """Project selected (+target) — feature_selection.py:341-359."""

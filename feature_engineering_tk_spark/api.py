@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from feature_engineering_tk_spark.exceptions import (
+    ColumnNotFoundError,
+    InvalidStrategyError,
+    TransformerNotFittedError,
+)
+
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
@@ -41,6 +47,12 @@ def _numeric_cols(df: DataFrame) -> list[str]:
 
 def _string_cols(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+
+
+def _require_columns(df: DataFrame, columns) -> None:
+    for c in columns or []:
+        if c not in df.columns:
+            raise ColumnNotFoundError(c, df.columns)
 
 
 class _Tracked:
@@ -92,6 +104,7 @@ class DataPreprocessor(_Tracked):
         from feature_engineering_tk_spark.transforms.impute import Imputer
 
         columns = columns or _numeric_cols(self.df)
+        _require_columns(self.df, columns)
         if strategy in ("mean", "median", "mode", "drop", "fill_value"):
             imp = Imputer(strategy=strategy, fill_value=fill_value).fit(self.df, columns)
             self.df = imp.transform(self.df)
@@ -104,7 +117,11 @@ class DataPreprocessor(_Tracked):
         elif strategy == "interpolate":
             self.df = W.interpolate_linear(self.df, columns, entity=entity, order=order)
         else:
-            raise ValueError(f"unknown strategy {strategy!r}")
+            raise InvalidStrategyError(
+                strategy,
+                ["mean", "median", "mode", "drop", "fill_value",
+                 "forward_fill", "backward_fill", "interpolate"],
+            )
         self._record("handle_missing_values", strategy=strategy, columns=columns)
         return self
 
@@ -146,7 +163,7 @@ class DataPreprocessor(_Tracked):
                 repl = {c: float(row[c]) for c in columns if row[c] is not None}
             self.df = det.replace(self.df, repl)
         else:
-            raise ValueError(f"unknown action {action!r}")
+            raise InvalidStrategyError(action, ["remove", "cap", "replace"])
         self._record("handle_outliers", columns=columns, method=method, action=action)
         return self
 
@@ -317,6 +334,7 @@ class FeatureEngineer(_Tracked):
         from feature_engineering_tk_spark.transforms.scale import Scaler
 
         columns = columns or _numeric_cols(self.df)
+        _require_columns(self.df, columns)
         sc = Scaler(method=method).fit(self.df, columns)
         self.df = sc.transform(self.df)
         self.transformers[f"{method}_scaler"] = sc  # feature_engineering.py:285
@@ -404,6 +422,8 @@ class FeatureEngineer(_Tracked):
     def save_transformers(self, path: str) -> str:
         from feature_engineering_tk_spark.transforms.state import save_transformers
 
+        if not self.transformers:
+            raise TransformerNotFittedError("encoder or scaler")
         save_transformers(self.transformers, path)
         self._record("save_transformers", path=path)
         return path

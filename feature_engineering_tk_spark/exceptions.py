@@ -1,0 +1,90 @@
+"""Typed exception hierarchy — reference ``exceptions.py:8-97`` parity.
+
+Same class names and attributes as the reference so callers that catch
+``InvalidStrategyError`` / ``EmptyDataFrameError`` etc. port over
+unchanged. One deliberate deviation: ``ValidationError`` additionally
+inherits ``ValueError`` (and ``TransformerNotFittedError`` inherits
+``RuntimeError``) so pre-existing callers that caught the builtin
+types keep working — the typed classes narrow, never break, the old
+contract.
+"""
+
+from __future__ import annotations
+
+
+class MLToolkitError(Exception):
+    """Base class for every engine-raised error."""
+
+
+class ValidationError(MLToolkitError, ValueError):
+    """Input validation failed."""
+
+
+class ColumnNotFoundError(ValidationError):
+    def __init__(self, column_name: str, available_columns: list | None = None):
+        self.column_name = column_name
+        self.available_columns = available_columns
+        msg = f"Column '{column_name}' not found in dataframe"
+        if available_columns:
+            shown = list(available_columns)[:10]
+            msg += f". Available columns: {shown}"
+            if len(available_columns) > 10:
+                msg += f"... ({len(available_columns)} total)"
+        super().__init__(msg)
+
+
+class InvalidStrategyError(ValidationError):
+    def __init__(self, strategy: str, valid_strategies: list):
+        self.strategy = strategy
+        self.valid_strategies = list(valid_strategies)
+        super().__init__(
+            f"Invalid strategy '{strategy}'. Valid strategies: {self.valid_strategies}"
+        )
+
+
+class InvalidMethodError(ValidationError):
+    def __init__(self, method: str, valid_methods: list):
+        self.method = method
+        self.valid_methods = list(valid_methods)
+        super().__init__(f"Invalid method '{method}'. Valid methods: {self.valid_methods}")
+
+
+class DataTypeError(ValidationError):
+    def __init__(self, column_name: str, expected_type: str, actual_type: str):
+        self.column_name = column_name
+        self.expected_type = expected_type
+        self.actual_type = actual_type
+        super().__init__(
+            f"Column '{column_name}' has type '{actual_type}', expected '{expected_type}'"
+        )
+
+
+class EmptyDataFrameError(ValidationError):
+    """Operation requires a non-empty DataFrame."""
+
+
+class InsufficientDataError(ValidationError):
+    def __init__(self, operation: str, required: int, actual: int):
+        self.operation = operation
+        self.required = required
+        self.actual = actual
+        super().__init__(
+            f"Insufficient data for {operation}: requires {required} rows, got {actual}"
+        )
+
+
+class TransformerNotFittedError(MLToolkitError, RuntimeError):
+    def __init__(self, transformer_type: str):
+        self.transformer_type = transformer_type
+        super().__init__(
+            f"No {transformer_type} transformers have been fitted. Call a fit method first."
+        )
+
+
+class ConstantColumnError(ValidationError):
+    def __init__(self, column_name: str, operation: str):
+        self.column_name = column_name
+        self.operation = operation
+        super().__init__(
+            f"Cannot perform {operation} on constant column '{column_name}' (zero variance)"
+        )

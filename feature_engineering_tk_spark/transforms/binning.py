@@ -57,7 +57,9 @@ class QuantileBinner(FittedStateMixin):
             qs = approx_quantiles(df, column, probs)
         edges = list(dict.fromkeys(qs))  # duplicates='drop', order-preserving
         if len(edges) < 2:
-            raise ValueError(f"column {column!r} is constant; cannot quantile-bin")
+            from feature_engineering_tk_spark.exceptions import ConstantColumnError
+
+            raise ConstantColumnError(column, "quantile binning")
         self.state_ = {"column": column, "edges": edges}
         return self
 
@@ -85,7 +87,9 @@ class UniformBinner(FittedStateMixin):
         row = df.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).first()
         lo, hi = float(row["lo"]), float(row["hi"])
         if lo == hi:
-            raise ValueError(f"column {column!r} is constant; cannot bin")
+            from feature_engineering_tk_spark.exceptions import ConstantColumnError
+
+            raise ConstantColumnError(column, "uniform binning")
         step = (hi - lo) / self.bins
         edges = [lo + i * step for i in range(self.bins)] + [hi]
         self.state_ = {"column": column, "edges": edges, "range": hi - lo}

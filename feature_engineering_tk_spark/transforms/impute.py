@@ -39,7 +39,9 @@ class Imputer(FittedStateMixin):
         order: str | list[str] = "turn_idx",
     ):
         if strategy not in _GLOBAL + _SEQUENCE + ("drop",):
-            raise ValueError(f"unknown strategy {strategy!r}")
+            from feature_engineering_tk_spark.exceptions import InvalidStrategyError
+
+            raise InvalidStrategyError(strategy, list(_GLOBAL + _SEQUENCE + ("drop",)))
         self.strategy = strategy
         self.fill_value = fill_value
         self.entity = entity

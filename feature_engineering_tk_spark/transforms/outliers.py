@@ -23,7 +23,9 @@ from feature_engineering_tk_spark.transforms.state import FittedStateMixin
 class OutlierDetector(FittedStateMixin):
     def __init__(self, method: str = "iqr", factor: float = 1.5, threshold: float = 3.0):
         if method not in ("iqr", "zscore"):
-            raise ValueError(f"unknown method {method!r}")
+            from feature_engineering_tk_spark.exceptions import InvalidMethodError
+
+            raise InvalidMethodError(method, ["iqr", "zscore"])
         self.method = method
         self.factor = factor  # IQR multiplier
         self.threshold = threshold  # zscore cutoff

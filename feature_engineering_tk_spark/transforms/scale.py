@@ -24,7 +24,9 @@ from feature_engineering_tk_spark.transforms.state import FittedStateMixin
 class Scaler(FittedStateMixin):
     def __init__(self, method: str = "standard", exact: bool = True):
         if method not in ("standard", "minmax", "robust"):
-            raise ValueError(f"unknown scaling method {method!r}")
+            from feature_engineering_tk_spark.exceptions import InvalidMethodError
+
+            raise InvalidMethodError(method, ["standard", "minmax", "robust"])
         self.method = method
         # exact=False: robust quantiles via percentile_approx — the
         # 100 TB refit path; parity-contract surfaces keep exact=True
@@ -36,7 +38,9 @@ class Scaler(FittedStateMixin):
 
     def fit(self, df: DataFrame, columns: list[str]) -> "Scaler":
         if df.isEmpty():
-            raise ValueError("cannot fit scaler on empty DataFrame")  # EmptyDataFrameError parity
+            from feature_engineering_tk_spark.exceptions import EmptyDataFrameError
+
+            raise EmptyDataFrameError("cannot fit scaler on empty DataFrame")
         aggs = []
         for c in columns:
             if self.method == "standard":

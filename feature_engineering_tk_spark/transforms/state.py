@@ -46,7 +46,9 @@ class FittedStateMixin:
 
     def _require_fitted(self):
         if self.state_ is None:
-            raise RuntimeError(f"{type(self).__name__} is not fitted")
+            from feature_engineering_tk_spark.exceptions import TransformerNotFittedError
+
+            raise TransformerNotFittedError(type(self).__name__)
 
     def to_json(self) -> str:
         self._require_fitted()

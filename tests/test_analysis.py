@@ -455,3 +455,32 @@ def test_kendall_matrix_pairwise_complete(spark):
     sub = pdf.dropna()
     exp = _brute_tau(sub["a"].to_numpy(), sub["b"].to_numpy())
     assert mat[0, 1] == pytest.approx(exp, abs=1e-12)
+
+
+def test_feature_importance_df(spark):
+    """get_feature_importance_df (feature_selection.py:321-339): latest
+    selection's scores as a sorted (feature, score, score_type) frame;
+    empty frame before any scoring method runs."""
+    pdf = pd.DataFrame(
+        {
+            "a": np.arange(50, dtype=float),
+            "b": np.arange(50, dtype=float) % 3,
+            "y": np.arange(50, dtype=float) * 2 + 1,
+        }
+    )
+    sel = FeatureSelector(spark.createDataFrame(pdf), target="y")
+    assert sel.get_feature_importance_df().empty
+
+    sel.select_by_variance()
+    imp = sel.get_feature_importance_df()
+    assert list(imp.columns) == ["feature", "score", "score_type"]
+    assert (imp["score_type"] == "variance").all()
+    assert imp["score"].is_monotonic_decreasing
+
+    sel.select_by_target_correlation(top_k=2)
+    imp2 = sel.get_feature_importance_df()
+    assert (imp2["score_type"] == "target_correlation").all()
+    assert imp2.iloc[0]["feature"] == "a"  # perfectly correlated with y
+
+    unsorted = sel.get_feature_importance_df(sort=False)
+    assert set(unsorted["feature"]) == {"a", "b"}

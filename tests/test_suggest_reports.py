@@ -143,6 +143,33 @@ def test_full_report_and_export(spark, skewed_df, tmp_path):
 
     assert json.load(open(js))["target"] == "target"
 
+    html = export_report(rep, str(tmp_path / "r.html"), fmt="html")
+    htext = open(html).read()
+    assert htext.startswith("<!DOCTYPE html>")
+    assert "<h1>" in htext and "</html>" in htext
+    assert "Feature–target relationships" in htext
+    assert "Model recommendations" in htext
+
+    with pytest.raises(ValueError):
+        export_report(rep, str(tmp_path / "r.x"), fmt="docx")
+
+
+def test_html_export_classification_and_escaping(spark, tmp_path):
+    from feature_engineering_tk_spark.analysis.reports import export_report, report_to_html
+
+    rows = [(i, float(i % 7), "a<b" if i % 4 else "c&d") for i in range(120)]
+    df = spark.createDataFrame(rows, "id int, x double, target string")
+    from feature_engineering_tk_spark.analysis.reports import generate_full_report
+
+    rep = generate_full_report(df, "target")
+    html = report_to_html(rep)
+    # class labels are HTML-escaped, never raw
+    assert "a&lt;b" in html and "c&amp;d" in html
+    assert "a<b" not in html
+    assert "Class distribution" in html
+    path = export_report(rep, str(tmp_path / "c.html"), fmt="html")
+    assert open(path).read() == html
+
 
 def test_full_report_classification_markdown(spark):
     """Classification branch: class table + imbalance flow into the
