@@ -1176,9 +1176,10 @@ def q_feature_target_fdr(spark, sf_dir):
 
 def q_mean_ci(spark, sf_dir):
     """calculate_mean_ci (statistical_utils.py:802-856): t-distribution
-    CI from distributed (n, mean, std). t-quantiles aren't ANSI SQL →
-    rows-only check (the sufficient stats are oracle-covered by
-    numeric_summary)."""
+    CI from distributed (n, mean, std). The t-quantile depends only on
+    (confidence, df); the oracle inlines t_ppf(0.975, n-1) computed by
+    the same special-functions code and replays the CI arithmetic in
+    SQL."""
     from feature_engineering_tk_spark.analysis.stats import mean_ci
 
     ev = _t(spark, sf_dir, "events")
@@ -2128,6 +2129,19 @@ def _generated_oracles() -> dict[str, str]:
         FROM w
     """
 
+    # mean_ci: the t critical value is a pure function of (confidence,
+    # df); at the sf0.01 gate events.value has n=10000 non-null rows →
+    # df=9999. Inline t_ppf from the engine's own special functions and
+    # replay mean ± t*s/sqrt(n) in SQL.
+    from feature_engineering_tk_spark.analysis import special as SP
+
+    tcrit = SP.t_ppf(0.975, 9999)
+    mean_ci = f"""
+        SELECT round(avg(value) - {tcrit!r} * (stddev_samp(value) / sqrt(count(value))), 6) AS ci_lo,
+               round(avg(value) + {tcrit!r} * (stddev_samp(value) / sqrt(count(value))), 6) AS ci_hi
+        FROM events
+    """
+
     # Kendall tau-b: explicit pair counting. sign() via CASE (no float
     # subtraction); tau formula written with the identical
     # sqrt(tot-xt)*sqrt(tot-yt) denominator as the engine.
@@ -2174,6 +2188,7 @@ def _generated_oracles() -> dict[str, str]:
         "lsh_topk": lsh_topk,
         "check_normality": check_normality,
         "kendall_corr": kendall_corr,
+        "mean_ci": mean_ci,
     }
 
 
