@@ -466,6 +466,29 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster assignment: verified minhash near-dup pairs →
+    connected components via min-label propagation (dedup.py
+    connected_components). Oracle = DuckDB recursive CTE computing the
+    min reachable id per node over the same verified edge set."""
+    from feature_engineering_tk_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, hash_mode="md5")
+    cands = minhash_lsh_candidates(sigs, "doc_id", "minhash", 8, 4, hash_mode="md5")
+    dups = (
+        ngram_jaccard(cands, d, "doc_id", "text", 3)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    return connected_components(dups).orderBy("id")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (text.py fingerprint): the
     polynomial byte-hash mod 2^61-1 is replayed in the oracle with a
@@ -1938,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": q_kruskal_wallis,
         "check_normality": q_check_normality,
         "kendall_corr": q_kendall_corr,
+        "dedup_components": q_dedup_components,
         "ivf_topk": q_ivf_topk,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
@@ -2022,8 +2046,9 @@ def _generated_oracles() -> dict[str, str]:
         "FROM embeddings e, planes GROUP BY e.vec_id, e.embedding"
     )
 
-    minhash_dedup = f"""
-        WITH perms(pi, a, b) AS (VALUES {perm_values}),
+    # shared CTE chain up to verified-jaccard candidate pairs, reused by
+    # minhash_dedup and dedup_components
+    mh_ctes = f"""perms(pi, a, b) AS (VALUES {perm_values}),
         src AS ({norm_src}),
         tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM src),
         sh AS (SELECT doc_id,
@@ -2044,10 +2069,26 @@ def _generated_oracles() -> dict[str, str]:
         jac AS (SELECT id_a, id_b,
                        CAST(len(list_intersect(da.ds, db.ds)) AS DOUBLE)
                        / greatest(len(list_distinct(list_concat(da.ds, db.ds))), 1) AS j
-                FROM cand JOIN dsh da ON da.doc_id = id_a JOIN dsh db ON db.doc_id = id_b),
+                FROM cand JOIN dsh da ON da.doc_id = id_a JOIN dsh db ON db.doc_id = id_b)"""
+
+    minhash_dedup = f"""
+        WITH {mh_ctes},
         dups AS (SELECT DISTINCT id_b FROM jac WHERE j >= 0.7)
         SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dups)
         ORDER BY doc_id
+    """
+
+    dedup_components = f"""
+        WITH RECURSIVE {mh_ctes},
+        edges AS (SELECT id_a AS ea, id_b AS eb FROM jac WHERE j >= 0.7),
+        sym AS (SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges),
+        nodes AS (SELECT DISTINCT ea AS id FROM sym),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT s.ea, reach.r FROM reach JOIN sym s ON s.eb = reach.id
+        )
+        SELECT id, min(r) AS component_id FROM reach GROUP BY id ORDER BY id
     """
 
     simhash = f"""
@@ -2189,6 +2230,7 @@ def _generated_oracles() -> dict[str, str]:
         "check_normality": check_normality,
         "kendall_corr": kendall_corr,
         "mean_ci": mean_ci,
+        "dedup_components": dedup_components,
     }
 
 

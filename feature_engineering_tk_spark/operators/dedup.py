@@ -201,6 +201,62 @@ def minhash_lsh_dedup(
     return df.join(dups, id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: undirected (id_a, id_b) edges →
+    one row per node with ``component_id`` = the smallest id reachable
+    from it. Turns pairwise near-dup output into GROUP-level dedup
+    (keep one doc per cluster), the step between
+    :func:`minhash_lsh_candidates` and a corpus-level survivor list.
+
+    Algorithm: min-label propagation — each iteration every node takes
+    the min of its own label and its neighbors' labels (two bounded
+    shuffle joins + one partial-aggregatable groupBy per iteration),
+    terminating when an iteration changes nothing. Iterations scale
+    with component DIAMETER, which for near-dup clusters (dense blobs
+    of mutual duplicates) is small; the classic large-star/small-star
+    O(log n) variant drops in here if a corpus ever produces
+    chain-shaped components. Each iteration's result is
+    ``localCheckpoint``-ed so the plan doesn't grow unboundedly.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("_src"), F.col(b_col).alias("_dst")
+    ).distinct()
+    # undirected: keep both directions so one join propagates each way
+    sym = edges.unionByName(
+        edges.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+    )
+    labels = (
+        sym.select(F.col("_src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["_dst"] == labels["id"])
+            .groupBy(F.col("_src").alias("id"))
+            .agg(F.min("label").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+            .localCheckpoint()  # materialize once; cut the iterative lineage
+        )
+        changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
+        labels = updated.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component_id"))
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

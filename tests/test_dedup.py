@@ -91,3 +91,29 @@ def test_embedding_neardup(spark):
     # most planted twin pairs found (LSH recall < 1 by construction)
     found = sum((2 * i, 2 * i + 1) in got for i in range(10))
     assert found >= 7
+
+
+def test_connected_components_planted(spark):
+    from feature_engineering_tk_spark.operators.dedup import connected_components
+
+    # two clusters {1,2,3,9} (chain) and {5,7}, singleton edges absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_connected_components_chain_diameter(spark):
+    from feature_engineering_tk_spark.operators.dedup import connected_components
+
+    # worst-case chain 0-1-2-...-12: propagation needs ~diameter iters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    got = connected_components(pairs).collect()
+    assert all(r["component_id"] == 0 for r in got)
+    assert len(got) == 13
