@@ -380,11 +380,13 @@ class TargetAnalyzer:
         return {"missing": missing, "leakage_suspects": suspects, "constant_features": constant}
 
 
-def analyze_residuals(df, actual: str, predicted: str) -> dict:
+def analyze_residuals(df, actual: str, predicted: str, shapiro: bool = False) -> dict:
     """Residual diagnostics (target_analyzer/statistical.py:535-578):
     residual mean/std, MAE, RMSE, R² = 1 - SS_res/SS_tot, plus a
     Jarque-Bera normality check from distributed moments — ONE
-    aggregation pass, no collect of row data."""
+    aggregation pass, no collect of row data. ``shapiro=True`` adds the
+    reference's Shapiro-on-residuals field from a seeded ≤5000 sample
+    (one extra bounded collect)."""
     from feature_engineering_tk_spark.analysis.stats import normality_from_moments
 
     res = F.col(actual) - F.col(predicted)
@@ -409,7 +411,7 @@ def analyze_residuals(df, actual: str, predicted: str) -> dict:
         if row["g1"] is not None
         else {"statistic": float("nan"), "pvalue": float("nan"), "is_normal": None}
     )
-    return {
+    out = {
         "n": n,
         "residual_mean": row["mean"],
         "residual_std": row["std"],
@@ -418,3 +420,14 @@ def analyze_residuals(df, actual: str, predicted: str) -> dict:
         "r2": r2,
         "normality": norm,
     }
+    if shapiro and n >= 3:
+        from feature_engineering_tk_spark.analysis.normality import (
+            sampled_column,
+            shapiro_wilk,
+        )
+
+        vals, _ = sampled_column(d, "_res")
+        sw = shapiro_wilk(vals)
+        out["shapiro_stat"] = sw["statistic"]
+        out["shapiro_pvalue"] = sw["pvalue"]
+    return out

@@ -482,6 +482,13 @@ class DataAnalyzer:
 
         return calculate_vif(self.df, columns)
 
+    def check_normality(self, column: str, method: str = "shapiro", alpha: float = 0.05) -> dict:
+        """Reference check_normality surface (statistical_utils.py:39-181):
+        shapiro | normaltest | anderson."""
+        from feature_engineering_tk_spark.analysis.normality import check_normality
+
+        return check_normality(self.df, column, method=method, alpha=alpha)
+
     def detect_outliers_iqr(self, column: str, factor: float = 1.5) -> DataFrame:
         from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
 

@@ -144,3 +144,29 @@ def test_target_distribution_gains_shapiro_fields(spark):
     assert 0.9 < dist["shapiro_stat"] <= 1.0
     assert dist["shapiro_pvalue"] > 0.05
     assert dist["is_normal"] is True
+
+
+def test_analyzer_facade_check_normality(spark):
+    from feature_engineering_tk_spark.api import DataAnalyzer
+
+    rng = np.random.default_rng(21)
+    df = spark.createDataFrame([(float(v),) for v in rng.standard_normal(300)], "v double")
+    res = DataAnalyzer(df).check_normality("v", method="anderson")
+    assert res["test_name"] == "Anderson-Darling"
+    assert res["is_normal"] is True
+
+
+def test_residuals_shapiro_field(spark):
+    from feature_engineering_tk_spark.analysis.target import analyze_residuals
+
+    rng = np.random.default_rng(13)
+    actual = rng.standard_normal(400) * 2 + 5
+    pred = actual + rng.standard_normal(400) * 0.1   # normal residuals
+    df = spark.createDataFrame(
+        [(float(a), float(p)) for a, p in zip(actual, pred)], "y double, yhat double"
+    )
+    res = analyze_residuals(df, "y", "yhat", shapiro=True)
+    assert res["r2"] > 0.99
+    assert res["shapiro_pvalue"] > 0.01
+    base = analyze_residuals(df, "y", "yhat")
+    assert "shapiro_stat" not in base
