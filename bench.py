@@ -118,16 +118,17 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "throughput_rows_per_s": round(n_events / pipeline_s, 1),
                 "cpus": cpus,
-                # measured at 40.6M synthetic turns, best over 3
-                # interleaved fresh-JVM attempts per level — protocol,
-                # tables and the no-Spark hardware-ceiling control in
+                # measured at 40.6M synthetic turns, min over every
+                # interleaved fresh-JVM attempt recorded in
+                # BENCH/scaling_attempts.jsonl — protocol, tables and
+                # the no-Spark hardware-ceiling control in
                 # BENCH/BASELINE.md
                 "scaling_40m_turns": {
-                    "local8_turns_per_s": 780584,
-                    "local32_turns_per_s": 2422386,
-                    "efficiency_raw": 0.78,
-                    "hardware_ceiling_8_to_32": 0.66,
-                    "efficiency_vs_ceiling": 1.18,
+                    "local8_turns_per_s": 675572,
+                    "local32_turns_per_s": 1938248,
+                    "efficiency_raw": 0.72,
+                    "hardware_ceiling_8_to_32": 0.74,
+                    "efficiency_vs_ceiling": 0.97,
                 },
             }
         )
