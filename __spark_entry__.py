@@ -489,6 +489,23 @@ def q_dedup_components(spark, sf_dir):
     return connected_components(dups).orderBy("id")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.py ngram_contamination):
+    every-50th doc plays the eval set; remaining docs are flagged on
+    any shared 3-gram. Hash-join on 60-bit md5 n-gram hashes — the
+    oracle replays the identical shingle→hash→distinct→membership
+    pipeline in SQL."""
+    from feature_engineering_tk_spark.operators.dedup import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    out = ngram_contamination(train, bench, shingle_n=3, hash_mode="md5")
+    return out.select(
+        "doc_id", "n_contaminated_ngrams", "n_ngrams", "contaminated"
+    ).orderBy("doc_id")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (text.py fingerprint): the
     polynomial byte-hash mod 2^61-1 is replayed in the oracle with a
@@ -1962,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_normality": q_check_normality,
         "kendall_corr": q_kendall_corr,
         "dedup_components": q_dedup_components,
+        "decontaminate": q_decontaminate,
         "ivf_topk": q_ivf_topk,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
@@ -2076,6 +2094,25 @@ def _generated_oracles() -> dict[str, str]:
         dups AS (SELECT DISTINCT id_b FROM jac WHERE j >= 0.7)
         SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dups)
         ORDER BY doc_id
+    """
+
+    decontaminate = f"""
+        WITH src AS ({norm_src}),
+        tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM src),
+        sh AS (SELECT doc_id,
+                      list_transform(range(0, greatest(len(toks) - 2, 1)),
+                                     i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) AS shingles
+               FROM tk),
+        dh AS (SELECT DISTINCT doc_id, {_h60_sql('u.s')} AS h
+               FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u),
+        bset AS (SELECT DISTINCT h FROM dh WHERE doc_id % 50 = 0),
+        train AS (SELECT doc_id, h FROM dh WHERE doc_id % 50 != 0)
+        SELECT t.doc_id,
+               CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated_ngrams,
+               count(*) AS n_ngrams,
+               sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+        FROM train t LEFT JOIN bset b ON t.h = b.h
+        GROUP BY t.doc_id ORDER BY t.doc_id
     """
 
     dedup_components = f"""
@@ -2231,6 +2268,7 @@ def _generated_oracles() -> dict[str, str]:
         "kendall_corr": kendall_corr,
         "mean_ci": mean_ci,
         "dedup_components": dedup_components,
+        "decontaminate": decontaminate,
     }
 
 

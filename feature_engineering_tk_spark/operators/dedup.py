@@ -201,6 +201,60 @@ def minhash_lsh_dedup(
     return df.join(dups, id_col, "left_anti")
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 13,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share ANY
+    token n-gram with an eval/benchmark set (the GPT-3-style 13-gram
+    rule). Per doc: count of distinct contaminated n-grams, total
+    distinct n-grams, and a boolean flag.
+
+    Scale shape: both sides reduce to distinct 8-byte n-gram hashes
+    before the join — document text never crosses a shuffle. The
+    benchmark side (eval suites: thousands of docs) collapses to a
+    distinct-hash set small enough to broadcast, so the scan of the
+    100 TB training corpus is join-side stationary: one pass, no
+    shuffle of the corpus at all.
+    """
+    d_sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _shingles(F.col(text_col), shingle_n),
+                    lambda s: _token_hash(s, hash_mode),
+                )
+            )
+        ).alias("_h"),
+    )
+    b_sh = (
+        benchmark.select(
+            F.explode(
+                F.transform(
+                    _shingles(F.col(text_col), shingle_n),
+                    lambda s: _token_hash(s, hash_mode),
+                )
+            ).alias("_h")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = d_sh.join(F.broadcast(b_sh), "_h", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated_ngrams"),
+            F.count(F.lit(1)).alias("n_ngrams"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_ngrams") > 0)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",

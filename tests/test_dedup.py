@@ -117,3 +117,41 @@ def test_connected_components_chain_diameter(spark):
     got = connected_components(pairs).collect()
     assert all(r["component_id"] == 0 for r in got)
     assert len(got) == 13
+
+
+def test_ngram_contamination_planted(spark):
+    from feature_engineering_tk_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a totally unrelated sentence about spark plans"),
+            (2, "he saw the quick brown fox run away"),     # shares 'the quick brown' etc.
+            (3, "quick brown dogs are rare"),               # no shared 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_contaminated_ngrams"], r["contaminated"])
+        for r in ngram_contamination(train, bench, shingle_n=3).collect()
+    }
+    assert got[1] == (0, False)
+    assert got[2][0] >= 2 and got[2][1] is True   # 'the quick brown', 'quick brown fox'
+    assert got[3] == (0, False)
+
+
+def test_ngram_contamination_13gram_default(spark):
+    from feature_engineering_tk_spark.operators.dedup import ngram_contamination
+
+    text = " ".join(f"w{i}" for i in range(20))
+    bench = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, text), (2, " ".join(f"w{i}" for i in range(19, 39)))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["contaminated"] for r in ngram_contamination(train, bench).collect()}
+    assert got[1] is True      # identical text → 13-gram hit
+    assert got[2] is False     # only 1 shared token, no shared 13-gram
