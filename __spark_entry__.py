@@ -563,6 +563,34 @@ def q_check_normality(spark, sf_dir):
     return spark.createDataFrame(rows, "stat_w double, z double, n long")
 
 
+def q_tfidf(spark, sf_dir):
+    """Per-(doc, term) TF-IDF with sklearn default semantics (smooth
+    idf, L2 normalize) — functions/text.py tf_idf; every stage is a
+    partial-aggregatable groupBy replayed exactly in the oracle."""
+    from feature_engineering_tk_spark.functions.text import tf_idf
+
+    d = _t(spark, sf_dir, "documents")
+    out = tf_idf(d, min_df=2)
+    return out.select(
+        "doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
+def q_knn_join(spark, sf_dir):
+    """Batch k-NN join (similarity.py knn_join): top-5 cosine
+    neighbors for each of 5 query vectors in one corpus pass."""
+    from feature_engineering_tk_spark.functions.similarity import knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = knn_join(q, e, k=5)
+    return out.select(
+        "q_id", "vec_id", F.round("cosine_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
 def q_embedding_norms(spark, sf_dir):
     from feature_engineering_tk_spark.functions.similarity import l2_norm
 
@@ -1980,6 +2008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_corr": q_kendall_corr,
         "dedup_components": q_dedup_components,
         "decontaminate": q_decontaminate,
+        "tfidf": q_tfidf,
+        "knn_join": q_knn_join,
         "ivf_topk": q_ivf_topk,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
@@ -2094,6 +2124,34 @@ def _generated_oracles() -> dict[str, str]:
         dups AS (SELECT DISTINCT id_b FROM jac WHERE j >= 0.7)
         SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dups)
         ORDER BY doc_id
+    """
+
+    tfidf = f"""
+        WITH src AS ({norm_src}),
+        toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM src),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY 1, 2),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) >= 2),
+        w AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                     t.tf * (ln((1.0 + nd.n) / (1.0 + d.df)) + 1.0) AS tfidf
+              FROM tf t JOIN dfq d USING (term), nd),
+        nr AS (SELECT doc_id, sqrt(sum(tfidf * tfidf)) AS l2 FROM w GROUP BY doc_id)
+        SELECT w.doc_id, w.term, CAST(w.tf AS BIGINT) AS tf, CAST(w.df AS BIGINT) AS df,
+               round(w.tfidf / nr.l2, 6) AS tfidf
+        FROM w JOIN nr ON w.doc_id = nr.doc_id
+    """
+
+    knn_join = f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+        sc AS (SELECT q.q_id, e.vec_id,
+                      {_dot_sql('e.embedding', 'q.q_vec')}
+                      / ({_l2_sql('e.embedding')} * {_l2_sql('q.q_vec')}) AS cs
+               FROM embeddings e, q),
+        rk AS (SELECT q_id, vec_id, cs,
+                      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank
+               FROM sc)
+        SELECT q_id, vec_id, round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank
+        FROM rk WHERE rank <= 5
     """
 
     decontaminate = f"""
@@ -2269,6 +2327,8 @@ def _generated_oracles() -> dict[str, str]:
         "mean_ci": mean_ci,
         "dedup_components": dedup_components,
         "decontaminate": decontaminate,
+        "tfidf": tfidf,
+        "knn_join": knn_join,
     }
 
 

@@ -203,3 +203,41 @@ def ivf_topk(
         "cosine_sim", dot(F.col(vec_col), q) / (l2_norm(F.col(vec_col)) * l2_norm(q))
     )
     return out.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN join: top-k corpus neighbors (cosine) for EVERY query
+    row at once — the shape a retrieval/labeling pipeline actually
+    needs, vs the single-query ``cosine_topk``.
+
+    Scale shape: the query side (requests, eval set) broadcasts; the
+    100 TB corpus is scanned once and scored in place (|Q|·|C| scores
+    but only on the projected vectors). The per-query top-k runs as a
+    rank window keyed by query id — AQE's skew split handles the few-
+    hot-keys layout; for |Q| large enough to matter, pre-bucket with
+    ``lsh_assign_buckets`` on both sides first and knn_join per bucket.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(q_id), F.col(q_vec))
+    scored = corpus.crossJoin(F.broadcast(q)).withColumn(
+        "cosine_sim",
+        dot(F.col(vec_col), F.col(q_vec))
+        / (l2_norm(F.col(vec_col)) * l2_norm(F.col(q_vec))),
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(q_id, id_col, "cosine_sim", F.col("_rn").alias("rank"))
+    )

@@ -124,3 +124,47 @@ def fingerprint(df: DataFrame, column: str, out: str = "fingerprint") -> DataFra
     outside the JVM (numpy oracle in tests)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(column)), r"\s+", " "))
     return df.withColumn(out, _rolling_hash_udf(norm))
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    l2_normalize: bool = True,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF with sklearn ``TfidfVectorizer`` default
+    semantics: tf = raw count in doc, smooth idf = ln((1+N)/(1+df)) + 1,
+    optional per-document L2 normalization.
+
+    Scale shape: tokens explode once; (doc, term) TF and per-term DF
+    are both partial-aggregatable groupBys; the DF side collapses to
+    |vocab| rows and joins back on the term key. The corpus is never
+    collected — per-doc L2 norms come from one more windowless groupBy
+    + join-back on ``id_col``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    docfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    weighted = tf.join(docfreq, "term").withColumn("tfidf", F.col("tf") * idf)
+    if not l2_normalize:
+        return weighted.select(id_col, "term", "tf", "df", "tfidf")
+    norms = weighted.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("_l2")
+    )
+    return (
+        weighted.join(norms, id_col)
+        .withColumn("tfidf", F.col("tfidf") / F.col("_l2"))
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )

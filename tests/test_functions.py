@@ -224,3 +224,52 @@ def test_apply_custom_function_vectorized(spark, transcripts):
         .values
     )
     assert np.allclose(got, exp)
+
+
+def test_tf_idf_sklearn_semantics(spark):
+    """tf=raw count, idf=ln((1+N)/(1+df))+1, L2-normalized per doc."""
+    import math as _math
+
+    from feature_engineering_tk_spark.functions.text import tf_idf
+
+    df = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry"), (2, "durian")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["term"]): r for r in tf_idf(df, min_df=1).collect()}
+    # doc 0: apple tf=2 df=1, banana tf=1 df=2; N=3
+    idf_apple = _math.log(4 / 2) + 1.0
+    idf_banana = _math.log(4 / 3) + 1.0
+    raw_a, raw_b = 2 * idf_apple, 1 * idf_banana
+    l2 = _math.sqrt(raw_a**2 + raw_b**2)
+    assert rows[(0, "apple")]["tfidf"] == pytest.approx(raw_a / l2, rel=1e-12)
+    assert rows[(0, "banana")]["tfidf"] == pytest.approx(raw_b / l2, rel=1e-12)
+    # singleton doc: single term normalizes to exactly 1
+    assert rows[(2, "durian")]["tfidf"] == pytest.approx(1.0, abs=1e-12)
+    # min_df prunes hapax terms
+    pruned = {r["term"] for r in tf_idf(df, min_df=2).collect()}
+    assert pruned == {"banana"}
+
+
+def test_knn_join_batch(spark):
+    from feature_engineering_tk_spark.functions.similarity import knn_join
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [2.0, 0.0]), (200, [0.0, 3.0])],
+        "q_id long, q_vec array<double>",
+    )
+    got = knn_join(q, corpus, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q[100]) == 3 and len(by_q[200]) == 3
+    # query 100 is the x-axis: its top-3 are even ids in id order, sim 1
+    top100 = sorted(by_q[100], key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in top100] == [0, 2, 4]
+    assert all(abs(r["cosine_sim"] - 1.0) < 1e-12 for r in top100)
+    top200 = sorted(by_q[200], key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in top200] == [1, 3, 5]
