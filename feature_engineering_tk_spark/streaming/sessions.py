@@ -77,13 +77,15 @@ def streaming_turn_rate(
     )
 
 
-def run_available_now(query_df: DataFrame, sink_table: str) -> None:
+def run_available_now(query_df: DataFrame, sink_table: str, output_mode: str = "complete") -> None:
     """Drain everything currently in the source into an in-memory sink
-    (deterministic batch-equivalent execution for tests/backfills)."""
+    (deterministic batch-equivalent execution for tests/backfills).
+    ``complete`` for aggregations; ``append`` for row-level operators
+    like :func:`streaming_dedup`."""
     q = (
         query_df.writeStream.format("memory")
         .queryName(sink_table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -131,3 +133,21 @@ def streaming_running_features(
     return stream.groupBy(entity).applyInPandasWithState(
         update, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on ingestion: first arrival per key wins,
+    re-deliveries inside the watermark are dropped, and state is
+    EVICTED past the watermark (``dropDuplicatesWithinWatermark``) so
+    it never grows unboundedly — the batch twin is
+    ``operators.rows.remove_duplicates(keep='first')``. For text-keyed
+    dedup pass a hash key upstream (``xxhash64(text)``) so state stores
+    8 bytes per doc, not documents.
+    """
+    keys = keys or ["conv_id", "turn_idx"]
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)

@@ -97,3 +97,18 @@ def test_streaming_running_features_stateful(spark, transcripts, tmp_path):
     }
     for r in final:
         assert (r["n"], r["tok"]) == expected[r["conv_id"]], r["conv_id"]
+
+
+def test_streaming_dedup_drops_redeliveries(spark, transcripts, tmp_path):
+    """Re-delivered rows (at-least-once source) collapse to one row per
+    (conv_id, turn_idx); result matches batch remove_duplicates."""
+    path = str(tmp_path / "dup_src")
+    dup = transcripts.union(transcripts.limit(500))  # re-deliver a slice
+    dup.write.mode("overwrite").parquet(path)
+
+    stream = SS.read_transcript_stream(spark, path)
+    deduped = SS.streaming_dedup(stream, keys=["conv_id", "turn_idx"])
+    SS.run_available_now(deduped, "stream_dedup", output_mode="append")
+    n_stream = spark.table("stream_dedup").count()
+    n_batch = transcripts.select("conv_id", "turn_idx").distinct().count()
+    assert n_stream == n_batch
