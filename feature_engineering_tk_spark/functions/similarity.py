@@ -241,3 +241,45 @@ def knn_join(
         .filter(F.col("_rn") <= k)
         .select(q_id, id_col, "cosine_sim", F.col("_rn").alias("rank"))
     )
+
+
+def write_ann_corpus(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> None:
+    """Materialize the LSH-bucketed ANN layout: corpus written
+    partitioned by ``lsh_bucket`` (Hive-style dirs). A top-k query then
+    reads ONLY its bucket's partition — at 100 TB the scan prunes to
+    ~1/2^n_bits of the files before any I/O (PartitionFilters in the
+    plan), which is the difference between an ANN lookup and a full
+    corpus scan."""
+    bucketed = lsh_assign_buckets(df, vec_col, dim, n_bits, seed)
+    bucketed.write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
+
+
+def ann_corpus_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k over a :func:`write_ann_corpus` layout: the bucket filter
+    is a partition-column predicate, so Catalyst prunes every other
+    bucket's files at planning time."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    qv = [float(x) for x in query]
+    qbucket = 0
+    for j in range(n_bits):
+        if _seq_dot(qv, planes[j]) > 0:
+            qbucket |= 1 << j
+    corpus = spark.read.parquet(path).filter(F.col("lsh_bucket") == qbucket)
+    return cosine_topk(corpus, qv, k=k, id_col=id_col, vec_col=vec_col)

@@ -484,3 +484,42 @@ def test_feature_importance_df(spark):
 
     unsorted = sel.get_feature_importance_df(sort=False)
     assert set(unsorted["feature"]) == {"a", "b"}
+
+
+def test_ann_corpus_partition_pruning(spark, tmp_path):
+    """write_ann_corpus + ann_corpus_topk: the bucket predicate must
+    reach the scan as a PARTITION filter (pruned I/O), and results must
+    equal lsh_topk on the unmaterialized corpus."""
+    import io
+    from contextlib import redirect_stdout
+
+    from feature_engineering_tk_spark.functions.similarity import (
+        ann_corpus_topk,
+        lsh_topk,
+        write_ann_corpus,
+    )
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ann_corpus")
+    write_ann_corpus(df, path, dim=16, n_bits=4)
+
+    q = [float(x) for x in vecs[0]]
+    got = ann_corpus_topk(spark, path, q, k=5, dim=16, n_bits=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan
+
+    got_rows = [(r["vec_id"], round(r["cosine_sim"], 9)) for r in got.collect()]
+    exp_rows = [
+        (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in lsh_topk(df, q, k=5, dim=16, n_bits=4).collect()
+    ]
+    assert got_rows == exp_rows
+    assert got_rows[0][0] == 0  # the query vector itself ranks first
