@@ -506,6 +506,38 @@ def q_decontaminate(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling (operators/sampling.py): membership
+    is a pure function of (salt, key) — the oracle recomputes the exact
+    selected set, which no RNG-based sample() could offer."""
+    from feature_engineering_tk_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, ["doc_id"], 0.3, hash_mode="md5").select("doc_id").orderBy("doc_id")
+
+
+def q_group_split(spark, sf_dir):
+    """Leak-free train/test split BY GROUP (operators/sampling.py
+    group_split): all of a user's events land on one side."""
+    from feature_engineering_tk_spark.operators.sampling import group_split
+
+    ev = _t(spark, sf_dir, "events")
+    out = group_split(ev, "user_id", test_fraction=0.25, hash_mode="md5")
+    return out.select("event_id", "user_id", "is_test").orderBy("event_id")
+
+
+def q_weighted_mix(spark, sf_dir):
+    """Dataset mixing (operators/sampling.py weighted_mix): two
+    hash-sampled sources unioned with source tags."""
+    from feature_engineering_tk_spark.operators.sampling import weighted_mix
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    out = weighted_mix([(a, 0.5), (b, 0.8)], ["doc_id"], hash_mode="md5")
+    return out.select("doc_id", "mix_source").orderBy("doc_id")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (text.py fingerprint): the
     polynomial byte-hash mod 2^61-1 is replayed in the oracle with a
@@ -2010,6 +2042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "tfidf": q_tfidf,
         "knn_join": q_knn_join,
+        "hash_sample": q_hash_sample,
+        "group_split": q_group_split,
+        "weighted_mix": q_weighted_mix,
         "ivf_topk": q_ivf_topk,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
@@ -2152,6 +2187,34 @@ def _generated_oracles() -> dict[str, str]:
                FROM sc)
         SELECT q_id, vec_id, round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank
         FROM rk WHERE rank <= 5
+    """
+
+    # hash-sampling family: bucket = hash60(salt \\x1f key) mod 1e6
+    def _bucket_sql(salt: str, key_expr: str) -> str:
+        return (
+            _h60_sql(f"concat('{salt}', chr(31), CAST({key_expr} AS VARCHAR))")
+            + " % 1000000"
+        )
+
+    hash_sample = f"""
+        SELECT doc_id FROM documents
+        WHERE {_bucket_sql('v1', 'doc_id')} < 300000
+        ORDER BY doc_id
+    """
+
+    group_split = f"""
+        SELECT event_id, user_id,
+               {_bucket_sql('split-v1', 'user_id')} < 250000 AS is_test
+        FROM events ORDER BY event_id
+    """
+
+    weighted_mix = f"""
+        SELECT doc_id, 0 AS mix_source FROM documents
+        WHERE doc_id % 2 = 0 AND {_bucket_sql('mix-v1/0', 'doc_id')} < 500000
+        UNION ALL
+        SELECT doc_id, 1 FROM documents
+        WHERE doc_id % 2 = 1 AND {_bucket_sql('mix-v1/1', 'doc_id')} < 800000
+        ORDER BY doc_id
     """
 
     decontaminate = f"""
@@ -2329,6 +2392,9 @@ def _generated_oracles() -> dict[str, str]:
         "decontaminate": decontaminate,
         "tfidf": tfidf,
         "knn_join": knn_join,
+        "hash_sample": hash_sample,
+        "group_split": group_split,
+        "weighted_mix": weighted_mix,
     }
 
 

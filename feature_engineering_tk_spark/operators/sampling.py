@@ -1,0 +1,95 @@
+"""Deterministic hash-based sampling & splitting.
+
+``df.sample``/``sampleBy`` draw from a partition-seeded RNG: the
+selected set changes with partitioning/cluster layout and cannot be
+reproduced outside Spark. Serious training-data pipelines sample by
+KEY HASH instead — membership is a pure function of the row's key and
+a salt, so it is stable across re-runs, re-partitions, engines, and
+backfills, and a row's train/test assignment can never flip between
+pipeline stages (leakage-free by construction).
+
+- :func:`hash_sample` — keep rows whose key-hash bucket < fraction.
+- :func:`group_split` — train/test split BY GROUP (every row of a
+  conversation lands on the same side — the split that prevents
+  within-conversation leakage the north rule cares about).
+- :func:`weighted_mix` — dataset mixing: per-source hash-sampled
+  fractions unioned into one corpus (the Pile-style mixture recipe).
+
+All three are one JVM expression per row (no shuffle, no RNG state);
+with ``hash_mode='md5'`` the exact selected set is replayable in the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _key_bucket(keys: list[str], salt: str, hash_mode: str) -> Column:
+    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(k).cast("string") for k in keys])
+    if hash_mode == "xxhash64":
+        h = F.xxhash64(key)
+    elif hash_mode == "md5":
+        from feature_engineering_tk_spark.operators.dedup import _hash60
+
+        h = _hash60(key)
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+    return F.pmod(h, F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame,
+    keys: list[str],
+    fraction: float,
+    salt: str = "v1",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — deterministic,
+    partitioning-independent, re-run-stable. Change ``salt`` to draw an
+    independent sample."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    cut = int(round(fraction * _BUCKETS))
+    return df.filter(_key_bucket(keys, salt, hash_mode) < cut)
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    test_fraction: float = 0.2,
+    salt: str = "split-v1",
+    hash_mode: str = "xxhash64",
+    out: str = "is_test",
+) -> DataFrame:
+    """Leak-free train/test tagging: assignment is a pure function of
+    the GROUP key, so every turn of a conversation lands on one side,
+    and the assignment never changes across re-runs or stages."""
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError("test_fraction must be in [0, 1]")
+    cut = int(round(test_fraction * _BUCKETS))
+    return df.withColumn(out, _key_bucket([group_col], salt, hash_mode) < cut)
+
+
+def weighted_mix(
+    sources: list[tuple[DataFrame, float]],
+    keys: list[str],
+    salt: str = "mix-v1",
+    hash_mode: str = "xxhash64",
+    source_col: str = "mix_source",
+) -> DataFrame:
+    """Dataset mixing: union of per-source hash-samples at the given
+    fractions, tagged with the source index. Fractions > 1 are clamped
+    (hash sampling cannot oversample; duplicate the source upstream for
+    epoch-style repetition)."""
+    parts = []
+    for i, (src, frac) in enumerate(sources):
+        part = hash_sample(src, keys, min(float(frac), 1.0), f"{salt}/{i}", hash_mode)
+        parts.append(part.withColumn(source_col, F.lit(i)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,66 @@
+"""Deterministic hash-based sampling/splitting (operators/sampling.py):
+partitioning-independent membership, group-coherent splits, fraction
+accuracy, salt independence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_engineering_tk_spark.operators.sampling import (
+    group_split,
+    hash_sample,
+    weighted_mix,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 20_000).withColumnRenamed("id", "k")
+
+
+def test_hash_sample_fraction_and_determinism(spark, ids):
+    s = hash_sample(ids, ["k"], 0.3)
+    n = s.count()
+    assert abs(n / 20_000 - 0.3) < 0.02
+    # identical selected set regardless of physical partitioning
+    a = {r["k"] for r in s.collect()}
+    b = {r["k"] for r in hash_sample(ids.repartition(17), ["k"], 0.3).collect()}
+    assert a == b
+    # monotone: a smaller fraction is a subset of a larger one
+    small = {r["k"] for r in hash_sample(ids, ["k"], 0.1).collect()}
+    assert small <= a
+    # different salt → essentially independent draw
+    c = {r["k"] for r in hash_sample(ids, ["k"], 0.3, salt="v2").collect()}
+    overlap = len(a & c) / len(a)
+    assert 0.2 < overlap < 0.4
+
+
+def test_hash_sample_bounds(ids):
+    with pytest.raises(ValueError):
+        hash_sample(ids, ["k"], 1.5)
+    assert hash_sample(ids, ["k"], 0.0).count() == 0
+    assert hash_sample(ids, ["k"], 1.0).count() == 20_000
+
+
+def test_group_split_coherent_and_leak_free(spark, transcripts):
+    tagged = group_split(transcripts, "conv_id", test_fraction=0.25)
+    sides = tagged.groupBy("conv_id").agg(
+        F.count_distinct("is_test").alias("n_sides")
+    )
+    assert sides.filter(F.col("n_sides") > 1).count() == 0  # no conv straddles
+    frac = (
+        tagged.select("conv_id", "is_test").distinct().agg(
+            F.avg(F.col("is_test").cast("double"))
+        ).first()[0]
+    )
+    assert abs(frac - 0.25) < 0.15  # 60 convs → coarse but centered
+
+
+def test_weighted_mix_tags_and_fractions(spark, ids):
+    a = ids.filter(F.col("k") < 10_000)
+    b = ids.filter(F.col("k") >= 10_000)
+    mixed = weighted_mix([(a, 0.5), (b, 0.1)], ["k"])
+    counts = {r["mix_source"]: r["n"] for r in mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts[0] / 10_000 - 0.5) < 0.03
+    assert abs(counts[1] / 10_000 - 0.1) < 0.02
+    # sources don't overlap and tags are faithful
+    assert mixed.filter((F.col("mix_source") == 0) & (F.col("k") >= 10_000)).count() == 0
