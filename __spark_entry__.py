@@ -506,6 +506,43 @@ def q_decontaminate(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction (functions/cleaning.py scrub_pii): emails/IPs/
+    phones injected deterministically, then scrubbed; the oracle
+    replays the same regexes (alternation-free, so Java regex and RE2
+    agree)."""
+    from feature_engineering_tk_spark.functions.cleaning import scrub_pii
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+            F.lit(" or +1(555)867-53"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+        ),
+    )
+    return scrub_pii(d, "text").select("doc_id", "text").orderBy("doc_id")
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (functions/cleaning.py):
+    top-n-gram occupancy fraction + duplicate-line fraction."""
+    from feature_engineering_tk_spark.functions.cleaning import repetition_features
+
+    d = _t(spark, sf_dir, "documents")
+    out = repetition_features(d, ns=(2, 3))
+    return out.select(
+        "doc_id",
+        F.round("top2gram_frac", 6).alias("top2gram_frac"),
+        F.round("top3gram_frac", 6).alias("top3gram_frac"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+    ).orderBy("doc_id")
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash sampling (operators/sampling.py): membership
     is a pure function of (salt, key) — the oracle recomputes the exact
@@ -2045,6 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "group_split": q_group_split,
         "weighted_mix": q_weighted_mix,
+        "scrub_pii": q_scrub_pii,
+        "repetition": q_repetition,
         "ivf_topk": q_ivf_topk,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
@@ -2187,6 +2226,50 @@ def _generated_oracles() -> dict[str, str]:
                FROM sc)
         SELECT q_id, vec_id, round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank
         FROM rk WHERE rank <= 5
+    """
+
+    scrub_pii = r"""
+        WITH inj AS (
+          SELECT doc_id,
+                 concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                        '@example.com at 10.0.0.', CAST(doc_id % 255 AS VARCHAR),
+                        ' or +1(555)867-53', CAST(doc_id % 90 + 10 AS VARCHAR)) AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\+?\d[\d().-]{7,}\d', '<PHONE>', 'g') AS text
+        FROM inj ORDER BY doc_id
+    """
+
+    def _topgram_sql(n: int) -> str:
+        return f"""(
+          SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top{n}gram_frac
+          FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, greatest(len(toks) - {n - 1}, 1)),
+                            i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) AS g
+              FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                    FROM documents)
+            ) GROUP BY doc_id, g
+          ) GROUP BY doc_id
+        )"""
+
+    repetition = f"""
+        SELECT d.doc_id,
+               round(t2.top2gram_frac, 6) AS top2gram_frac,
+               round(t3.top3gram_frac, 6) AS top3gram_frac,
+               round(1.0 - CAST(len(list_distinct(string_split(d.text, chr(10)))) AS DOUBLE)
+                     / len(string_split(d.text, chr(10))), 6) AS dup_line_frac
+        FROM documents d
+        JOIN {_topgram_sql(2)} t2 ON t2.doc_id = d.doc_id
+        JOIN {_topgram_sql(3)} t3 ON t3.doc_id = d.doc_id
+        ORDER BY d.doc_id
     """
 
     # hash-sampling family: bucket = hash60(salt \\x1f key) mod 1e6
@@ -2395,6 +2478,8 @@ def _generated_oracles() -> dict[str, str]:
         "hash_sample": hash_sample,
         "group_split": group_split,
         "weighted_mix": weighted_mix,
+        "scrub_pii": scrub_pii,
+        "repetition": repetition,
     }
 
 
