@@ -21,6 +21,10 @@ class ValidationError(MLToolkitError, ValueError):
 
 
 class ColumnNotFoundError(ValidationError):
+    """A requested column is absent from the DataFrame schema. Raised
+    at the facade boundary (api._require_columns) BEFORE any job runs,
+    so a typo fails in milliseconds instead of after a cluster scan."""
+
     def __init__(self, column_name: str, available_columns: list | None = None):
         self.column_name = column_name
         self.available_columns = available_columns
@@ -34,6 +38,9 @@ class ColumnNotFoundError(ValidationError):
 
 
 class InvalidStrategyError(ValidationError):
+    """An imputation/outlier strategy name is not one the engine
+    implements; carries the offending name and the valid set."""
+
     def __init__(self, strategy: str, valid_strategies: list):
         self.strategy = strategy
         self.valid_strategies = list(valid_strategies)
@@ -43,6 +50,9 @@ class InvalidStrategyError(ValidationError):
 
 
 class InvalidMethodError(ValidationError):
+    """A scaler/detector method name is unknown (e.g. scale method not
+    in standard/minmax/robust)."""
+
     def __init__(self, method: str, valid_methods: list):
         self.method = method
         self.valid_methods = list(valid_methods)
@@ -50,6 +60,8 @@ class InvalidMethodError(ValidationError):
 
 
 class DataTypeError(ValidationError):
+    """A column's Spark type doesn't match what the operator needs."""
+
     def __init__(self, column_name: str, expected_type: str, actual_type: str):
         self.column_name = column_name
         self.expected_type = expected_type
@@ -64,6 +76,8 @@ class EmptyDataFrameError(ValidationError):
 
 
 class InsufficientDataError(ValidationError):
+    """Too few rows for a statistical routine's minimum n."""
+
     def __init__(self, operation: str, required: int, actual: int):
         self.operation = operation
         self.required = required
@@ -74,6 +88,9 @@ class InsufficientDataError(ValidationError):
 
 
 class TransformerNotFittedError(MLToolkitError, RuntimeError):
+    """transform()/save before fit(): the transformer has no state_
+    (transforms/state.py FittedStateMixin guards every transform)."""
+
     def __init__(self, transformer_type: str):
         self.transformer_type = transformer_type
         super().__init__(
@@ -82,6 +99,9 @@ class TransformerNotFittedError(MLToolkitError, RuntimeError):
 
 
 class ConstantColumnError(ValidationError):
+    """Zero-variance column where distinct values are required, e.g.
+    quantile binning would produce a single collapsed edge."""
+
     def __init__(self, column_name: str, operation: str):
         self.column_name = column_name
         self.operation = operation
