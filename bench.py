@@ -124,11 +124,11 @@ def main() -> None:
                 # the no-Spark hardware-ceiling control in
                 # BENCH/BASELINE.md
                 "scaling_40m_turns": {
-                    "local8_turns_per_s": 675572,
+                    "local8_turns_per_s": 697404,
                     "local32_turns_per_s": 1938248,
-                    "efficiency_raw": 0.72,
-                    "hardware_ceiling_8_to_32": 0.74,
-                    "efficiency_vs_ceiling": 0.97,
+                    "efficiency_raw": 0.69,
+                    "hardware_ceiling_8_to_32": 0.68,
+                    "efficiency_vs_ceiling": 1.02,
                 },
             }
         )
