@@ -506,6 +506,22 @@ def q_decontaminate(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (text.py pack_sequences): docs → ≤30-token
+    training bins, 8 deterministic shards (doc_id % 8 so the oracle can
+    replay the shard too); the oracle walks the identical greedy state
+    machine with a recursive CTE."""
+    from feature_engineering_tk_spark.functions.text import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "shard_k", (F.col("doc_id") % 8).cast("long")
+    )
+    out = pack_sequences(d, max_tokens=30, shard_col="shard_k")
+    return out.select(
+        "doc_id", "shard", "n_tokens", "bin_id", "bin_fill", "oversize"
+    ).orderBy("doc_id")
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII redaction (functions/cleaning.py scrub_pii): emails/IPs/
     phones injected deterministically, then scrubbed; the oracle
@@ -2084,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mix": q_weighted_mix,
         "scrub_pii": q_scrub_pii,
         "repetition": q_repetition,
+        "pack_sequences": q_pack_sequences,
         "ivf_topk": q_ivf_topk,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
@@ -2226,6 +2243,30 @@ def _generated_oracles() -> dict[str, str]:
                FROM sc)
         SELECT q_id, vec_id, round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank
         FROM rk WHERE rank <= 5
+    """
+
+    pack_sequences = r"""
+        WITH RECURSIVE src AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS t
+          FROM documents
+        ),
+        ord AS (SELECT shard, doc_id, t,
+                       row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+                FROM src),
+        state(shard, rn, doc_id, t, bin, fill) AS (
+          SELECT shard, rn, doc_id, t, CAST(0 AS BIGINT), CAST(t AS BIGINT)
+          FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.rn, o.doc_id, o.t,
+                 CASE WHEN s.fill + o.t > 30 THEN s.bin + 1 ELSE s.bin END,
+                 CASE WHEN s.fill + o.t > 30 THEN CAST(o.t AS BIGINT) ELSE s.fill + o.t END
+          FROM state s JOIN ord o ON o.shard = s.shard AND o.rn = s.rn + 1
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(t AS BIGINT) AS n_tokens,
+               bin AS bin_id, fill AS bin_fill, t > 30 AS oversize
+        FROM state ORDER BY doc_id
     """
 
     scrub_pii = r"""
@@ -2480,6 +2521,7 @@ def _generated_oracles() -> dict[str, str]:
         "weighted_mix": weighted_mix,
         "scrub_pii": scrub_pii,
         "repetition": repetition,
+        "pack_sequences": pack_sequences,
     }
 
 

@@ -168,3 +168,75 @@ def tf_idf(
         .withColumn("tfidf", F.col("tfidf") / F.col("_l2"))
         .select(id_col, "term", "tf", "df", "tfidf")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    n_shards: int = 64,
+    token_col: str | None = None,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Greedy in-order sequence packing: assign documents to training
+    sequences (bins) of at most ``max_tokens`` whitespace tokens —
+    next doc starts a new bin when it would overflow; docs longer than
+    ``max_tokens`` get a bin of their own (flagged ``oversize``).
+
+    Packing is inherently sequential, so the corpus is first split
+    into ``n_shards`` deterministic hash shards (pure function of the
+    id — stable across re-runs); each shard packs independently inside
+    one ``applyInPandas`` group in doc-id order. Bins never cross
+    shards, so the 100 TB corpus packs with shard-level parallelism
+    and per-shard state of two integers. Output: one row per doc with
+    (shard, bin_id, bin local fill after placement).
+    """
+    import pandas as _pd
+
+    tokens = F.col(token_col) if token_col else token_count(F.col(text_col))
+    shard = (
+        F.col(shard_col)
+        if shard_col
+        else F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+    )
+    src = df.select(
+        F.col(id_col),
+        tokens.cast("long").alias("_tok"),
+        shard.cast("long").alias("_shard"),
+    )
+
+    out_schema = (
+        f"{id_col} long, _shard long, n_tokens long, bin_id long, "
+        "bin_fill long, oversize boolean"
+    )
+
+    def _pack(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, fills, overs = [], [], []
+        bin_id, fill = 0, 0
+        for t in pdf["_tok"]:
+            t = int(t)
+            if fill > 0 and fill + t > max_tokens:
+                bin_id += 1
+                fill = 0
+            fill += t
+            bins.append(bin_id)
+            fills.append(fill)
+            overs.append(t > max_tokens)
+        return _pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "_shard": pdf["_shard"],
+                "n_tokens": pdf["_tok"],
+                "bin_id": bins,
+                "bin_fill": fills,
+                "oversize": overs,
+            }
+        )
+
+    return (
+        src.groupBy("_shard")
+        .applyInPandas(_pack, out_schema)
+        .withColumnRenamed("_shard", "shard")
+    )

@@ -1,6 +1,7 @@
 """PII scrubbing + repetition signals (functions/cleaning.py)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from feature_engineering_tk_spark.functions.cleaning import (
     repetition_features,
@@ -42,3 +43,44 @@ def test_repetition_features(spark):
     assert got[1]["top2gram_frac"] == pytest.approx(0.2)
     assert got[1]["dup_line_frac"] == pytest.approx(0.0)
     assert got[2]["dup_line_frac"] == pytest.approx(1.0 - 2.0 / 3.0)
+
+
+def test_pack_sequences_greedy(spark):
+    from feature_engineering_tk_spark.functions.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),            # 3 tokens
+            (1, "d e f g"),          # 4 → bin0 fill 7
+            (2, "h i j k"),          # 4 → would make 11 > 10 → bin1
+            (3, " ".join("x" * 1 for _ in range(12))),  # 12 tokens: oversize
+            (4, "y z"),              # after oversize → new bin
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.withColumn("s", F.lit(0).cast("long"))
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(d, max_tokens=10, shard_col="s").collect()
+    }
+    assert (got[0]["bin_id"], got[0]["bin_fill"]) == (0, 3)
+    assert (got[1]["bin_id"], got[1]["bin_fill"]) == (0, 7)
+    assert (got[2]["bin_id"], got[2]["bin_fill"]) == (1, 4)
+    assert got[3]["bin_id"] == 2 and got[3]["oversize"] is True
+    assert got[4]["bin_id"] == 3
+    # every non-oversize bin respects the budget
+    assert all(r["bin_fill"] <= 10 or r["oversize"] for r in got.values())
+
+
+def test_pack_sequences_shard_parallel(spark):
+    from feature_engineering_tk_spark.functions.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(200)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, max_tokens=16, n_shards=8).collect()
+    assert len(out) == 200
+    # deterministic across invocations
+    out2 = pack_sequences(docs, max_tokens=16, n_shards=8).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["bin_id"]) for r in rows)
+    assert key(out) == key(out2)
