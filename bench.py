@@ -124,11 +124,11 @@ def main() -> None:
                 # the no-Spark hardware-ceiling control in
                 # BENCH/BASELINE.md
                 "scaling_40m_turns": {
-                    "local8_turns_per_s": 697404,
-                    "local32_turns_per_s": 1938248,
-                    "efficiency_raw": 0.69,
+                    "local8_turns_per_s": 786584,
+                    "local32_turns_per_s": 2023013,
+                    "efficiency_raw": 0.64,
                     "hardware_ceiling_8_to_32": 0.68,
-                    "efficiency_vs_ceiling": 1.02,
+                    "efficiency_vs_ceiling": 0.94,
                 },
             }
         )
