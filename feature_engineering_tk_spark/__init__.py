@@ -21,7 +21,20 @@ Everything is expressed as DataFrame operations plus vectorized
 pandas/Arrow UDFs — never per-row Python ``udf``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+_EXCEPTION_NAMES = (
+    "MLToolkitError",
+    "ValidationError",
+    "ColumnNotFoundError",
+    "InvalidStrategyError",
+    "InvalidMethodError",
+    "DataTypeError",
+    "EmptyDataFrameError",
+    "InsufficientDataError",
+    "TransformerNotFittedError",
+    "ConstantColumnError",
+)
 
 from feature_engineering_tk_spark.session import get_spark  # noqa: F401
 
@@ -44,4 +57,8 @@ def __getattr__(name):
         from feature_engineering_tk_spark.analysis.selection import FeatureSelector
 
         return FeatureSelector
+    if name in _EXCEPTION_NAMES:
+        from feature_engineering_tk_spark import exceptions
+
+        return getattr(exceptions, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
