@@ -125,10 +125,10 @@ def main() -> None:
                 # BENCH/BASELINE.md
                 "scaling_40m_turns": {
                     "local8_turns_per_s": 786584,
-                    "local32_turns_per_s": 2023013,
-                    "efficiency_raw": 0.64,
-                    "hardware_ceiling_8_to_32": 0.68,
-                    "efficiency_vs_ceiling": 0.94,
+                    "local32_turns_per_s": 2172810,
+                    "efficiency_raw": 0.69,
+                    "hardware_ceiling_8_to_32": 0.65,
+                    "efficiency_vs_ceiling": 1.06,
                 },
             }
         )
