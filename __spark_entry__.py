@@ -1928,13 +1928,14 @@ def q_regional_revenue(spark, sf_dir):
         * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(4,2)"))
     )
     joined = (
-        # orders is a fact table: no broadcast hint — AQE picks the join
-        # (shuffle at 100 TB, runtime-broadcast at toy SF). Only true
-        # dims (region/nation chain, supplier) get explicit broadcasts.
+        # orders/customer/supplier are corpus-scale tables: no broadcast
+        # hints — AQE picks the join (shuffle at 100 TB, runtime-broadcast
+        # at toy SF). Only the true bounded dims (region/nation chain,
+        # inside `dims`) get explicit broadcasts.
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"),
               (li.l_suppkey == F.col("s_suppkey"))
               & (F.col("s_nationkey") == F.col("n_nationkey")))
     )
@@ -2295,7 +2296,7 @@ def _generated_oracles() -> dict[str, str]:
               SELECT doc_id,
                      unnest(list_transform(range(0, greatest(len(toks) - {n - 1}, 1)),
                             i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) AS g
-              FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
                     FROM documents)
             ) GROUP BY doc_id, g
           ) GROUP BY doc_id
@@ -2303,13 +2304,13 @@ def _generated_oracles() -> dict[str, str]:
 
     repetition = f"""
         SELECT d.doc_id,
-               round(t2.top2gram_frac, 6) AS top2gram_frac,
-               round(t3.top3gram_frac, 6) AS top3gram_frac,
-               round(1.0 - CAST(len(list_distinct(string_split(d.text, chr(10)))) AS DOUBLE)
-                     / len(string_split(d.text, chr(10))), 6) AS dup_line_frac
+               round(coalesce(t2.top2gram_frac, 0.0), 6) AS top2gram_frac,
+               round(coalesce(t3.top3gram_frac, 0.0), 6) AS top3gram_frac,
+               round(1.0 - CAST(len(list_distinct(string_split(coalesce(d.text, ''), chr(10)))) AS DOUBLE)
+                     / len(string_split(coalesce(d.text, ''), chr(10))), 6) AS dup_line_frac
         FROM documents d
-        JOIN {_topgram_sql(2)} t2 ON t2.doc_id = d.doc_id
-        JOIN {_topgram_sql(3)} t3 ON t3.doc_id = d.doc_id
+        LEFT JOIN {_topgram_sql(2)} t2 ON t2.doc_id = d.doc_id
+        LEFT JOIN {_topgram_sql(3)} t3 ON t3.doc_id = d.doc_id
         ORDER BY d.doc_id
     """
 

@@ -34,6 +34,7 @@ _EXCEPTION_NAMES = (
     "InsufficientDataError",
     "TransformerNotFittedError",
     "ConstantColumnError",
+    "ConvergenceError",
 )
 
 from feature_engineering_tk_spark.session import get_spark  # noqa: F401

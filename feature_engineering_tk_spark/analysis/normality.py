@@ -171,7 +171,14 @@ def sampled_column(
     n <= max_n, else sample(fraction)-prune then rand(seed)-order pick
     of max_n rows. Returns (values, total_n). Only ~1.2·max_n rows
     ever cross the shuffle — safe at any table size."""
-    col = df.select(F.col(column).alias("_v")).filter(F.col("_v").isNotNull())
+    # filter float NaN as well as SQL NULL (reference check_normality
+    # dropna()s before testing; a single NaN would poison the W/A²
+    # statistics into NaN with no signal). Note Spark defines
+    # NaN = NaN as TRUE, so the self-equality trick doesn't work —
+    # use isnan on a double cast (null-safe, and NaN survives the cast).
+    col = df.select(F.col(column).alias("_v")).filter(
+        F.col("_v").isNotNull() & ~F.isnan(F.col("_v").cast("double"))
+    )
     n = col.count()
     if n > max_n:
         frac = min(1.0, (max_n * 1.2) / n)

@@ -108,3 +108,18 @@ class ConstantColumnError(ValidationError):
         super().__init__(
             f"Cannot perform {operation} on constant column '{column_name}' (zero variance)"
         )
+
+
+class ConvergenceError(MLToolkitError, RuntimeError):
+    """An iterative algorithm hit its iteration cap while still making
+    progress — the partial result would be silently wrong (e.g.
+    connected-components labels not yet merged), so the engine raises
+    instead of returning it."""
+
+    def __init__(self, algorithm: str, max_iter: int, detail: str = ""):
+        self.algorithm = algorithm
+        self.max_iter = max_iter
+        msg = f"{algorithm} did not converge within max_iter={max_iter}"
+        if detail:
+            msg += f" ({detail})"
+        super().__init__(msg)

@@ -50,11 +50,15 @@ def repetition_features(
     """
     from feature_engineering_tk_spark.operators.dedup import _norm_text, _shingles
 
+    # NULL text must not silently drop the doc (explode of a null array
+    # yields no rows, and an inner join would erase it from the output,
+    # letting it bypass downstream quality filters): coalesce to '' and
+    # LEFT-join the per-n aggregates back, filling 0.0 (repetition-free
+    # sentinel) for docs too short to have any n-gram.
+    text = F.coalesce(F.col(text_col), F.lit(""))
     out = df.select(id_col)
     for n in ns:
-        grams = df.select(
-            F.col(id_col), F.explode(_shingles(F.col(text_col), n)).alias("_g")
-        )
+        grams = df.select(F.col(id_col), F.explode(_shingles(text, n)).alias("_g"))
         per = (
             grams.groupBy(id_col, "_g")
             .agg(F.count(F.lit(1)).alias("_c"))
@@ -63,8 +67,8 @@ def repetition_features(
                 (F.max("_c").cast("double") / F.sum("_c")).alias(f"top{n}gram_frac")
             )
         )
-        out = out.join(per, id_col)
-    lines = F.split(F.col(text_col), r"\n")
+        out = out.join(per, id_col, "left").fillna({f"top{n}gram_frac": 0.0})
+    lines = F.split(text, r"\n")
     dup_line = (
         F.lit(1.0)
         - F.size(F.array_distinct(lines)).cast("double") / F.size(lines)

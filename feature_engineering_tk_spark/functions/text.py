@@ -150,14 +150,20 @@ def tf_idf(
         ).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(id_col).distinct().count()
+    # n_docs stays DF-side (1-row aggregate broadcast into the vocab
+    # table) — no separate driver-side count job; the whole TF-IDF is
+    # one lazy plan and the id column is scanned once, projected.
+    n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("_n_docs"))
     docfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
     )
-    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
-    weighted = tf.join(docfreq, "term").withColumn("tfidf", F.col("tf") * idf)
+    idf = F.log((F.lit(1.0) + F.col("_n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    weighted = (
+        tf.join(docfreq, "term").withColumn("tfidf", F.col("tf") * idf).drop("_n_docs")
+    )
     if not l2_normalize:
         return weighted.select(id_col, "term", "tf", "df", "tfidf")
     norms = weighted.groupBy(id_col).agg(
@@ -206,8 +212,11 @@ def pack_sequences(
         shard.cast("long").alias("_shard"),
     )
 
+    # id keeps its source type (string/UUID corpora included) — only the
+    # shard hash casts to string, never the output column.
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, _shard long, n_tokens long, bin_id long, "
+        f"{id_col} {id_type}, _shard long, n_tokens long, bin_id long, "
         "bin_fill long, oversize boolean"
     )
 

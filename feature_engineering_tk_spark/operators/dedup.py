@@ -221,12 +221,14 @@ def ngram_contamination(
     100 TB training corpus is join-side stationary: one pass, no
     shuffle of the corpus at all.
     """
+    # coalesce NULL text to '' so the explode of a null shingle array
+    # can't silently drop the doc from the contamination report
     d_sh = docs.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(
                 F.transform(
-                    _shingles(F.col(text_col), shingle_n),
+                    _shingles(F.coalesce(F.col(text_col), F.lit("")), shingle_n),
                     lambda s: _token_hash(s, hash_mode),
                 )
             )
@@ -260,6 +262,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Duplicate-cluster assignment: undirected (id_a, id_b) edges →
     one row per node with ``component_id`` = the smallest id reachable
@@ -267,19 +270,32 @@ def connected_components(
     (keep one doc per cluster), the step between
     :func:`minhash_lsh_candidates` and a corpus-level survivor list.
 
-    Algorithm: min-label propagation — each iteration every node takes
-    the min of its own label and its neighbors' labels (two bounded
-    shuffle joins + one partial-aggregatable groupBy per iteration),
-    terminating when an iteration changes nothing. Iterations scale
-    with component DIAMETER, which for near-dup clusters (dense blobs
-    of mutual duplicates) is small; the classic large-star/small-star
-    O(log n) variant drops in here if a corpus ever produces
-    chain-shaped components. Each iteration's result is
-    ``localCheckpoint``-ed so the plan doesn't grow unboundedly.
+    ``algorithm='star'`` (default) is the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round rewires
+    every node's larger neighbors (large-star) then its smaller
+    neighbors (small-star) onto the local minimum, converging in
+    O(log n) rounds even on chain/path-shaped components — the
+    worst case for propagation. Each round is two bounded
+    groupBy+join passes over the edge set, ``localCheckpoint``-ed so
+    the plan doesn't grow unboundedly.
+
+    ``algorithm='label'`` is min-label propagation (min of self +
+    neighbor labels per round) — one fewer pass per round, but rounds
+    scale with component DIAMETER, so only right for the dense-blob
+    components typical of near-dup clusters.
+
+    Either way, hitting ``max_iter`` while still making progress
+    raises :class:`~feature_engineering_tk_spark.exceptions.ConvergenceError`
+    instead of returning silently-unmerged labels.
     """
+    if algorithm not in ("star", "label"):
+        raise ValueError("algorithm must be star|label")
     edges = pairs.select(
         F.col(a_col).alias("_src"), F.col(b_col).alias("_dst")
     ).distinct()
+    if algorithm == "star":
+        return _cc_two_star(edges, max_iter)
     # undirected: keep both directions so one join propagates each way
     sym = edges.unionByName(
         edges.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
@@ -287,6 +303,7 @@ def connected_components(
     labels = (
         sym.select(F.col("_src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["_dst"] == labels["id"])
@@ -307,8 +324,88 @@ def connected_components(
         changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
         labels = updated.select("id", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        from feature_engineering_tk_spark.exceptions import ConvergenceError
+
+        raise ConvergenceError(
+            "connected_components(label)",
+            max_iter,
+            "labels still changing — chain-shaped components? use algorithm='star'",
+        )
     return labels.select(F.col("id"), F.col("label").alias("component_id"))
+
+
+def _cc_two_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star rounds over a canonical
+    (larger → smaller) edge set; converges when a round leaves the
+    edge set a star forest (every edge already points at its node's
+    minimum). Returns (id, component_id) for every endpoint of the
+    input edges, roots included."""
+    all_nodes = (
+        edges.select(F.col("_src").alias("id"))
+        .unionByName(edges.select(F.col("_dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical orientation: _src > _dst, self-loops dropped
+    cur = (
+        edges.filter(F.col("_src") != F.col("_dst"))
+        .select(
+            F.greatest("_src", "_dst").alias("_src"),
+            F.least("_src", "_dst").alias("_dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        # --- large-star: for every node u, attach each strictly larger
+        # neighbor v to m(u) = min(Γ(u) ∪ {u})
+        sym = cur.unionByName(
+            cur.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        )
+        m = (
+            sym.groupBy("_src")
+            .agg(F.min("_dst").alias("_mn"))
+            .select("_src", F.least("_src", "_mn").alias("_m"))
+        )
+        big = (
+            sym.join(m, "_src")
+            .filter(F.col("_dst") > F.col("_src"))
+            .select(F.col("_dst").alias("_src"), F.col("_m").alias("_dst"))
+            .filter(F.col("_src") != F.col("_dst"))
+            .distinct()
+        )
+        # --- small-star: neighbors here are all smaller (canonical
+        # direction), m = min(N(u) ∪ {u}) = min(N(u)); rewire every
+        # non-min smaller neighbor and u itself onto m
+        m2 = big.groupBy("_src").agg(F.min("_dst").alias("_m"))
+        nxt = (
+            big.join(m2, "_src")
+            .filter(F.col("_dst") != F.col("_m"))
+            .select(F.col("_dst").alias("_src"), F.col("_m").alias("_dst"))
+            .unionByName(m2.select("_src", F.col("_m").alias("_dst")))
+            .filter(F.col("_src") != F.col("_dst"))
+            .distinct()
+            .localCheckpoint()  # cut the iterative lineage each round
+        )
+        # converged iff the round was a no-op (star forest reached):
+        # symmetric difference empty — two bounded anti-join probes
+        diff = nxt.exceptAll(cur).limit(1).count() or cur.exceptAll(nxt).limit(1).count()
+        cur = nxt
+        if diff == 0:
+            converged = True
+            break
+    if not converged:
+        from feature_engineering_tk_spark.exceptions import ConvergenceError
+
+        raise ConvergenceError("connected_components(star)", max_iter)
+    labels = all_nodes.join(
+        cur.select(F.col("_src").alias("id"), F.col("_dst").alias("_root")), "id", "left"
+    ).select("id", F.coalesce(F.col("_root"), F.col("id")).alias("component_id"))
+    return labels
 
 
 def simhash(

@@ -119,6 +119,97 @@ def test_connected_components_chain_diameter(spark):
     assert len(got) == 13
 
 
+def test_connected_components_star_path_logn(spark):
+    """Large-star/small-star converges in O(log n) rounds on a path
+    graph — the worst case for label propagation (needs ~n rounds)."""
+    import math
+
+    from feature_engineering_tk_spark.operators.dedup import connected_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    # log2(64)=6; allow +3 rounds of slack. ConvergenceError would fail
+    # the test if it needed more.
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(
+            pairs, max_iter=int(math.log2(n)) + 3, algorithm="star"
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_matches_label(spark):
+    """Both algorithms agree with a driver union-find on a random graph."""
+    import random
+
+    from feature_engineering_tk_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(60)]
+    parent = {x: x for e in edges for x in e}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    expected = {x: min(mem) for mem in comp.values() for x in mem}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    for algo in ("star", "label"):
+        got = {
+            r["id"]: r["component_id"]
+            for r in connected_components(pairs, max_iter=60, algorithm=algo).collect()
+        }
+        assert got == expected, algo
+
+
+def test_connected_components_label_raises_on_stall(spark):
+    """Label propagation must raise, not return unmerged labels, when
+    the iteration cap cuts it off mid-progress (ADVICE r2)."""
+    import pytest as _pytest
+
+    from feature_engineering_tk_spark.exceptions import ConvergenceError
+    from feature_engineering_tk_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with _pytest.raises(ConvergenceError):
+        connected_components(pairs, max_iter=3, algorithm="label")
+
+
+def test_repetition_and_contamination_keep_null_text_docs(spark):
+    """NULL-text docs must not silently vanish from quality outputs
+    (ADVICE r2: explode of a null shingle array drops the doc)."""
+    from feature_engineering_tk_spark.functions.cleaning import repetition_features
+    from feature_engineering_tk_spark.operators.dedup import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None)], "doc_id long, text string"
+    )
+    rep = repetition_features(docs, ns=(2,))
+    assert rep.count() == 2
+    row2 = rep.filter(F.col("doc_id") == 2).first()
+    assert row2 is not None and row2["dup_line_frac"] == 0.0
+
+    bench = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    cont = ngram_contamination(docs, bench, shingle_n=2)
+    assert cont.count() == 2
+    assert cont.filter(F.col("doc_id") == 2).first()["contaminated"] is False
+
+
 def test_ngram_contamination_planted(spark):
     from feature_engineering_tk_spark.operators.dedup import ngram_contamination
 
