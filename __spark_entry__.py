@@ -1577,9 +1577,11 @@ def q_jarque_bera(spark, sf_dir):
 
 def q_bootstrap_ci(spark, sf_dir):
     """bootstrap_ci (statistical_utils.py:926-1002): percentile bootstrap
-    of the per-class median, seeded default_rng on a deterministic
-    per-class sample (ORDER BY event_id LIMIT 5000 — reproducible across
-    partitionings, unlike df.sample). Non-SQL-expressible → rows-only."""
+    of the per-class median on a deterministic per-class sample
+    (ORDER BY event_id LIMIT 5000 — reproducible across partitionings,
+    unlike df.sample). sampler='hash' draws resample indices from a
+    portable md5 fold, so the DuckDB oracle regenerates the identical
+    index matrix and replays median + numpy-linear quantiles in SQL."""
     from feature_engineering_tk_spark.analysis.stats import bootstrap_ci
 
     ev = _t(spark, sf_dir, "events")
@@ -1594,7 +1596,7 @@ def q_bootstrap_ci(spark, sf_dir):
             .toPandas()["value"]
             .to_numpy()
         )
-        lo, hi = bootstrap_ci(vals, n_boot=200, seed=42)
+        lo, hi = bootstrap_ci(vals, n_boot=200, seed=42, sampler="hash")
         rows.append((cls, round(lo, 6), round(hi, 6)))
     return spark.createDataFrame(rows, "event_type string, ci_lo double, ci_hi double")
 
@@ -2157,6 +2159,114 @@ def _l2_sql(a: str) -> str:
     )
 
 
+def _dlit(v: float) -> str:
+    """Float literal DuckDB parses as a DOUBLE bit-exactly (bare
+    decimal literals go through DECIMAL and can land 1 ulp off)."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _betacf_sql(a: float, b: float, x_expr: str, tag: str) -> str:
+    """Scalar subquery replaying analysis/special.py:_betacf (Lentz
+    continued fraction) op-for-op in a DuckDB recursive CTE: a, b are
+    Python constants, x_expr is a SQL expression over a 1-row CTE named
+    ``xsrc``. The layered subselects name the same intermediates the
+    Python loop mutates; the frozen flag reproduces the early break.
+    Bit-exact vs the engine on every tested (a, b, x)."""
+    L = _dlit
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    fpmin, eps = "1e-300", "3e-14"
+    return f"""(
+      WITH RECURSIVE bcf_{tag}(m, c, d, h, frozen, x) AS (
+        SELECT CAST(0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+               1.0 / (CASE WHEN abs(1.0 - {L(qab)} * x / {L(qap)}) < {fpmin} THEN {fpmin}
+                      ELSE 1.0 - {L(qab)} * x / {L(qap)} END),
+               1.0 / (CASE WHEN abs(1.0 - {L(qab)} * x / {L(qap)}) < {fpmin} THEN {fpmin}
+                      ELSE 1.0 - {L(qab)} * x / {L(qap)} END),
+               false, x
+        FROM (SELECT {x_expr} AS x FROM xsrc)
+        UNION ALL
+        SELECT m, c2c, d4, h1 * delta, abs(delta - 1.0) < {eps}, x
+        FROM (
+          SELECT m, x, h1, c2c, d4, d4 * c2c AS delta FROM (
+            SELECT m, x, h1, d2,
+                   1.0 / (CASE WHEN abs(1.0 + aa2 * d2) < {fpmin} THEN {fpmin}
+                          ELSE 1.0 + aa2 * d2 END) AS d4,
+                   (CASE WHEN abs(1.0 + aa2 / c1c) < {fpmin} THEN {fpmin}
+                         ELSE 1.0 + aa2 / c1c END) AS c2c
+            FROM (
+              SELECT m, x, d2, c1c, h0 * (d2 * c1c) AS h1,
+                     -(({L(a)} + m) * ({L(qab)} + m)) * x
+                       / (({L(a)} + m2) * ({L(qap)} + m2)) AS aa2
+              FROM (
+                SELECT m, m2, x, h0, c1c, 1.0 / d1c AS d2
+                FROM (
+                  SELECT m, m2, x, h0,
+                         (CASE WHEN abs(1.0 + aa1 * d0) < {fpmin} THEN {fpmin}
+                               ELSE 1.0 + aa1 * d0 END) AS d1c,
+                         (CASE WHEN abs(1.0 + aa1 / c0) < {fpmin} THEN {fpmin}
+                               ELSE 1.0 + aa1 / c0 END) AS c1c
+                  FROM (
+                    SELECT m, m2, x, c0, d0, h0,
+                           m * ({L(b)} - m) * x / (({L(qam)} + m2) * ({L(a)} + m2)) AS aa1
+                    FROM (
+                      SELECT m + 1 AS m, 2.0 * (m + 1) AS m2,
+                             c AS c0, d AS d0, h AS h0, x
+                      FROM bcf_{tag} WHERE NOT frozen AND m < 500
+                    )
+                  )
+                )
+              )
+            )
+          )
+        )
+      )
+      SELECT h FROM bcf_{tag} ORDER BY m DESC LIMIT 1
+    )"""
+
+
+def _betainc_sql(a: float, b: float, x_expr: str, tag: str = "t") -> str:
+    """Regularized incomplete beta I_x(a, b) as a scalar SQL expression
+    (analysis/special.py:betainc_reg parity): lgamma terms precomputed
+    in Python (a, b constant), x stays SQL; both continued-fraction
+    branches evaluated, CASE picks the one the engine would take.
+    Unlocks t/F-distribution p-value oracles."""
+    import math as _math
+
+    L = _dlit
+    ga, gb, gab = _math.lgamma(a), _math.lgamma(b), _math.lgamma(a + b)
+    thresh = (a + 1.0) / (a + b + 2.0)
+    bt = (
+        f"exp({L(gab)} - {L(ga)} - {L(gb)}"
+        f" + {L(a)} * ln({x_expr}) + {L(b)} * ln(1.0 - ({x_expr})))"
+    )
+    lo = f"{bt} * {_betacf_sql(a, b, x_expr, tag + '_lo')} / {L(a)}"
+    hi = f"1.0 - {bt} * {_betacf_sql(b, a, f'1.0 - ({x_expr})', tag + '_hi')} / {L(b)}"
+    return f"""(
+      CASE WHEN ({x_expr}) <= 0.0 THEN 0.0
+           WHEN ({x_expr}) >= 1.0 THEN 1.0
+           WHEN ({x_expr}) < {L(thresh)} THEN {lo}
+           ELSE {hi} END
+    )"""
+
+
+def _np_quantile_lerp(n_stats: int, q: float, arr_expr: str) -> str:
+    """numpy ``quantile(..., method='linear')`` over a 1-indexed
+    order-statistic accessor: {arr_expr} must format a rank into a SQL
+    scalar. Replays numpy's virtual-index arithmetic (including the
+    t>=0.5 branch of numpy's _lerp) with Python-computed constants."""
+    import math as _math
+
+    virtual = n_stats * q + (1.0 + q * (1.0 - 1.0 - 1.0)) - 1.0
+    prev = int(_math.floor(virtual))
+    prev = min(max(prev, 0), n_stats - 1)
+    gamma = virtual - prev
+    nxt = min(prev + 1, n_stats - 1)
+    a, b = arr_expr.format(rk=prev + 1), arr_expr.format(rk=nxt + 1)
+    if gamma >= 0.5:
+        return f"({b} - ({b} - {a}) * {_dlit(1.0 - gamma)})"
+    return f"({a} + ({b} - {a}) * {_dlit(gamma)})"
+
+
 def _generated_oracles() -> dict[str, str]:
     """Oracles whose SQL embeds seeded constants (minhash permutation
     coefficients, LSH hyperplanes) generated with the SAME numpy seeds
@@ -2504,7 +2614,131 @@ def _generated_oracles() -> dict[str, str]:
         {_tau_pair('l_extendedprice', 'l_discount')}
     """
 
+    # ---- feature_target_fdr: ANOVA F + F-distribution p-value.
+    # df constants follow the mean_ci precedent (pure functions of the
+    # sf0.01 gate data shape): k=5 event_type classes, N=10000 non-null
+    # values → df=(4, 9995). The p-value replays special.f_sf via the
+    # recursive-CTE incomplete beta (bit-exact vs the engine); with a
+    # single tested feature, BH-FDR leaves p unchanged (m=1, rank=1).
+    _dfn, _dfd = 4, 9995
+    feature_target_fdr = f"""
+        WITH g AS (
+          SELECT event_type, count(value) AS n, avg(value) AS m, var_samp(value) AS v
+          FROM events GROUP BY event_type HAVING count(value) > 1
+        ), tot AS (
+          SELECT sum(n) AS n_tot, count(*) AS k, sum(n * m) / sum(n) AS grand FROM g
+        ), fs AS (
+          SELECT (sum(g.n * (g.m - tot.grand) * (g.m - tot.grand)) / (tot.k - 1))
+                 / (sum((g.n - 1) * g.v) / (tot.n_tot - tot.k)) AS f
+          FROM g, tot GROUP BY tot.k, tot.n_tot
+        ), xsrc AS (
+          SELECT f, CAST({_dfd} AS DOUBLE)
+                    / (CAST({_dfd} AS DOUBLE) + CAST({_dfn} AS DOUBLE) * f) AS xval
+          FROM fs
+        ), pv AS (
+          SELECT f, {_betainc_sql(_dfd / 2.0, _dfn / 2.0, 'xval', 'ft')} AS p FROM xsrc
+        )
+        SELECT 'value' AS feature, 'anova_f' AS test, round(f, 6) AS statistic,
+               round(p, 9) AS pvalue, round(p, 9) AS pvalue_adj
+        FROM pv
+    """
+
+    # ---- bootstrap_ci: regenerate the engine's md5-fold resample
+    # indices in SQL (sampler='hash'), replay numpy median (mean of the
+    # two middle order stats) and numpy-linear quantiles per class.
+    _bs_nboot = 200
+    _bs_alpha = (1.0 - 0.95) / 2.0
+    _med = "max(CASE WHEN rk = {rk} THEN m END)"
+    _bs_lo = _np_quantile_lerp(_bs_nboot, _bs_alpha, _med)
+    _bs_hi = _np_quantile_lerp(_bs_nboot, 1.0 - _bs_alpha, _med)
+    bootstrap_ci = f"""
+        WITH s AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS pos
+          FROM events
+        ),
+        sz AS (SELECT event_type, count(*) AS n FROM s GROUP BY event_type),
+        hb AS (
+          SELECT boot, i,
+                 {_h60_sql("concat('boot42:', CAST(boot AS VARCHAR), ':', CAST(i AS VARCHAR))")} AS h
+          FROM (SELECT unnest(range(0, {_bs_nboot})) AS boot),
+               (SELECT unnest(range(0, (SELECT max(n) FROM sz))) AS i)
+        ),
+        res AS (
+          SELECT sz.event_type, hb.boot, hb.h % sz.n AS pos
+          FROM hb JOIN sz ON hb.i < sz.n
+        ),
+        vals AS (
+          SELECT r.event_type, r.boot, s.value AS v
+          FROM res r JOIN s ON s.event_type = r.event_type AND s.pos = r.pos
+        ),
+        ranked AS (
+          SELECT event_type, boot, v,
+                 row_number() OVER (PARTITION BY event_type, boot ORDER BY v) AS rk,
+                 count(*) OVER (PARTITION BY event_type, boot) AS n
+          FROM vals
+        ),
+        med AS (
+          SELECT event_type, boot,
+                 CASE WHEN n % 2 = 1 THEN max(CASE WHEN rk = (n + 1) // 2 THEN v END)
+                      ELSE (max(CASE WHEN rk = n // 2 THEN v END)
+                            + max(CASE WHEN rk = n // 2 + 1 THEN v END)) / 2.0 END AS m
+          FROM ranked GROUP BY event_type, boot, n
+        ),
+        mr AS (
+          SELECT event_type, m,
+                 row_number() OVER (PARTITION BY event_type ORDER BY m) AS rk
+          FROM med
+        )
+        SELECT event_type,
+               round({_bs_lo}, 6) AS ci_lo,
+               round({_bs_hi}, 6) AS ci_hi
+        FROM mr GROUP BY event_type ORDER BY event_type
+    """
+
+    # ---- multimodal_features: the pipeline is a pure function of
+    # (seed=42, n=60) — independent numpy/hashlib replay of synthesize →
+    # sha256 meta → stub decode → sequential-fold L2 norm, expected rows
+    # inlined as VALUES (rounding stays SQL-side so both engines round
+    # the same doubles).
+    import hashlib as _hl
+
+    import numpy as _np
+
+    _mm_rows = []
+    _mm_rng = _np.random.default_rng(42)
+    _mm_mimes = ["image/png", "image/jpeg", "audio/wav"]
+    for _i in range(60):
+        _payload = _mm_rng.integers(0, 256, 512, dtype=_np.uint8).tobytes()
+        _mime = _mm_mimes[_i % 3]
+        if _mime.startswith("image"):
+            _mm_rng.integers(16, 512)
+            _mm_rng.integers(16, 512)
+        else:
+            _mm_rng.uniform(0.5, 30.0)
+        _digest = _hl.sha256(_payload)
+        _seed2 = int.from_bytes(_digest.digest()[:8], "little")
+        _feat = _np.random.default_rng(_seed2).standard_normal(8).astype(_np.float32)
+        _acc = 0.0
+        for _v in _feat:
+            _d = float(_v)
+            _acc = _acc + _d * _d
+        _mm_rows.append(
+            f"({_i}, '{_mime}', 512, '{_digest.hexdigest()[:16]}', {_dlit(math.sqrt(_acc))})"
+        )
+    multimodal_features = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, mime,"
+        " CAST(payload_bytes AS BIGINT) AS payload_bytes, sha_prefix,"
+        " round(feature_norm, 6) AS feature_norm FROM (VALUES "
+        + ", ".join(_mm_rows)
+        + ") AS t(media_id, mime, payload_bytes, sha_prefix, feature_norm)"
+        " ORDER BY media_id"
+    )
+
     return {
+        "feature_target_fdr": feature_target_fdr,
+        "bootstrap_ci": bootstrap_ci,
+        "multimodal_features": multimodal_features,
         "minhash_dedup": minhash_dedup,
         "simhash": simhash,
         "doc_fingerprint": doc_fingerprint,

@@ -202,18 +202,45 @@ def pearson_pvalue(r: float, n: int) -> float:
     return S.t_sf_two_sided(t, n - 2)
 
 
+def _hash_resample_indices(n: int, n_boot: int, seed: int) -> np.ndarray:
+    """Portable bootstrap resample indices: idx[b, i] = 60-bit md5 fold
+    of ``'boot{seed}:{b}:{i}'`` mod n — the dedup ``_hash60`` scheme, so
+    any engine (DuckDB oracle included) regenerates the identical index
+    matrix from (seed, n_boot, n) alone. No RNG-implementation
+    dependence, unlike ``default_rng``."""
+    import hashlib
+
+    out = np.empty((n_boot, n), dtype=np.int64)
+    for b in range(n_boot):
+        pre = f"boot{seed}:{b}:"
+        row = out[b]
+        for i in range(n):
+            row[i] = int(hashlib.md5((pre + str(i)).encode()).hexdigest()[:15], 16) % n
+    return out
+
+
 def bootstrap_ci(
     values: np.ndarray,
     statistic=np.median,
     n_boot: int = 1000,
     confidence: float = 0.95,
     seed: int = 42,
+    sampler: str = "rng",
 ) -> tuple:
-    """Percentile bootstrap, seeded default_rng (reference :926-1002).
-    Runs on a collected (small, per-class) sample."""
-    rng = np.random.default_rng(seed)
+    """Percentile bootstrap (reference :926-1002). Runs on a collected
+    (small, per-class) sample. ``sampler='rng'`` is seeded default_rng
+    (reference parity); ``sampler='hash'`` draws indices from a
+    portable md5 fold (:func:`_hash_resample_indices`) so the exact CI
+    is replayable outside numpy — used by the oracle-verified gate
+    query."""
     values = np.asarray(values)
-    idx = rng.integers(0, len(values), size=(n_boot, len(values)))
+    if sampler == "rng":
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, len(values), size=(n_boot, len(values)))
+    elif sampler == "hash":
+        idx = _hash_resample_indices(len(values), n_boot, seed)
+    else:
+        raise ValueError("sampler must be rng|hash")
     stats = np.array([statistic(values[row]) for row in idx])
     alpha = (1.0 - confidence) / 2.0
     return (float(np.quantile(stats, alpha)), float(np.quantile(stats, 1 - alpha)))
