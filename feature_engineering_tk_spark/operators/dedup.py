@@ -28,7 +28,7 @@ cross join never materializes, only same-bucket pairs do.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 31-bit Mersenne prime: keeps a*x + b within int64 under ANSI mode
@@ -122,6 +122,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     rows_per_band: int = 4,
     hash_mode: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded LSH: explode each signature into
     ``bands`` bucket keys (hash of the band slice), self-join per
@@ -129,8 +130,17 @@ def minhash_lsh_candidates(
 
     Shuffle profile: explode multiplies rows by ``bands`` but each row
     is (bucket_key, id) — tiny; the self-join shuffles on bucket_key.
-    Hot buckets (boilerplate docs) are the skew risk → AQE skew-join
-    plus an optional bucket-size cap upstream."""
+    Hot buckets (boilerplate/spam corpora) are the skew risk: a bucket
+    of s members emits s(s-1)/2 pairs, so one 10-million-doc
+    boilerplate cluster would explode into 5·10¹³ candidates no AQE
+    skew split can absorb. ``max_bucket_size`` is the backstop: buckets
+    over the cap emit only ADJACENT-id pairs (sorted chain, s-1 pairs)
+    instead of all pairs — linear, and a clique of true duplicates
+    stays fully connected through the chain, so group-level dedup
+    (min-id survivor / connected components) is unchanged. The chain
+    can miss near-dup pairs BETWEEN distinct sub-groups that share a
+    hot bucket; that residual recall loss is the documented price of
+    boundedness (the other bands still get independent chances)."""
     sig = F.col(sig_col)
 
     def _band_key(b: int) -> Column:
@@ -141,14 +151,27 @@ def minhash_lsh_candidates(
 
     band_keys = F.array(*[_band_key(b) for b in range(bands)])
     buckets = df.select(F.col(id_col), F.explode(band_keys).alias("bucket"))
+    if max_bucket_size is not None:
+        # exact bucket sizes: 8-byte keys, map-side partial agg — cheap
+        counts = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bc"))
+        sized = buckets.join(counts, "bucket")
+        buckets = sized.filter(F.col("_bc") <= max_bucket_size).drop("_bc")
+        hot = sized.filter(F.col("_bc") > max_bucket_size).drop("_bc")
+        w = Window.partitionBy("bucket").orderBy(id_col)
+        chain = (
+            hot.withColumn("_prev", F.lag(id_col).over(w))
+            .filter(F.col("_prev").isNotNull())
+            .select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
-    return pairs
+    if max_bucket_size is not None:
+        pairs = pairs.unionByName(chain)
+    return pairs.distinct()
 
 
 def ngram_jaccard(
@@ -184,14 +207,23 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     seed: int = 42,
     hash_mode: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup removal: signatures → banded candidates →
     exact Jaccard ≥ threshold → drop the larger id of each dup pair
     (connected-component-free approximation: a doc survives unless it
-    duplicates a smaller-id doc — deterministic, one pass)."""
+    duplicates a smaller-id doc — deterministic, one pass).
+
+    Chain-capped hot buckets (``max_bucket_size``) keep the survivor
+    set identical for identical-duplicate cliques: the chain pairs
+    (id₁,id₂),(id₂,id₃)… drop every member except the minimum id,
+    exactly like the all-pairs bucket would."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, num_hashes, shingle_n, seed, hash_mode=hash_mode)
-    cands = minhash_lsh_candidates(sigs, id_col, "minhash", bands, rows_per_band, hash_mode=hash_mode)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, "minhash", bands, rows_per_band,
+        hash_mode=hash_mode, max_bucket_size=max_bucket_size,
+    )
     dups = (
         ngram_jaccard(cands, df, id_col, text_col, shingle_n)
         .filter(F.col("jaccard") >= threshold)

@@ -119,6 +119,31 @@ def test_connected_components_chain_diameter(spark):
     assert len(got) == 13
 
 
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """Degenerate corpus (boilerplate: 10%+ identical docs): the
+    bucket-size cap must bound the candidate count linearly while the
+    end-to-end dedup survivor set stays IDENTICAL (chain pairs keep
+    duplicate cliques connected)."""
+    boiler = "all work and no play makes a dull document " * 3
+    rows = [(i, boiler) for i in range(20)]  # one giant identical clique
+    rows += [(100 + k, f"unique doc {k} about topic {k * 13} with tail {k}") for k in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    sigs = D.minhash_signatures(df)
+    uncapped = D.minhash_lsh_candidates(sigs).count()
+    capped = D.minhash_lsh_candidates(sigs, max_bucket_size=5).count()
+    # clique of 20 → 190 all-pairs; chain → 19
+    assert uncapped >= 190
+    assert capped <= uncapped - (190 - 19)
+
+    out_full = {r["doc_id"] for r in D.minhash_lsh_dedup(df).collect()}
+    out_capped = {
+        r["doc_id"] for r in D.minhash_lsh_dedup(df, max_bucket_size=5).collect()
+    }
+    assert out_capped == out_full  # survivors unchanged
+    assert 0 in out_capped and not any(1 <= d <= 19 for d in out_capped)
+
+
 def test_connected_components_star_path_logn(spark):
     """Large-star/small-star converges in O(log n) rounds on a path
     graph — the worst case for label propagation (needs ~n rounds)."""
