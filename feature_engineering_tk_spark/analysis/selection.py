@@ -2,8 +2,10 @@
 
 Selection decisions are driver-side over distributed aggregates; the
 final projection is a ``select``. sklearn's RandomForest importance
-path is gated behind an optional import (not in this runtime) with a
-documented MI-based fallback.
+path is gated behind an optional import (not in this runtime); the
+active engine here is the vendored deterministic Extra-Trees ensemble
+in :mod:`feature_engineering_tk_spark.analysis.trees`, with an
+MI-ranking engine selectable via ``engine='mi'``.
 """
 
 from __future__ import annotations
@@ -101,13 +103,27 @@ class FeatureSelector:
         self.selected_ = [c for c in cols if (row[c] or 0) / n <= threshold]
         return self.selected_
 
-    def select_by_importance(self, top_k: int = 10, columns=None, seed: int = 42) -> list[str]:
-        """RandomForest importances when sklearn is present (driver-side
-        on a collected seeded sample, selection-decision parity with
-        feature_selection.py:247-300); MI-estimator fallback otherwise."""
-        try:
-            from sklearn.ensemble import RandomForestClassifier, RandomForestRegressor
-        except ImportError:
+    def _importance_sample(self, cols: list[str]):
+        """Driver-side sample both tree engines share: the distributed
+        work (scan, dropna, projection, cap) stays in Spark; only the
+        capped matrix crosses to the driver, like the reference's
+        whole-frame `.fit` but bounded (feature_selection.py:270)."""
+        return self.df.select(*cols, self.target).dropna().limit(100_000).toPandas()
+
+    def select_by_importance(
+        self, top_k: int = 10, columns=None, seed: int = 42, engine: str = "auto"
+    ) -> list[str]:
+        """Tree-ensemble importances, selection-decision parity with
+        feature_selection.py:247-300.
+
+        engine='sklearn' — RandomForest, exact reference parity (needs
+        sklearn); 'builtin' — vendored seeded Extra-Trees
+        (:mod:`.trees`), active default in this runtime; 'mi' —
+        mutual-information ranking (no tree fit at all); 'auto' —
+        sklearn if importable else builtin."""
+        if engine not in ("auto", "sklearn", "builtin", "mi"):
+            raise ValueError(f"unknown importance engine: {engine!r}")
+        if engine == "mi":
             from feature_engineering_tk_spark.analysis.target import TargetAnalyzer
 
             mi = TargetAnalyzer(self.df, self.target).analyze_mutual_information(
@@ -116,13 +132,33 @@ class FeatureSelector:
             self._record_scores("mutual_information", {d["feature"]: d["mi"] for d in mi})
             self.selected_ = [d["feature"] for d in mi[:top_k]]
             return self.selected_
+
+        if engine in ("auto", "sklearn"):
+            try:
+                from sklearn.ensemble import RandomForestClassifier, RandomForestRegressor
+            except ImportError:
+                if engine == "sklearn":
+                    raise
+                engine = "builtin"
+            else:
+                cols = self._features(columns)
+                sample = self._importance_sample(cols)
+                X, y = sample[cols], sample[self.target]
+                cls = RandomForestClassifier if y.nunique() <= 20 else RandomForestRegressor
+                model = cls(n_estimators=100, random_state=seed, n_jobs=-1).fit(X, y)
+                imp = dict(zip(cols, model.feature_importances_))
+                self._record_scores("random_forest_importance", imp)
+                self.selected_ = sorted(cols, key=lambda c: -imp[c])[:top_k]
+                return self.selected_
+
+        from feature_engineering_tk_spark.analysis.trees import ExtraTreesImportance
+
         cols = self._features(columns)
-        sample = self.df.select(*cols, self.target).dropna().limit(100_000).toPandas()
-        X, y = sample[cols], sample[self.target]
-        cls = RandomForestClassifier if y.nunique() <= 20 else RandomForestRegressor
-        model = cls(n_estimators=100, random_state=seed, n_jobs=-1).fit(X, y)
-        imp = dict(zip(cols, model.feature_importances_))
-        self._record_scores("random_forest_importance", imp)
+        sample = self._importance_sample(cols)
+        X, y = sample[cols].to_numpy(dtype=float), sample[self.target].to_numpy()
+        model = ExtraTreesImportance(random_state=seed).fit(X, y)
+        imp = dict(zip(cols, model.feature_importances_.tolist()))
+        self._record_scores("tree_importance", imp)
         self.selected_ = sorted(cols, key=lambda c: -imp[c])[:top_k]
         return self.selected_
 
