@@ -445,6 +445,54 @@ class TargetAnalyzer:
         ]
         return {"missing": missing, "leakage_suspects": suspects, "constant_features": constant}
 
+    # -- plots (target_analyzer/visualization.py:29-279) — distributed
+    # aggregation → PlotSpec; render=True for a matplotlib Figure
+    def _plot(self, spec, render, figsize, show):
+        from feature_engineering_tk_spark.analysis import viz as V
+
+        return V.render(spec, figsize, show) if render and spec else spec
+
+    def plot_class_distribution(self, render: bool = False, figsize=None, show: bool = False):
+        from feature_engineering_tk_spark.analysis import viz as V
+
+        return self._plot(V.plot_class_distribution(self), render, figsize, show)
+
+    def plot_target_distribution(
+        self, bins: int = 30, render: bool = False, figsize=None, show: bool = False
+    ):
+        from feature_engineering_tk_spark.analysis import viz as V
+
+        return self._plot(V.plot_target_distribution(self, bins), render, figsize, show)
+
+    def plot_feature_by_class(
+        self, feature: str, plot_type: str = "box", bins: int = 20,
+        render: bool = False, figsize=None, show: bool = False,
+    ):
+        from feature_engineering_tk_spark.analysis import viz as V
+
+        return self._plot(
+            V.plot_feature_by_class(self, feature, plot_type, bins), render, figsize, show
+        )
+
+    def plot_feature_vs_target(
+        self, features=None, max_features: int = 6, max_points: int = 5000,
+        render: bool = False, figsize=None, show: bool = False,
+    ):
+        from feature_engineering_tk_spark.analysis import viz as V
+
+        return self._plot(
+            V.plot_feature_vs_target(self, features, max_features, max_points),
+            render, figsize, show,
+        )
+
+    def plot_residuals(
+        self, predicted: str, max_points: int = 5000,
+        render: bool = False, figsize=None, show: bool = False,
+    ):
+        from feature_engineering_tk_spark.analysis import viz as V
+
+        return self._plot(V.plot_residuals(self, predicted, max_points), render, figsize, show)
+
 
 def analyze_residuals(df, actual: str, predicted: str, shapiro: bool = False) -> dict:
     """Residual diagnostics (target_analyzer/statistical.py:535-578):

@@ -540,3 +540,29 @@ class DataAnalyzer:
         from feature_engineering_tk_spark.analysis.reports import quick_analysis
 
         return quick_analysis(self.df)
+
+    # -- plots (data_analysis.py:445-550) — distributed aggregation →
+    # PlotSpec; pass render=True for a matplotlib Figure (import-guarded)
+    def plot_missing_values(self, render: bool = False, figsize=None, show: bool = False):
+        from feature_engineering_tk_spark.analysis import viz as V
+
+        spec = V.plot_missing_values(self.df)
+        return V.render(spec, figsize, show) if render and spec else spec
+
+    def plot_correlation_heatmap(
+        self, method: str = "pearson", columns=None,
+        render: bool = False, figsize=None, show: bool = False,
+    ):
+        from feature_engineering_tk_spark.analysis import viz as V
+
+        spec = V.plot_correlation_heatmap(self.df, method, columns)
+        return V.render(spec, figsize, show) if render and spec else spec
+
+    def plot_distributions(
+        self, columns=None, bins: int = 30,
+        render: bool = False, figsize=None, show: bool = False,
+    ):
+        from feature_engineering_tk_spark.analysis import viz as V
+
+        spec = V.plot_distributions(self.df, columns, bins)
+        return V.render(spec, figsize, show) if render and spec else spec
