@@ -1992,6 +1992,50 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_histogram_bins(spark, sf_dir):
+    """Distributed multi-column histogram counts (the aggregation core
+    of plot_distributions, analysis/viz.py; reference
+    data_analysis.py:506-550): one (min,max) job for all columns, then
+    ONE shuffle keyed on tiny (column, bin) structs."""
+    from feature_engineering_tk_spark.analysis.viz import histogram_counts_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = histogram_counts_df(li, ["l_quantity", "l_extendedprice"], bins=10)
+    return out.select(
+        F.col("name"), F.col("bin").cast("long").alias("bin"), F.col("n")
+    )
+
+
+def q_class_box_stats(spark, sf_dir):
+    """Per-class box-plot statistics (plot_feature_by_class box path,
+    analysis/viz.py; reference visualization.py:117-161): exact grouped
+    quartiles + matplotlib-convention whiskers (furthest datum inside
+    the 1.5·IQR fences) via one grouped percentile pass and one
+    conditional re-aggregation against broadcast fences."""
+    from feature_engineering_tk_spark.analysis.target import TargetAnalyzer
+    from feature_engineering_tk_spark.analysis.viz import plot_feature_by_class
+
+    li = _t(spark, sf_dir, "lineitem")
+    ta = TargetAnalyzer(li, "l_returnflag", task="classification")
+    spec = plot_feature_by_class(ta, "l_extendedprice", plot_type="box")
+    rows = [
+        (
+            c,
+            round(s["q1"], 6),
+            round(s["median"], 6),
+            round(s["q3"], 6),
+            round(s["whisker_lo"], 6),
+            round(s["whisker_hi"], 6),
+            s["n"],
+        )
+        for c, s in zip(spec["classes"], spec["stats"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cls string, q1 double, median double, q3 double, wlo double, whi double, n long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2105,6 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "pack_sequences": q_pack_sequences,
         "ivf_topk": q_ivf_topk,
+        "histogram_bins": q_histogram_bins,
+        "class_box_stats": q_class_box_stats,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
         "group_join_agg": q_group_join_agg,
@@ -3104,6 +3150,44 @@ def oracle_sql() -> dict[str, str]:
               / (sum((g.n - 1) * g.v) / (tot.n_tot - tot.k)), 6) AS f_stat
             FROM g, tot
             GROUP BY tot.k, tot.n_tot
+        """,
+        "histogram_bins": """
+            WITH rq AS (SELECT min(l_quantity) AS lo, max(l_quantity) AS hi FROM lineitem),
+                 rp AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+            SELECT 'l_quantity' AS name,
+                   LEAST(CAST(FLOOR((l_quantity - rq.lo) / ((rq.hi - rq.lo) / 10)) AS BIGINT), 9) AS bin,
+                   count(*) AS n
+              FROM lineitem, rq
+             WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+             GROUP BY 1, 2
+            UNION ALL
+            SELECT 'l_extendedprice' AS name,
+                   LEAST(CAST(FLOOR((l_extendedprice - rp.lo) / ((rp.hi - rp.lo) / 10)) AS BIGINT), 9) AS bin,
+                   count(*) AS n
+              FROM lineitem, rp
+             WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+             GROUP BY 1, 2
+        """,
+        "class_box_stats": """
+            WITH q AS (
+              SELECT l_returnflag AS cls,
+                     quantile_cont(l_extendedprice, 0.25) AS q1,
+                     quantile_cont(l_extendedprice, 0.5) AS med,
+                     quantile_cont(l_extendedprice, 0.75) AS q3,
+                     count(*) AS n
+                FROM lineitem
+               WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+               GROUP BY 1
+            )
+            SELECT q.cls AS cls, round(q.q1, 6) AS q1, round(q.med, 6) AS median,
+                   round(q.q3, 6) AS q3,
+                   round(min(l.l_extendedprice), 6) AS wlo,
+                   round(max(l.l_extendedprice), 6) AS whi,
+                   q.n AS n
+              FROM lineitem l JOIN q ON l.l_returnflag = q.cls
+             WHERE l.l_extendedprice BETWEEN q.q1 - 1.5 * (q.q3 - q.q1)
+                                         AND q.q3 + 1.5 * (q.q3 - q.q1)
+             GROUP BY 1, q.q1, q.med, q.q3, q.n
         """,
         "pearson_corr": """
             SELECT round(corr(l_quantity, l_extendedprice), 6) AS r_qty_price,

@@ -53,6 +53,7 @@ PlotSpec = dict  # {"kind": str, ...driver-sized arrays only}
 
 __all__ = [
     "histogram_spec",
+    "histogram_counts_df",
     "plot_missing_values",
     "plot_correlation_heatmap",
     "plot_distributions",
@@ -66,18 +67,9 @@ __all__ = [
 
 
 # ---------------------------------------------------------------- helpers
-def histogram_spec(
-    df: DataFrame, columns: list[str], bins: int = 30
-) -> dict[str, dict[str, list[float]]]:
-    """Fixed-width histograms for many columns in TWO jobs total:
-    job 1 — every column's (min, max) in one aggregate row;
-    job 2 — explode (column, bin_index) structs and count, a single
-    shuffle keyed on tiny tuples regardless of how many columns.
-
-    Bin semantics match ``numpy.histogram``: ``bins`` equal-width bins
-    over [min, max], right-closed last bin."""
-    if not columns:
-        return {}
+def _binnable_ranges(df: DataFrame, columns: list[str], bins: int):
+    """One aggregate job for every column's (min, max); returns the
+    spec skeleton (edges filled, counts pending) and the bin plan."""
     rng_row = df.agg(
         *[F.min(c).alias(f"{c}__lo") for c in columns],
         *[F.max(c).alias(f"{c}__hi") for c in columns],
@@ -97,8 +89,12 @@ def histogram_spec(
                 "counts": None,
             }
             binnable.append((c, float(lo), float(hi), bins))
-    if not binnable:
-        return out
+    return out, binnable
+
+
+def _histogram_counts_df(df: DataFrame, binnable) -> DataFrame:
+    """(name, bin, n) counts for a bin plan: explode tiny (column,
+    bin_index) structs, one shuffle for ALL columns."""
     structs = []
     for c, lo, hi, nb in binnable:
         width = (hi - lo) / nb
@@ -112,13 +108,41 @@ def histogram_spec(
                 F.struct(F.lit(c).alias("name"), idx.alias("bin")),
             )
         )
-    counts = (
+    return (
         df.select(F.explode(F.array(*structs)).alias("cb"))
         .filter(F.col("cb").isNotNull())
         .groupBy("cb.name", "cb.bin")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
+
+
+def histogram_counts_df(df: DataFrame, columns: list[str], bins: int = 30) -> DataFrame:
+    """Distributed histogram counts as a DataFrame ``(name, bin, n)`` —
+    the aggregation core of :func:`plot_distributions` kept distributed
+    (for pipelines / the SQL-oracle gate); empty-column inputs simply
+    contribute no rows."""
+    _, binnable = _binnable_ranges(df, columns, bins)
+    if not binnable:
+        return df.sparkSession.createDataFrame([], "name string, bin int, n long")
+    return _histogram_counts_df(df, binnable)
+
+
+def histogram_spec(
+    df: DataFrame, columns: list[str], bins: int = 30
+) -> dict[str, dict[str, list[float]]]:
+    """Fixed-width histograms for many columns in TWO jobs total:
+    job 1 — every column's (min, max) in one aggregate row;
+    job 2 — explode (column, bin_index) structs and count, a single
+    shuffle keyed on tiny tuples regardless of how many columns.
+
+    Bin semantics match ``numpy.histogram``: ``bins`` equal-width bins
+    over [min, max], right-closed last bin."""
+    if not columns:
+        return {}
+    out, binnable = _binnable_ranges(df, columns, bins)
+    if not binnable:
+        return out
+    counts = _histogram_counts_df(df, binnable).collect()
     by_col: dict[str, dict[int, int]] = {}
     for r in counts:
         by_col.setdefault(r["name"], {})[r["bin"]] = r["n"]
