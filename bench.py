@@ -21,6 +21,53 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _scaling_summary() -> dict:
+    """Min-merged 8-vs-32 scaling numbers from the persisted attempt
+    history (BENCH/scaling_attempts.jsonl), scoped to the MOST RECENT
+    job_key (the current job/config generation), plus the min-merged
+    no-Spark hardware-ceiling control."""
+    hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "scaling_attempts.jsonl")
+    best: dict[int, float] = {}
+    walls: dict[int, float] = {}
+    current_key = None
+    records = []
+    try:
+        for ln in open(hist):
+            try:
+                records.append(json.loads(ln))
+            except json.JSONDecodeError:
+                continue
+    except OSError:
+        return {}
+    for rec in records:
+        if "job_key" in rec:
+            current_key = rec["job_key"]
+    for rec in records:
+        r = rec.get("result")
+        if r and rec.get("job_key") == current_key:
+            c = int(r["cpus"])
+            if r["turns_per_sec"] > best.get(c, 0.0):
+                best[c] = r["turns_per_sec"]
+        for k, v in rec.get("control_walls", {}).items():
+            n = int(k)
+            if v < walls.get(n, float("inf")):
+                walls[n] = v
+    if 8 not in best or 32 not in best:
+        return {}
+    eff = best[32] / best[8] / 4.0
+    out = {
+        "local8_turns_per_s": round(best[8]),
+        "local32_turns_per_s": round(best[32]),
+        "efficiency_raw": round(eff, 2),
+    }
+    if 8 in walls and 32 in walls:
+        ceiling = (32 / walls[32]) / (8 / walls[8]) / 4.0
+        out["hardware_ceiling_8_to_32"] = round(ceiling, 2)
+        out["efficiency_vs_ceiling"] = round(eff / ceiling, 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -123,13 +170,7 @@ def main() -> None:
                 # BENCH/scaling_attempts.jsonl — protocol, tables and
                 # the no-Spark hardware-ceiling control in
                 # BENCH/BASELINE.md
-                "scaling_40m_turns": {
-                    "local8_turns_per_s": 786584,
-                    "local32_turns_per_s": 2172810,
-                    "efficiency_raw": 0.69,
-                    "hardware_ceiling_8_to_32": 0.65,
-                    "efficiency_vs_ceiling": 1.06,
-                },
+                "scaling_40m_turns": _scaling_summary(),
             }
         )
     )
