@@ -2036,6 +2036,31 @@ def q_class_box_stats(spark, sf_dir):
     )
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Overlapping token-window chunking (functions/text.py
+    chunk_documents) — the pre-embedding/pre-training splitter. Pure
+    JVM higher-order array exprs, zero shuffle; null text yields one
+    empty chunk (audit-visible, never dropped)."""
+    from feature_engineering_tk_spark.functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=40, overlap=8)
+
+
+def q_domain_filter(spark, sf_dir):
+    """Suffix-chain domain blocklist filter (functions/cleaning.py
+    filter_by_domain): blocking 'srcN.example.com' must drop that
+    source's synthetic URLs via PARENT-domain matching — a row-local
+    arrays_overlap predicate, zero shuffle."""
+    from feature_engineering_tk_spark.functions.cleaning import filter_by_domain
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url", F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com/p?x=1"))
+    )
+    out = filter_by_domain(docs, "url", ["src1.example.com", "src4.example.com"])
+    return out.select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2151,6 +2176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "histogram_bins": q_histogram_bins,
         "class_box_stats": q_class_box_stats,
+        "chunk_docs": q_chunk_docs,
+        "domain_filter": q_domain_filter,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
         "group_join_agg": q_group_join_agg,
@@ -3150,6 +3177,28 @@ def oracle_sql() -> dict[str, str]:
               / (sum((g.n - 1) * g.v) / (tot.n_tot - tot.k)), 6) AS f_stat
             FROM g, tot
             GROUP BY tot.k, tot.n_tot
+        """,
+        "chunk_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+                FROM documents
+            ), s AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(range(0, greatest(len(toks) - 1, 0) + 1, 32)) AS st
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(st / 32 AS BIGINT) AS chunk_idx,
+                   array_to_string(toks[st + 1 : st + 40], ' ') AS chunk_text,
+                   CAST(len(list_filter(toks[st + 1 : st + 40], x -> x <> '')) AS BIGINT)
+                       AS chunk_tokens
+              FROM s
+             WHERE st = 0 OR st + 8 < n
+        """,
+        "domain_filter": """
+            SELECT doc_id, source FROM documents
+             WHERE source NOT IN ('src1', 'src4')
         """,
         "histogram_bins": """
             WITH rq AS (SELECT min(l_quantity) AS lo, max(l_quantity) AS hi FROM lineitem),

@@ -249,3 +249,53 @@ def pack_sequences(
         .applyInPandas(_pack, out_schema)
         .withColumnRenamed("_shard", "shard")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-embedding / pre-training chunking step — entirely in JVM
+    higher-order array expressions (split → sequence of starts →
+    transform/slice → explode): no Python in the per-row path, no
+    shuffle at all (chunking is embarrassingly row-local).
+
+    Output: one row per chunk ``(id, chunk_idx, chunk_text,
+    chunk_tokens)``. Windows start every ``max_tokens - overlap``
+    tokens; a trailing start is kept only if it contributes tokens
+    beyond the previous window's coverage (``start + overlap < n``),
+    so a doc shorter than ``max_tokens`` yields exactly one chunk.
+    NULL text is treated as empty (the doc still appears, one empty
+    chunk) — silent drops hide corpus rows from downstream audits.
+
+    Scale: output row count is ~n_tokens/stride per doc; payload
+    duplication is bounded by ``1 + overlap/stride``. At 100 TB the
+    explode happens inside the scan stage (whole-stage codegen), and
+    writes stream straight out — nothing accumulates.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s + F.lit(overlap) < n),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(F.slice(toks, s + 1, max_tokens), " ").alias("chunk_text"),
+            F.size(
+                F.filter(F.slice(toks, s + 1, max_tokens), lambda t: t != "")
+            ).cast("long").alias("chunk_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("_c")).select(
+        id_col, "_c.chunk_idx", "_c.chunk_text", "_c.chunk_tokens"
+    )

@@ -84,3 +84,81 @@ def test_pack_sequences_shard_parallel(spark):
     out2 = pack_sequences(docs, max_tokens=16, n_shards=8).collect()
     key = lambda rows: sorted((r["doc_id"], r["shard"], r["bin_id"]) for r in rows)
     assert key(out) == key(out2)
+
+
+def test_chunk_documents_windows(spark):
+    """chunk_documents: overlap-windowed token chunks, one chunk for
+    short docs, null text surfaces as one empty chunk (never dropped)."""
+    from feature_engineering_tk_spark.functions.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, words), (2, "just three tokens"), (3, None)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=2).orderBy("doc_id", "chunk_idx")
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # doc 1: 25 tokens, stride 8 → starts 0,8,16,24; start 24: 24+2 >= 25 → dropped
+    c1 = by_doc[1]
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"].split() == [f"w{i}" for i in range(10)]
+    assert c1[1]["chunk_text"].split() == [f"w{i}" for i in range(8, 18)]
+    assert c1[2]["chunk_text"].split() == [f"w{i}" for i in range(16, 25)]
+    assert [r["chunk_tokens"] for r in c1] == [10, 10, 9]
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert c1[0]["chunk_text"].split()[-2:] == c1[1]["chunk_text"].split()[:2]
+
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_tokens"] == 3
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_tokens"] == 0
+    assert by_doc[3][0]["chunk_text"] == ""
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_filter_by_domain_list_and_df(spark):
+    """filter_by_domain: suffix-chain semantics (blocking a parent
+    domain blocks subdomains), scheme/port/path stripping, and parity
+    between the literal-array and DataFrame-blocklist regimes."""
+    from feature_engineering_tk_spark.functions.cleaning import (
+        domain_suffix_chain,
+        extract_domain,
+        filter_by_domain,
+    )
+
+    rows = [
+        (1, "https://spam.example.com/page?q=1"),
+        (2, "http://user@ok-site.org:8080/x"),
+        (3, "EXAMPLE.COM"),
+        (4, "https://sub.deep.ok-site.org/"),
+        (5, "https://badguys.net"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    got = df.select(extract_domain(F.col("url")).alias("d")).orderBy("doc_id")
+    doms = [r["d"] for r in df.select("doc_id", extract_domain(F.col("url")).alias("d")).orderBy("doc_id").collect()]
+    assert doms == ["spam.example.com", "ok-site.org", "example.com",
+                    "sub.deep.ok-site.org", "badguys.net"]
+
+    chain = df.filter(F.col("doc_id") == 1).select(
+        domain_suffix_chain(extract_domain(F.col("url"))).alias("c")
+    ).first()["c"]
+    assert chain == ["spam.example.com", "example.com", "com"]
+
+    block = ["example.com", "badguys.net"]
+    kept = {r["doc_id"] for r in filter_by_domain(df, "url", block).collect()}
+    assert kept == {2, 4}  # 1 and 3 blocked via example.com, 5 directly
+    only = {r["doc_id"] for r in filter_by_domain(df, "url", block, keep=True).collect()}
+    assert only == {1, 3, 5}
+
+    bl_df = spark.createDataFrame([(d,) for d in block], "domain string")
+    kept_df = {
+        r["doc_id"]
+        for r in filter_by_domain(df, "url", bl_df, id_col="doc_id").collect()
+    }
+    assert kept_df == kept
+    with pytest.raises(ValueError):
+        filter_by_domain(df, "url", bl_df)  # DataFrame blocklist needs id_col
