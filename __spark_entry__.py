@@ -2061,6 +2061,69 @@ def q_domain_filter(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum hash sampling (operators/sampling.py
+    stratified_sample) — the reproducible ``sampleBy``: per-language
+    corpus rebalancing as one row-local CASE + hash predicate, zero
+    shuffle, replayed value-for-value by the md5 oracle."""
+    from feature_engineering_tk_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, ["doc_id"], "lang", {"en": 0.6, "zh": 0.3}, default=0.1,
+        hash_mode="md5",
+    )
+    return out.select("doc_id", "lang")
+
+
+def _messy_url(variant: int = 0):
+    """Synthetic messy URL built from documents columns — shared by the
+    Spark query and (textually) the oracle."""
+    if variant == 0:
+        return F.concat(
+            F.lit("HTTPS://www."), F.col("source"), F.lit(".example.com/Articles/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&b="), (F.col("doc_id") % 3).cast("string"),
+            F.lit("&a=1"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("&ref=tw")).otherwise(F.lit("")),
+            F.lit("#frag"),
+        )
+    base = F.concat(
+        F.col("source"), F.lit(".example.com/page/"), (F.col("doc_id") % 5).cast("string")
+    )
+    return (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://"), base))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("http://www."), base, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("HTTPS://"), base, F.lit("?utm_campaign=x")))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("#top")))
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (functions/cleaning.py canonicalize_url):
+    fragment/scheme/www stripped, tracking params dropped, surviving
+    params sorted, trailing slash trimmed — pure JVM regex + array
+    exprs, alternation-free for RE2 oracle parity."""
+    from feature_engineering_tk_spark.functions.cleaning import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _messy_url(0))
+    return docs.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canon_url")
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup (functions/cleaning.py url_dedup): four messy
+    variants of each logical page (scheme/www/tracking/fragment noise)
+    collapse to one canonical survivor per URL. The oracle derives the
+    canonical form independently — it validates, not replays."""
+    from feature_engineering_tk_spark.functions.cleaning import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _messy_url(1))
+    return url_dedup(docs, "url")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2178,6 +2241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_box_stats": q_class_box_stats,
         "chunk_docs": q_chunk_docs,
         "domain_filter": q_domain_filter,
+        "stratified_sample": q_stratified_sample,
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
         "group_join_agg": q_group_join_agg,
@@ -3199,6 +3265,54 @@ def oracle_sql() -> dict[str, str]:
         "domain_filter": """
             SELECT doc_id, source FROM documents
              WHERE source NOT IN ('src1', 'src4')
+        """,
+        "stratified_sample": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(concat('strata-v1', chr(31), CAST(doc_id AS VARCHAR))), 1, 15), ''),
+                         c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (acc, x) -> acc * 16 + x) % 1000000 AS b
+                FROM documents)
+            SELECT doc_id, lang FROM h
+             WHERE b < CASE lang WHEN 'en' THEN 600000 WHEN 'zh' THEN 300000 ELSE 100000 END
+        """,
+        "url_canonicalize": """
+            WITH u0 AS (
+              SELECT doc_id,
+                     lower(trim('HTTPS://www.' || source || '.example.com/Articles/'
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                       || '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1'
+                       || CASE WHEN doc_id % 5 = 0 THEN '&ref=tw' ELSE '' END
+                       || '#frag')) AS u
+                FROM documents),
+            u1 AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(u,
+                       '#.*$', ''), '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', '') AS u
+                FROM u0),
+            p AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(u, '\\?.*$', ''), '/+$', '') AS path,
+                     list_sort(list_filter(string_split(regexp_extract(u, '\\?(.*)$', 1), '&'),
+                       x -> x <> '' AND NOT regexp_matches(x, '^utm_')
+                            AND NOT regexp_matches(x, '^fbclid=')
+                            AND NOT regexp_matches(x, '^gclid=')
+                            AND NOT regexp_matches(x, '^ref='))) AS params
+                FROM u1)
+            SELECT doc_id,
+                   CASE WHEN len(params) > 0
+                        THEN path || '?' || array_to_string(params, '&')
+                        ELSE path END AS canon_url
+              FROM p
+        """,
+        "url_dedup": """
+            SELECT source || '.example.com/page/' || CAST(doc_id % 5 AS VARCHAR) AS canon_url,
+                   min(doc_id) AS doc_id,
+                   count(*) AS n_copies
+              FROM documents
+             GROUP BY 1
         """,
         "histogram_bins": """
             WITH rq AS (SELECT min(l_quantity) AS lo, max(l_quantity) AS hi FROM lineitem),

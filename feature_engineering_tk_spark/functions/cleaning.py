@@ -99,6 +99,52 @@ def domain_suffix_chain(domain: Column) -> Column:
     )
 
 
+TRACKING_PARAM_PATTERNS = ("^utm_", "^fbclid=", "^gclid=", "^ref=")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for URL-level dedup (the CommonCrawl /
+    C4 preprocessing step): lower-case, strip fragment, scheme and
+    leading ``www.``, drop tracking query parameters (``utm_*``,
+    ``fbclid``, ``gclid``, ``ref``), sort the surviving parameters,
+    and trim trailing slashes. Entirely row-local JVM expressions
+    (``regexp_*`` + higher-order array ops) — zero shuffle; every
+    regex is alternation-free so the DuckDB (RE2) oracle replays it
+    match-for-match."""
+    u = F.lower(F.trim(url))
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    path = F.regexp_replace(F.regexp_replace(u, r"\?.*$", ""), r"/+$", "")
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+
+    def _keep(p: Column) -> Column:
+        cond = p != F.lit("")
+        for pat in TRACKING_PARAM_PATTERNS:
+            cond = cond & ~p.rlike(pat)
+        return cond
+
+    params = F.array_sort(F.filter(F.split(query, "&"), _keep))
+    return F.when(
+        F.size(params) > 0, F.concat(path, F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(path)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, id_col: str = "doc_id", out: str = "canon_url"
+) -> DataFrame:
+    """URL-level dedup: one surviving row per canonical URL (min id),
+    with the copy count. Same shuffle discipline as ``exact_dedup``:
+    the groupBy key is the canonical-URL string (short), never the
+    document payload; at 100 TB swap the key for ``xxhash64(canon)``
+    to shuffle 8-byte keys instead."""
+    return (
+        df.withColumn(out, canonicalize_url(F.col(url_col)))
+        .groupBy(out)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
 def filter_by_domain(
     df: DataFrame,
     url_col: str,

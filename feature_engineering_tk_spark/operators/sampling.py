@@ -74,6 +74,39 @@ def group_split(
     return df.withColumn(out, _key_bucket([group_col], salt, hash_mode) < cut)
 
 
+def stratified_sample(
+    df: DataFrame,
+    keys: list[str],
+    strata_col: str,
+    fractions: dict,
+    default: float = 0.0,
+    salt: str = "strata-v1",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum hash sampling (the deterministic ``sampleBy``):
+    keep ~``fractions[stratum]`` of each stratum's rows, ``default``
+    for strata not listed. Like :func:`hash_sample`, membership is a
+    pure function of (key, salt) — stable across re-runs, partitioning
+    and engines — so per-language / per-source corpus rebalancing
+    (CCNet-style) is reproducible and backfill-safe. The per-stratum
+    cut is one nested CASE expression on the stratum column: a single
+    row-local JVM predicate, zero shuffle, evaluated inside the scan.
+
+    Reference analog: ``sample_data`` (data_preprocessing.py) draws a
+    global seeded fraction; this is the grouped form a mixture pipeline
+    needs.
+    """
+    for frac in list(fractions.values()) + [default]:
+        if not 0.0 <= float(frac) <= 1.0:
+            raise ValueError("every fraction must be in [0, 1]")
+    cut: Column = F.lit(int(round(float(default) * _BUCKETS)))
+    for val, frac in sorted(fractions.items()):
+        cut = F.when(
+            F.col(strata_col) == F.lit(val), F.lit(int(round(float(frac) * _BUCKETS)))
+        ).otherwise(cut)
+    return df.filter(_key_bucket(keys, salt, hash_mode) < cut)
+
+
 def weighted_mix(
     sources: list[tuple[DataFrame, float]],
     keys: list[str],

@@ -162,3 +162,45 @@ def test_filter_by_domain_list_and_df(spark):
     assert kept_df == kept
     with pytest.raises(ValueError):
         filter_by_domain(df, "url", bl_df)  # DataFrame blocklist needs id_col
+
+
+def test_canonicalize_url_rules(spark):
+    from feature_engineering_tk_spark.functions.cleaning import canonicalize_url
+
+    df = spark.createDataFrame(
+        [
+            (0, "HTTPS://www.Ex.COM/A/b/?utm_source=x&b=2&a=1#frag"),
+            (1, "http://ex.com/a/b?a=1&b=2"),
+            (2, "ex.com/a/b///"),
+            (3, "https://ex.com/?utm_campaign=c&fbclid=z&gclid=y&ref=tw"),
+            (4, "ftp://ex.com/file"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got[0] == "ex.com/a/b?a=1&b=2"   # lowered, www/frag/utm gone, params sorted
+    assert got[1] == "ex.com/a/b?a=1&b=2"   # scheme-insensitive: same canon as 0
+    assert got[2] == "ex.com/a/b"           # trailing slashes trimmed
+    assert got[3] == "ex.com"               # all-tracking query vanishes entirely
+    assert got[4] == "ex.com/file"          # any scheme stripped
+
+
+def test_url_dedup_collapses_variants(spark):
+    from feature_engineering_tk_spark.functions.cleaning import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (10, "https://ex.com/p"),
+            (11, "http://www.ex.com/p/"),
+            (12, "HTTPS://ex.com/p?utm_source=a"),
+            (13, "https://ex.com/p#top"),
+            (20, "https://ex.com/q"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["canon_url"]: r for r in url_dedup(df, "url").collect()}
+    assert got["ex.com/p"]["doc_id"] == 10 and got["ex.com/p"]["n_copies"] == 4
+    assert got["ex.com/q"]["doc_id"] == 20 and got["ex.com/q"]["n_copies"] == 1

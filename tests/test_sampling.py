@@ -64,3 +64,38 @@ def test_weighted_mix_tags_and_fractions(spark, ids):
     assert abs(counts[1] / 10_000 - 0.1) < 0.02
     # sources don't overlap and tags are faithful
     assert mixed.filter((F.col("mix_source") == 0) & (F.col("k") >= 10_000)).count() == 0
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    from feature_engineering_tk_spark.operators.sampling import stratified_sample
+
+    df = spark.range(4000).withColumn(
+        "lang",
+        F.when(F.col("id") % 3 == 0, F.lit("en"))
+        .when(F.col("id") % 3 == 1, F.lit("zh"))
+        .otherwise(F.lit("de")),
+    )
+    out = stratified_sample(df, ["id"], "lang", {"en": 0.5, "zh": 0.1}, default=0.0)
+    rates = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    n_per = 4000 / 3
+    assert abs(rates["en"] / n_per - 0.5) < 0.06
+    assert abs(rates.get("zh", 0) / n_per - 0.1) < 0.05
+    assert "de" not in rates  # default 0.0 drops unlisted strata
+    # pure function of (key, salt): identical set on re-run and repartition
+    again = stratified_sample(
+        df.repartition(7), ["id"], "lang", {"en": 0.5, "zh": 0.1}, default=0.0
+    )
+    assert sorted(r["id"] for r in again.collect()) == sorted(
+        r["id"] for r in out.collect()
+    )
+
+
+def test_stratified_sample_rejects_bad_fraction(spark):
+    from feature_engineering_tk_spark.operators.sampling import stratified_sample
+
+    df = spark.range(10).withColumn("s", F.lit("a"))
+    with pytest.raises(ValueError):
+        stratified_sample(df, ["id"], "s", {"a": 1.5})
