@@ -2113,6 +2113,25 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.py semantic_dedup): exact clones of
+    every 10th vector (re-id'd +100000) are injected; each clone lands
+    in its original's IVF cluster at cosine ~1.0 and must be dropped,
+    while no original pair reaches the 0.95 threshold (measured max
+    within-cluster cosine at this SF is 0.49) — so the expected output
+    is exactly the original table, an INDEPENDENT oracle rather than a
+    replay."""
+    from feature_engineering_tk_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(clones)
+    out = semantic_dedup(corpus, threshold=0.95)
+    return out.select("vec_id", "label")
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level dedup (functions/cleaning.py url_dedup): four messy
     variants of each logical page (scheme/www/tracking/fragment noise)
@@ -2243,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_filter": q_domain_filter,
         "stratified_sample": q_stratified_sample,
         "url_canonicalize": q_url_canonicalize,
+        "semantic_dedup": q_semantic_dedup,
         "url_dedup": q_url_dedup,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
@@ -3306,6 +3326,9 @@ def oracle_sql() -> dict[str, str]:
                         THEN path || '?' || array_to_string(params, '&')
                         ELSE path END AS canon_url
               FROM p
+        """,
+        "semantic_dedup": """
+            SELECT vec_id, label FROM embeddings
         """,
         "url_dedup": """
             SELECT source || '.example.com/page/' || CAST(doc_id % 5 AS VARCHAR) AS canon_url,

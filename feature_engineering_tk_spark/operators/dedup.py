@@ -511,3 +511,53 @@ def embedding_neardup_pairs(
             "cosine_sim",
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
+    semantic near-duplicate removal over an embedding column. Cluster
+    vectors (IVF coarse assignment — deterministic centroids here,
+    ``pyspark.ml.clustering.KMeans`` in production, identical plan),
+    then WITHIN each cluster drop every vector that has a more-senior
+    (smaller-id) neighbor at cosine ≥ ``threshold``. Keeps one
+    representative per epsilon-ball, the curriculum-quality dedup step
+    LLM corpora run after exact/MinHash dedup.
+
+    Scale shape: pairwise similarity is confined to same-cluster
+    pairs — the cross join never materializes globally. Cluster sizes
+    are bounded by construction at n/k on average; for web-scale runs
+    raise ``n_centroids`` (SemDeDup uses ~100k clusters at 5B docs) so
+    the per-cluster quadratic term stays tiny, and let AQE's skew
+    split handle any hot cluster. The anti join back to ``df`` carries
+    only ids — embeddings never shuffle twice.
+    """
+    from feature_engineering_tk_spark.functions.similarity import (
+        dot,
+        ivf_assign,
+        l2_norm,
+    )
+
+    assigned, _ = ivf_assign(df, vec_col, id_col, n_centroids)
+    a = assigned.select(
+        F.col("centroid_id"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col("centroid_id"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    sim = dot(F.col("_va"), F.col("_vb")) / (
+        l2_norm(F.col("_va")) * l2_norm(F.col("_vb"))
+    )
+    losers = (
+        a.join(b, "centroid_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(sim >= F.lit(float(threshold)))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")

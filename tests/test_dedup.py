@@ -271,3 +271,31 @@ def test_ngram_contamination_13gram_default(spark):
     got = {r["doc_id"]: r["contaminated"] for r in ngram_contamination(train, bench).collect()}
     assert got[1] is True      # identical text → 13-gram hit
     assert got[2] is False     # only 1 shared token, no shared 13-gram
+
+
+def test_semantic_dedup_drops_epsilon_ball_juniors(spark):
+    from feature_engineering_tk_spark.operators.dedup import semantic_dedup
+
+    # two tight semantic groups + one loner; the two smallest ids are
+    # the group exemplars (they become the IVF centroids), juniors
+    # cluster onto them and are dropped by their senior neighbor
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),   # ~0.9992 cosine to 0 -> dropped
+        (3, [0.03, 0.999, 0.0]),   # near 1 -> dropped
+        (4, [0.0, 0.0, 1.0]),      # loner survives
+        (5, [1.0, 0.0, 0.0]),      # exact clone of 0 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_centroids=2, threshold=0.98)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 1, 4]
+
+
+def test_semantic_dedup_below_threshold_keeps_all(spark):
+    from feature_engineering_tk_spark.operators.dedup import semantic_dedup
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_centroids=2, threshold=0.5)
+    assert out.count() == 4  # orthogonal vectors: nothing is a near-dup
