@@ -2047,6 +2047,24 @@ def q_chunk_docs(spark, sf_dir):
     return chunk_documents(docs, max_tokens=40, overlap=8)
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Corpus-trained add-1 bigram LM perplexity proxy (functions/
+    text.py bigram_lm_score) — CCNet-style document quality scoring
+    with the LM trained on the corpus itself: explode-once counts,
+    partial-aggregatable groupBys, shuffle hash join on the bigram
+    key, per-doc windowless aggregate. Empty docs keep a row."""
+    from feature_engineering_tk_spark.functions.text import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_lm_score(docs)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("logppl", 6).alias("logppl"),
+    )
+
+
 def q_domain_filter(spark, sf_dir):
     """Suffix-chain domain blocklist filter (functions/cleaning.py
     filter_by_domain): blocking 'srcN.example.com' must drop that
@@ -2259,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_bins": q_histogram_bins,
         "class_box_stats": q_class_box_stats,
         "chunk_docs": q_chunk_docs,
+        "bigram_lm": q_bigram_lm,
         "domain_filter": q_domain_filter,
         "stratified_sample": q_stratified_sample,
         "url_canonicalize": q_url_canonicalize,
@@ -3285,6 +3304,40 @@ def oracle_sql() -> dict[str, str]:
         "domain_filter": """
             SELECT doc_id, source FROM documents
              WHERE source NOT IN ('src1', 'src4')
+        """,
+        "bigram_lm": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_prepend('<s>', list_filter(
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> x <> '')) AS l
+                FROM documents
+            ), bg AS (
+              SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, len(l)),
+                               i -> {'w1': l[i], 'w2': l[i + 1]})) AS p
+                        FROM base)
+            ), c12 AS (
+              SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+            ), c1 AS (
+              SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+            ), v AS (
+              SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bg
+            ), model AS (
+              SELECT c12.w1, c12.w2,
+                     ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v)) AS logp
+                FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+            ), scored AS (
+              SELECT bg.doc_id, count(*) AS n_bigrams, avg(m.logp) AS avg_logprob
+                FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+               GROUP BY bg.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   round(s.avg_logprob, 6) AS avg_logprob,
+                   round(-s.avg_logprob, 6) AS logppl
+              FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "stratified_sample": """
             WITH h AS (

@@ -251,6 +251,85 @@ def pack_sequences(
     )
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Corpus-trained add-k-smoothed bigram language-model scoring — a
+    CCNet-style perplexity proxy (Wenzek et al. 2020 score docs with a
+    KenLM model; here the LM is trained on the corpus itself, so the
+    score ranks each document by how typical its word transitions are
+    for this corpus — low ``logppl`` = fluent/typical, high = noisy).
+
+    Model: tokens are the whitespace words of the lowercased text with
+    a ``<s>`` start symbol; ``P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k·V)``
+    where ``c(w1·)`` counts w1 as a bigram history and ``V`` is the
+    predicted-vocabulary size. Per doc: ``avg_logprob`` = mean ln-prob
+    over its bigrams, ``logppl = -avg_logprob``.
+
+    Scale shape: the corpus is tokenized exactly twice — once into the
+    partial-aggregatable bigram-count groupBy, once for scoring. The
+    history counts c(w1·) and the vocabulary size V are derived from
+    the (vocab²-bounded, sub-linear) bigram-count table, NOT from a
+    re-scan of the corpus: c(w1·) = Σ_w2 c(w1,w2) and V = |{w2}| are
+    identities on the counts. Scoring is a shuffle hash join on
+    (w1, w2) + one windowless per-doc groupBy; V is a 1-row aggregate
+    cross-joined broadcast. Nothing is collected; no global window.
+    Empty/NULL-text docs still appear in the output (n_bigrams=0,
+    NULL score) — silent drops hide corpus rows from downstream
+    audits.
+    """
+    toks = F.array_prepend(
+        F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+            lambda x: x != "",
+        ),
+        F.lit("<s>"),
+    )
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+    )
+    bg = df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = c12.agg(F.countDistinct("w2").cast("double").alias("_v"))
+    model = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.col("c12") + F.lit(add_k))
+                / (F.col("c1") + F.lit(add_k) * F.col("_v"))
+            ),
+        )
+        .select("w1", "w2", "logp")
+    )
+    scored = (
+        bg.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("logp").alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+            (-F.col("avg_logprob")).alias("logppl"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

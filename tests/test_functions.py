@@ -273,3 +273,34 @@ def test_knn_join_batch(spark):
     assert all(abs(r["cosine_sim"] - 1.0) < 1e-12 for r in top100)
     top200 = sorted(by_q[200], key=lambda r: r["rank"])
     assert [r["vec_id"] for r in top200] == [1, 3, 5]
+
+
+def test_bigram_lm_score_hand_model(spark):
+    """Tiny corpus with a hand-computed add-1 bigram model.
+
+    Corpus: "a b", "a b", "a c", plus a NULL-text doc.
+    Bigrams (with <s>): (<s>,a) x3, (a,b) x2, (a,c) x1.
+    Histories: c(<s>)=3, c(a)=3. Predicted vocab V = {a,b,c} = 3.
+    """
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "A  b "), (2, "a c"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.bigram_lm_score(df).collect()}
+    assert set(out) == {0, 1, 2, 3}  # null-text doc is never dropped
+    p_sa = (3 + 1) / (3 + 3)  # P(a|<s>)
+    p_ab = (2 + 1) / (3 + 3)  # P(b|a)
+    p_ac = (1 + 1) / (3 + 3)  # P(c|a)
+    exp_ab = (math.log(p_sa) + math.log(p_ab)) / 2
+    exp_ac = (math.log(p_sa) + math.log(p_ac)) / 2
+    assert out[0]["n_bigrams"] == 2
+    assert out[0]["avg_logprob"] == pytest.approx(exp_ab, rel=1e-12)
+    # case/whitespace normalization: doc 1 scores identically to doc 0
+    assert out[1]["avg_logprob"] == pytest.approx(exp_ab, rel=1e-12)
+    assert out[2]["avg_logprob"] == pytest.approx(exp_ac, rel=1e-12)
+    assert out[2]["logppl"] == pytest.approx(-exp_ac, rel=1e-12)
+    # noisier doc scores worse (higher perplexity proxy)
+    assert out[2]["logppl"] > out[0]["logppl"]
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] is None
