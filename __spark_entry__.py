@@ -2065,6 +2065,31 @@ def q_bigram_lm(spark, sf_dir):
     )
 
 
+def q_clean_lines(spark, sf_dir):
+    """C4-style line filter (functions/cleaning.py clean_lines):
+    line structure is synthesized deterministically from the flat
+    synthetic docs (short line, javascript line every 3rd doc, lorem
+    ipsum line every 7th, punct-less tail on odd ids) so every rule
+    fires. Row-local array exprs, zero shuffle."""
+    from feature_engineering_tk_spark.functions.cleaning import clean_lines
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.substring("text", 1, 40), F.lit(".\n"),
+            F.lit("too short\n"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("Enable javascript to view this page data.\n")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("lorem ipsum dolor sit amet filler here.\n")).otherwise(F.lit("")),
+            F.substring("text", 41, 60),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    out = clean_lines(docs)
+    return out.select("doc_id", "clean_text", "n_lines", "n_lines_kept", "page_drop")
+
+
 def q_domain_filter(spark, sf_dir):
     """Suffix-chain domain blocklist filter (functions/cleaning.py
     filter_by_domain): blocking 'srcN.example.com' must drop that
@@ -2278,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_box_stats": q_class_box_stats,
         "chunk_docs": q_chunk_docs,
         "bigram_lm": q_bigram_lm,
+        "clean_lines": q_clean_lines,
         "domain_filter": q_domain_filter,
         "stratified_sample": q_stratified_sample,
         "url_canonicalize": q_url_canonicalize,
@@ -3304,6 +3330,35 @@ def oracle_sql() -> dict[str, str]:
         "domain_filter": """
             SELECT doc_id, source FROM documents
              WHERE source NOT IN ('src1', 'src4')
+        """,
+        "clean_lines": """
+            WITH t AS (
+              SELECT doc_id,
+                     substr(text, 1, 40) || '.' || chr(10) ||
+                     'too short' || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'Enable javascript to view this page data.' || chr(10)
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 7 = 0
+                          THEN 'lorem ipsum dolor sit amet filler here.' || chr(10)
+                          ELSE '' END ||
+                     substr(text, 41, 60) ||
+                     CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END AS t2
+                FROM documents
+            ), k AS (
+              SELECT doc_id, t2, string_split(t2, chr(10)) AS lines,
+                     list_filter(string_split(t2, chr(10)),
+                       x -> len(string_split_regex(trim(x), '\\s+')) >= 5
+                            AND regexp_matches(trim(x), '[.!?"]$')
+                            AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+                FROM t
+            )
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS clean_text,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   (contains(t2, '{') OR contains(lower(t2), 'lorem ipsum')) AS page_drop
+              FROM k
         """,
         "bigram_lm": """
             WITH base AS (

@@ -76,6 +76,53 @@ def repetition_features(
     return out.join(df.select(F.col(id_col), dup_line.alias("dup_line_frac")), id_col)
 
 
+def clean_lines(
+    df: DataFrame,
+    column: str = "text",
+    min_words: int = 5,
+    require_terminal_punct: bool = True,
+    drop_line_words: tuple[str, ...] = ("javascript",),
+    out: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep
+    only lines that end in terminal punctuation (``.!?"``), have at
+    least ``min_words`` whitespace words, and don't contain any of
+    ``drop_line_words`` (case-insensitive); rejoin survivors with
+    newlines. Also emits the C4 page-level drop signals — a curly
+    brace (code) or 'lorem ipsum' anywhere in the doc — as a flag
+    rather than silently dropping rows, plus per-doc line counts for
+    audit.
+
+    Scale: entirely row-local JVM higher-order array expressions
+    (split → filter → array_join) inside whole-stage codegen — zero
+    shuffle, zero Python; the line regexes are alternation-free so
+    Java regex and RE2 agree. NULL text is treated as '' and the row
+    kept.
+    """
+    c = F.coalesce(F.col(column), F.lit(""))
+    lines = F.split(c, "\n")
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        cond = F.size(F.split(t, r"\s+")) >= F.lit(min_words)
+        if require_terminal_punct:
+            cond = cond & t.rlike('[.!?"]$')
+        low = F.lower(t)
+        for w in drop_line_words:
+            cond = cond & ~low.contains(w.lower())
+        return cond
+
+    kept = F.filter(lines, _keep)
+    return df.withColumns(
+        {
+            out: F.array_join(kept, "\n"),
+            "n_lines": F.size(lines).cast("bigint"),
+            "n_lines_kept": F.size(kept).cast("bigint"),
+            "page_drop": c.contains("{") | F.lower(c).contains("lorem ipsum"),
+        }
+    )
+
+
 def extract_domain(url: Column) -> Column:
     """Registrable host from a URL-ish string, lower-cased: strips
     scheme, userinfo, port, path/query/fragment. Pure JVM

@@ -204,3 +204,32 @@ def test_url_dedup_collapses_variants(spark):
     got = {r["canon_url"]: r for r in url_dedup(df, "url").collect()}
     assert got["ex.com/p"]["doc_id"] == 10 and got["ex.com/p"]["n_copies"] == 4
     assert got["ex.com/q"]["doc_id"] == 20 and got["ex.com/q"]["n_copies"] == 1
+
+
+def test_clean_lines_c4_rules(spark):
+    from feature_engineering_tk_spark.functions.cleaning import clean_lines
+
+    df = spark.createDataFrame(
+        [
+            (0, "This line has plenty of words and punctuation.\nshort.\n"
+                "no terminal punctuation on this long line here\n"
+                "Please enable JavaScript to continue viewing this.\n"
+                'He said "it ends with a quote character."'),
+            (1, "function() { return 1; } code page with words here."),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in clean_lines(df).collect()}
+    kept0 = out[0]["clean_text"].split("\n")
+    assert kept0 == [
+        "This line has plenty of words and punctuation.",
+        'He said "it ends with a quote character."',
+    ]
+    assert out[0]["n_lines"] == 5 and out[0]["n_lines_kept"] == 2
+    assert out[0]["page_drop"] is False
+    # curly brace flags the page but the row is never dropped
+    assert out[1]["page_drop"] is True and out[1]["n_lines_kept"] == 1
+    # NULL text → empty, kept, no flag
+    assert out[2]["clean_text"] == "" and out[2]["n_lines_kept"] == 0
+    assert out[2]["page_drop"] is False
