@@ -2090,6 +2090,42 @@ def q_clean_lines(spark, sf_dir):
     return out.select("doc_id", "clean_text", "n_lines", "n_lines_kept", "page_drop")
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText composite quality rules (functions/
+    cleaning.py gopher_rules): bullets, ellipsis teasers, and markup
+    lines are synthesized per doc_id residue so every rule fires;
+    a stopword tail keeps the stopword gate varied only by the doc
+    body. Row-local JVM exprs, zero shuffle."""
+    from feature_engineering_tk_spark.functions.cleaning import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("- bullet item one\n- bullet item two\n")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("trailing teaser goes on...\n")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.lit("### ## # markup heavy line\n")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("the words have to be of use and that with end here")).otherwise(F.lit("")),
+        ),
+    )
+    out = gopher_rules(docs, min_words=20)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "stopword_hits",
+        "gopher_pass",
+    )
+
+
 def q_domain_filter(spark, sf_dir):
     """Suffix-chain domain blocklist filter (functions/cleaning.py
     filter_by_domain): blocking 'srcN.example.com' must drop that
@@ -2304,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "bigram_lm": q_bigram_lm,
         "clean_lines": q_clean_lines,
+        "gopher_rules": q_gopher_rules,
         "domain_filter": q_domain_filter,
         "stratified_sample": q_stratified_sample,
         "url_canonicalize": q_url_canonicalize,
@@ -3330,6 +3367,67 @@ def oracle_sql() -> dict[str, str]:
         "domain_filter": """
             SELECT doc_id, source FROM documents
              WHERE source NOT IN ('src1', 'src4')
+        """,
+        "gopher_rules": """
+            WITH t AS (
+              SELECT doc_id,
+                     text || chr(10) ||
+                     CASE WHEN doc_id % 4 = 0
+                          THEN '- bullet item one' || chr(10) || '- bullet item two' || chr(10)
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 5 = 0
+                          THEN 'trailing teaser goes on...' || chr(10) ELSE '' END ||
+                     CASE WHEN doc_id % 6 = 0
+                          THEN '### ## # markup heavy line' || chr(10) ELSE '' END ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'the words have to be of use and that with end here'
+                          ELSE '' END AS t2
+                FROM documents
+            ), w AS (
+              SELECT doc_id, t2,
+                     list_filter(string_split_regex(trim(t2), '\\s+'), x -> x <> '') AS words,
+                     list_filter(list_transform(string_split(t2, chr(10)), l -> trim(l)),
+                                 l -> l <> '') AS lines
+                FROM t
+            ), s AS (
+              SELECT doc_id, t2, words, lines,
+                     len(words) AS n_words,
+                     greatest(len(words), 1) AS nw,
+                     greatest(len(lines), 1) AS nl,
+                     CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+                         / greatest(len(words), 1) AS mean_word_len,
+                     (len(t2) - len(replace(t2, '#', ''))
+                      + (len(t2) - len(replace(t2, '...', ''))) / 3)
+                         / greatest(len(words), 1) AS symbol_ratio,
+                     CAST(len(list_filter(lines, l -> starts_with(l, '-')
+                              OR starts_with(l, '*') OR starts_with(l, '•'))) AS DOUBLE)
+                         / greatest(len(lines), 1) AS bullet_line_frac,
+                     CAST(len(list_filter(lines, l -> ends_with(l, '...')
+                              OR ends_with(l, '…'))) AS DOUBLE)
+                         / greatest(len(lines), 1) AS ellipsis_line_frac,
+                     CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                         / greatest(len(words), 1) AS alpha_word_frac,
+                     len(list_intersect(list_transform(words, x -> lower(x)),
+                         ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                         AS stopword_hits
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(bullet_line_frac, 6) AS bullet_line_frac,
+                   round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+                   round(alpha_word_frac, 6) AS alpha_word_frac,
+                   CAST(stopword_hits AS BIGINT) AS stopword_hits,
+                   (n_words >= 20 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND stopword_hits >= 2) AS gopher_pass
+              FROM s
         """,
         "clean_lines": """
             WITH t AS (

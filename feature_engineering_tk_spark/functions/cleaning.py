@@ -123,6 +123,95 @@ def clean_lines(
     )
 
 
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    column: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, MassiveText
+    §A1.1): per-doc signal columns plus one composite ``gopher_pass``
+    flag. Rules: word count in [min,max]; mean word length in [3,10];
+    symbol-to-word ratio ('#' and '...') ≤ 0.1; ≤90% of lines start
+    with a bullet; ≤30% end with an ellipsis; ≥80% of words contain an
+    alphabetic character; at least 2 of the 8 required English
+    function words appear.
+
+    Scale: entirely row-local JVM array/string expressions in
+    whole-stage codegen — zero shuffle, zero Python, no regex
+    alternation (RE2/Java parity). Flags, not drops: filtering is the
+    caller's one extra ``.filter``, so audits see every row.
+    """
+    c = F.coalesce(F.col(column), F.lit(""))
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wlen = (
+        F.aggregate(words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
+        .cast("double") / n_words_d
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell).cast("double") / n_words_d
+    lines = F.filter(F.transform(F.split(c, "\n"), F.trim), lambda l: l != "")
+    n_lines_d = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+            )
+        ).cast("double") / n_lines_d
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+        ).cast("double") / n_lines_d
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double") / n_words_d
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    )
+    out = df.withColumns(
+        {
+            "n_words": n_words.cast("bigint"),
+            "mean_word_len": mean_wlen,
+            "symbol_ratio": symbol_ratio,
+            "bullet_line_frac": bullet_frac,
+            "ellipsis_line_frac": ellipsis_frac,
+            "alpha_word_frac": alpha_frac,
+            "stopword_hits": stop_hits.cast("bigint"),
+        }
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits),
+    )
+
+
 def extract_domain(url: Column) -> Column:
     """Registrable host from a URL-ish string, lower-cased: strips
     scheme, userinfo, port, path/query/fragment. Pure JVM

@@ -233,3 +233,29 @@ def test_clean_lines_c4_rules(spark):
     # NULL text → empty, kept, no flag
     assert out[2]["clean_text"] == "" and out[2]["n_lines_kept"] == 0
     assert out[2]["page_drop"] is False
+
+
+def test_gopher_rules_signals(spark):
+    from feature_engineering_tk_spark.functions.cleaning import gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and then it ran off "
+            "to be with all of that pack which have fun with life") # 26 words, all rules pass
+    df = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "- a\n- b\n- c\n* d"),                   # all bullet lines, too short
+            (2, "read more...\nclick here...\nok."),     # 2/3 ellipsis lines
+            (3, "# ## ### #### " + good),                # symbol heavy
+            (4, "12 34 56 78 90 " * 10),                 # no alpha words, no stopwords
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, min_words=10).collect()}
+    assert out[0]["gopher_pass"] is True
+    assert out[0]["stopword_hits"] >= 2 and out[0]["alpha_word_frac"] == 1.0
+    assert out[1]["bullet_line_frac"] == 1.0 and out[1]["gopher_pass"] is False
+    assert out[2]["ellipsis_line_frac"] == pytest.approx(2 / 3)
+    assert out[3]["symbol_ratio"] > 0.1 and out[3]["gopher_pass"] is False
+    assert out[4]["alpha_word_frac"] == 0.0 and out[4]["stopword_hits"] == 0
+    assert out[5]["n_words"] == 0 and out[5]["gopher_pass"] is False
