@@ -2126,6 +2126,21 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+def q_importance_weights(spark, sf_dir):
+    """DSIR importance weights (functions/text.py importance_weights):
+    target = the 'en' slice of the corpus, raw = everything; hashed
+    512-bucket bigram models on both sides, broadcast-joined scoring
+    (the corpus never shuffles), md5 hash mode for oracle replay."""
+    from feature_engineering_tk_spark.functions.text import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("lang") == "en")
+    out = importance_weights(docs, tgt, n_buckets=512, hash_mode="md5")
+    return out.select(
+        "doc_id", "n_features", F.round("avg_logratio", 6).alias("avg_logratio")
+    )
+
+
 def q_domain_filter(spark, sf_dir):
     """Suffix-chain domain blocklist filter (functions/cleaning.py
     filter_by_domain): blocking 'srcN.example.com' must drop that
@@ -2341,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "clean_lines": q_clean_lines,
         "gopher_rules": q_gopher_rules,
+        "importance_weights": q_importance_weights,
         "domain_filter": q_domain_filter,
         "stratified_sample": q_stratified_sample,
         "url_canonicalize": q_url_canonicalize,
@@ -3367,6 +3383,46 @@ def oracle_sql() -> dict[str, str]:
         "domain_filter": """
             SELECT doc_id, source FROM documents
              WHERE source NOT IN ('src1', 'src4')
+        """,
+        "importance_weights": """
+            WITH base AS (
+              SELECT doc_id, lang,
+                     list_prepend('<s>', list_filter(
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> x <> '')) AS l
+                FROM documents
+            ), bg AS (
+              SELECT doc_id, lang,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(p.w1 || chr(31) || p.w2), 1, 15), ''),
+                         c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (acc, x) -> acc * 16 + x) % 512 AS bucket
+                FROM (SELECT doc_id, lang,
+                             unnest(list_transform(range(1, len(l)),
+                               i -> {'w1': l[i], 'w2': l[i + 1]})) AS p
+                        FROM base)
+            ), rc AS (
+              SELECT bucket, count(*) AS c_raw FROM bg GROUP BY bucket
+            ), tc AS (
+              SELECT bucket, count(*) AS c_tgt FROM bg WHERE lang = 'en' GROUP BY bucket
+            ), rt AS (
+              SELECT CAST(count(*) AS DOUBLE) AS t_raw FROM bg
+            ), tt AS (
+              SELECT CAST(count(*) AS DOUBLE) AS t_tgt FROM bg WHERE lang = 'en'
+            ), model AS (
+              SELECT rc.bucket,
+                     ln((coalesce(tc.c_tgt, 0) + 1.0) / (tt.t_tgt + 512.0))
+                     - ln((rc.c_raw + 1.0) / (rt.t_raw + 512.0)) AS logratio
+                FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN rt CROSS JOIN tt
+            ), scored AS (
+              SELECT bg.doc_id, count(*) AS n_features, avg(m.logratio) AS avg_logratio
+                FROM bg JOIN model m USING (bucket)
+               GROUP BY bg.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_features, 0) AS n_features,
+                   round(s.avg_logratio, 6) AS avg_logratio
+              FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "gopher_rules": """
             WITH t AS (

@@ -330,6 +330,108 @@ def bigram_lm_score(
     )
 
 
+def _hashed_bigram_stream(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int, hash_mode: str
+) -> DataFrame:
+    """(id, bucket) stream of hashed bigram features — the DSIR
+    feature space: every bigram (with a ``<s>`` start symbol) hashes
+    into one of ``n_buckets`` buckets, so both corpora share one
+    bounded categorical feature space regardless of vocabulary."""
+    from feature_engineering_tk_spark.operators.dedup import _token_hash
+
+    toks = F.array_prepend(
+        F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+            lambda x: x != "",
+        ),
+        F.lit("<s>"),
+    )
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+    )
+    return df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        id_col,
+        F.pmod(
+            _token_hash(
+                F.concat(F.col("_p.w1"), F.lit("\x1f"), F.col("_p.w2")), hash_mode
+            ),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+
+
+def importance_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    add_k: float = 1.0,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-bigram features are
+    under a model of the *target* corpus than under a model of the
+    raw corpus — ``avg_logratio`` = mean over the doc's features of
+    ``ln p_target(b) − ln p_raw(b)`` with add-k smoothed bucket
+    categoricals. High = looks like the target; select top-weight
+    docs (or Gumbel-resample on the weights) to build the mixture.
+
+    Scale shape: both corpora explode once into (id, bucket) streams;
+    each model is a ``groupBy(bucket)`` bounded by ``n_buckets`` rows
+    — broadcast-sized by construction, so scoring the raw corpus is a
+    broadcast hash join (no shuffle of the corpus) plus one
+    windowless per-doc groupBy. Totals are 1-row aggregates. Raw docs
+    with no features keep a row (NULL weight). ``hash_mode='md5'``
+    swaps xxhash64 for the cross-engine md5 fold so the oracle gate
+    can replay value-for-value.
+    """
+    raw_bg = _hashed_bigram_stream(raw_df, text_col, id_col, n_buckets, hash_mode)
+    tgt_bg = _hashed_bigram_stream(target_df, text_col, id_col, n_buckets, hash_mode)
+    raw_counts = raw_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_counts = tgt_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    raw_tot = raw_bg.agg(F.count(F.lit(1)).cast("double").alias("_t_raw"))
+    tgt_tot = tgt_bg.agg(F.count(F.lit(1)).cast("double").alias("_t_tgt"))
+    b = float(n_buckets)
+    model = (
+        raw_counts.join(tgt_counts, "bucket", "full")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("c_tgt", F.lit(0)) + F.lit(add_k))
+                    / (F.col("_t_tgt") + F.lit(add_k * b))
+                )
+                - F.log(
+                    (F.coalesce("c_raw", F.lit(0)) + F.lit(add_k))
+                    / (F.col("_t_raw") + F.lit(add_k * b))
+                )
+            ).alias("logratio"),
+        )
+    )
+    scored = (
+        raw_bg.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.avg("logratio").alias("avg_logratio"),
+        )
+    )
+    return (
+        raw_df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            "avg_logratio",
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -304,3 +304,34 @@ def test_bigram_lm_score_hand_model(spark):
     # noisier doc scores worse (higher perplexity proxy)
     assert out[2]["logppl"] > out[0]["logppl"]
     assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] is None
+
+
+def test_importance_weights_rank_target_like_docs(spark):
+    """DSIR sanity: docs that look like the target corpus get higher
+    importance weights than off-target docs."""
+    raw = spark.createDataFrame(
+        [(i, "the cat sat on the mat and purred softly") for i in range(5)]
+        + [(i + 10, "stock prices fell sharply amid rate fears") for i in range(5)]
+        + [(99, None)],
+        "doc_id long, text string",
+    )
+    target = raw.filter("doc_id < 5")
+    out = {r["doc_id"]: r for r in TX.importance_weights(raw, target, n_buckets=256).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 10, 11, 12, 13, 14, 99}
+    cat_w = out[0]["avg_logratio"]
+    fin_w = out[10]["avg_logratio"]
+    assert cat_w > fin_w  # target-like docs rank higher
+    # identical docs score identically
+    assert out[1]["avg_logratio"] == cat_w and out[11]["avg_logratio"] == fin_w
+    # null-text doc keeps a row with no features
+    assert out[99]["n_features"] == 0 and out[99]["avg_logratio"] is None
+    # md5 hash mode yields the same ordering (cross-engine path)
+    out2 = {r["doc_id"]: r for r in
+            TX.importance_weights(raw, target, n_buckets=256, hash_mode="md5").collect()}
+    assert out2[0]["avg_logratio"] > out2[10]["avg_logratio"]
+
+
+def test_bigram_lm_null_and_empty(spark):
+    df = spark.createDataFrame([(0, ""), (1, "   ")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.bigram_lm_score(df).collect()}
+    assert out[0]["n_bigrams"] == 0 and out[1]["n_bigrams"] == 0
