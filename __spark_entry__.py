@@ -2126,6 +2126,24 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity buckets (functions/text.py
+    ccnet_buckets): bigram-LM scores cut at exact distributed
+    terciles (range-partition sort-select, never a single-reducer
+    percentile) → row-local CASE labels."""
+    from feature_engineering_tk_spark.functions.text import ccnet_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ccnet_buckets(docs)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("logppl", 6).alias("logppl"),
+        "ppl_bucket",
+    )
+
+
 def q_importance_weights(spark, sf_dir):
     """DSIR importance weights (functions/text.py importance_weights):
     target = the 'en' slice of the corpus, raw = everything; hashed
@@ -2357,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_lines": q_clean_lines,
         "gopher_rules": q_gopher_rules,
         "importance_weights": q_importance_weights,
+        "ccnet_buckets": q_ccnet_buckets,
         "domain_filter": q_domain_filter,
         "stratified_sample": q_stratified_sample,
         "url_canonicalize": q_url_canonicalize,
@@ -3017,6 +3036,46 @@ def _generated_oracles() -> dict[str, str]:
     }
 
 
+# Shared CTE: corpus-trained add-1 bigram LM per-doc scores (the
+# DuckDB replay of functions/text.py bigram_lm_score) — used by both
+# the bigram_lm and ccnet_buckets oracles.
+_BIGRAM_SCORED_CTE = """
+    WITH base AS (
+      SELECT doc_id,
+             list_prepend('<s>', list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS l
+        FROM documents
+    ), bg AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(l)),
+                       i -> {'w1': l[i], 'w2': l[i + 1]})) AS p
+                FROM base)
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1
+    ), v AS (
+      SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM c12
+    ), model AS (
+      SELECT c12.w1, c12.w2,
+             ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v)) AS logp
+        FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    ), scored AS (
+      SELECT bg.doc_id, count(*) AS n_bigrams, avg(m.logp) AS avg_logprob
+        FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+       GROUP BY bg.doc_id
+    ), fullset AS (
+      SELECT d.doc_id,
+             coalesce(s.n_bigrams, 0) AS n_bigrams,
+             s.avg_logprob,
+             -s.avg_logprob AS logppl
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _generated_oracles()
     d_static = {
@@ -3514,39 +3573,26 @@ def oracle_sql() -> dict[str, str]:
                    (contains(t2, '{') OR contains(lower(t2), 'lorem ipsum')) AS page_drop
               FROM k
         """,
-        "bigram_lm": """
-            WITH base AS (
-              SELECT doc_id,
-                     list_prepend('<s>', list_filter(
-                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-                       x -> x <> '')) AS l
-                FROM documents
-            ), bg AS (
-              SELECT doc_id, p.w1 AS w1, p.w2 AS w2
-                FROM (SELECT doc_id,
-                             unnest(list_transform(range(1, len(l)),
-                               i -> {'w1': l[i], 'w2': l[i + 1]})) AS p
-                        FROM base)
-            ), c12 AS (
-              SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
-            ), c1 AS (
-              SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
-            ), v AS (
-              SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bg
-            ), model AS (
-              SELECT c12.w1, c12.w2,
-                     ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v)) AS logp
-                FROM c12 JOIN c1 USING (w1) CROSS JOIN v
-            ), scored AS (
-              SELECT bg.doc_id, count(*) AS n_bigrams, avg(m.logp) AS avg_logprob
-                FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
-               GROUP BY bg.doc_id
+        "bigram_lm": _BIGRAM_SCORED_CTE + """
+            SELECT doc_id, n_bigrams,
+                   round(avg_logprob, 6) AS avg_logprob,
+                   round(logppl, 6) AS logppl
+              FROM fullset
+        """,
+        "ccnet_buckets": _BIGRAM_SCORED_CTE + """,
+            q AS (
+              SELECT quantile_cont(logppl, 1.0 / 3) AS lo,
+                     quantile_cont(logppl, 2.0 / 3) AS hi
+                FROM fullset
             )
-            SELECT d.doc_id,
-                   coalesce(s.n_bigrams, 0) AS n_bigrams,
-                   round(s.avg_logprob, 6) AS avg_logprob,
-                   round(-s.avg_logprob, 6) AS logppl
-              FROM documents d LEFT JOIN scored s USING (doc_id)
+            SELECT f.doc_id, f.n_bigrams,
+                   round(f.avg_logprob, 6) AS avg_logprob,
+                   round(f.logppl, 6) AS logppl,
+                   CASE WHEN f.logppl IS NULL THEN NULL
+                        WHEN f.logppl <= q.lo THEN 'head'
+                        WHEN f.logppl <= q.hi THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+              FROM fullset f CROSS JOIN q
         """,
         "stratified_sample": """
             WITH h AS (

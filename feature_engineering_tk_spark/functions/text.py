@@ -432,6 +432,39 @@ def importance_weights(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet head/middle/tail selection (Wenzek et al. 2020 §3.3):
+    score every doc with the corpus-trained bigram LM
+    (:func:`bigram_lm_score`), cut the ``logppl`` distribution at the
+    given quantiles (exact, distributed sort-select — see
+    ``operators/quantiles.py``), and label docs ``head`` (most fluent
+    third), ``middle``, ``tail``. Docs with no bigrams get a NULL
+    bucket — they were never scored, and hiding that would corrupt
+    downstream mixture ratios.
+
+    Scale shape: scoring is the 2-scan bigram plan; the cutpoints are
+    2 driver floats from the range-partitioned exact-quantile pass
+    (never a global single-reducer sort); labeling is one row-local
+    CASE. Nothing corpus-sized is collected.
+    """
+    from feature_engineering_tk_spark.operators.quantiles import exact_quantiles
+
+    scored = bigram_lm_score(df, text_col=text_col, id_col=id_col)
+    lo, hi = exact_quantiles(scored, "logppl", list(probs))
+    bucket = (
+        F.when(F.col("logppl").isNull(), F.lit(None).cast("string"))
+        .when(F.col("logppl") <= F.lit(lo), F.lit("head"))
+        .when(F.col("logppl") <= F.lit(hi), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn("ppl_bucket", bucket)
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

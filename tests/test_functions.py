@@ -335,3 +335,17 @@ def test_bigram_lm_null_and_empty(spark):
     df = spark.createDataFrame([(0, ""), (1, "   ")], "doc_id long, text string")
     out = {r["doc_id"]: r for r in TX.bigram_lm_score(df).collect()}
     assert out[0]["n_bigrams"] == 0 and out[1]["n_bigrams"] == 0
+
+
+def test_ccnet_buckets_terciles(spark):
+    rep = lambda s, k: " ".join([s] * k)  # noqa: E731
+    df = spark.createDataFrame(
+        [(i, rep("the cat sat", 4)) for i in range(6)]          # typical → head
+        + [(i + 10, rep("zig zag flux", 2)) for i in range(3)]  # rare → tail
+        + [(99, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.ccnet_buckets(df).collect()}
+    assert all(out[i]["ppl_bucket"] == "head" for i in range(6))
+    assert all(out[i + 10]["ppl_bucket"] == "tail" for i in range(3))
+    assert out[99]["ppl_bucket"] is None  # unscored, never silently dropped
