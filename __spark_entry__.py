@@ -3581,16 +3581,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ccnet_buckets": _BIGRAM_SCORED_CTE + """,
             q AS (
-              SELECT quantile_cont(logppl, 1.0 / 3) AS lo,
-                     quantile_cont(logppl, 2.0 / 3) AS hi
+              SELECT quantile_cont(round(logppl, 9), 1.0 / 3) AS lo,
+                     quantile_cont(round(logppl, 9), 2.0 / 3) AS hi
                 FROM fullset
             )
             SELECT f.doc_id, f.n_bigrams,
                    round(f.avg_logprob, 6) AS avg_logprob,
                    round(f.logppl, 6) AS logppl,
                    CASE WHEN f.logppl IS NULL THEN NULL
-                        WHEN f.logppl <= q.lo THEN 'head'
-                        WHEN f.logppl <= q.hi THEN 'middle'
+                        WHEN round(f.logppl, 9) <= q.lo THEN 'head'
+                        WHEN round(f.logppl, 9) <= q.hi THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
               FROM fullset f CROSS JOIN q
         """,

@@ -295,7 +295,13 @@ def bigram_lm_score(
     bg = df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
         id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
     )
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # The count table is vocab²-bounded (sub-linear in the corpus) and
+    # feeds THREE consumers (model, history sums, vocab size). Catalyst
+    # does not dedupe common subtrees — without persist() each consumer
+    # would re-tokenize the whole corpus. Persisting pins tokenization
+    # at exactly 2 corpus passes: one into this groupBy, one for
+    # scoring. MEMORY_AND_DISK + LRU keeps long sessions safe.
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = c12.agg(F.countDistinct("w2").cast("double").alias("_v"))
     model = (
@@ -390,13 +396,29 @@ def importance_weights(
     """
     raw_bg = _hashed_bigram_stream(raw_df, text_col, id_col, n_buckets, hash_mode)
     tgt_bg = _hashed_bigram_stream(target_df, text_col, id_col, n_buckets, hash_mode)
-    raw_counts = raw_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
-    tgt_counts = tgt_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
-    raw_tot = raw_bg.agg(F.count(F.lit(1)).cast("double").alias("_t_raw"))
-    tgt_tot = tgt_bg.agg(F.count(F.lit(1)).cast("double").alias("_t_tgt"))
+    # Each count table is ≤ n_buckets rows yet feeds two consumers (the
+    # model and its own total — Σc equals the corpus feature count, so
+    # no separate corpus-wide count pass); persist() pins each corpus
+    # at one tokenization for counting (+ one raw pass for scoring).
+    raw_counts = (
+        raw_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw")).persist()
+    )
+    tgt_counts = (
+        tgt_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt")).persist()
+    )
+    raw_tot = raw_counts.agg(
+        F.coalesce(F.sum("c_raw"), F.lit(0)).cast("double").alias("_t_raw")
+    )
+    tgt_tot = tgt_counts.agg(
+        F.coalesce(F.sum("c_tgt"), F.lit(0)).cast("double").alias("_t_tgt")
+    )
     b = float(n_buckets)
+    # Scoring only needs buckets that occur in the raw stream — all of
+    # them are in raw_counts, so a broadcast LEFT join (tgt side ≤
+    # n_buckets rows) replaces the unbroadcastable full-outer and keeps
+    # the whole model build shuffle-free.
     model = (
-        raw_counts.join(tgt_counts, "bucket", "full")
+        raw_counts.join(F.broadcast(tgt_counts), "bucket", "left")
         .crossJoin(F.broadcast(raw_tot))
         .crossJoin(F.broadcast(tgt_tot))
         .select(
@@ -455,14 +477,21 @@ def ccnet_buckets(
     from feature_engineering_tk_spark.operators.quantiles import exact_quantiles
 
     scored = bigram_lm_score(df, text_col=text_col, id_col=id_col)
-    lo, hi = exact_quantiles(scored, "logppl", list(probs))
+    # Cut and label on round(logppl, 9): re-executing the scoring plan
+    # under a different Catalyst plan shape can move avg() by 1 ulp
+    # (partial-sum fusion), and an ulp of drift between the quantile
+    # pass and the labeling pass would flip bucket labels on tied
+    # scores. Rounding to 1e-9 absorbs ulp noise while leaving the
+    # CCNet cut semantics untouched.
+    scored = scored.withColumn("_lp_r", F.round("logppl", 9))
+    lo, hi = exact_quantiles(scored, "_lp_r", list(probs))
     bucket = (
-        F.when(F.col("logppl").isNull(), F.lit(None).cast("string"))
-        .when(F.col("logppl") <= F.lit(lo), F.lit("head"))
-        .when(F.col("logppl") <= F.lit(hi), F.lit("middle"))
+        F.when(F.col("_lp_r").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_lp_r") <= F.lit(lo), F.lit("head"))
+        .when(F.col("_lp_r") <= F.lit(hi), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return scored.withColumn("ppl_bucket", bucket)
+    return scored.withColumn("ppl_bucket", bucket).drop("_lp_r")
 
 
 def chunk_documents(

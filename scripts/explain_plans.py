@@ -159,6 +159,38 @@ def main() -> None:
         )
     )
 
+    # 9. DSIR scoring: both LM model tables must broadcast (bounded by
+    # n_buckets), so the raw corpus is never shuffled for scoring
+    from feature_engineering_tk_spark.functions.text import bigram_lm_score, importance_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(
+        importance_weights(docs, docs.filter(F.col("lang") == "en"), n_buckets=512)
+    )
+    n_smj = len(set(re.findall(r"SortMergeJoin[^(\n]*\((\d+)\)", p)))
+    sections.append(
+        (
+            "DSIR importance weights (broadcast LM models)",
+            p,
+            [
+                f"model_broadcast={'BroadcastHashJoin' in p}",
+                f"corpus_scoring_sort_merge_joins≤1 (only the audit join-back): {n_smj <= 1}",
+            ],
+        )
+    )
+
+    # 10. bigram LM: corpus tokenized exactly twice (two Generate nodes
+    # over the parquet scan), history/vocab derived from the count table
+    p = plan_of(bigram_lm_score(docs))
+    n_gen = len(set(re.findall(r"Generate[^(\n]*\((\d+)\)", p)))
+    sections.append(
+        (
+            "bigram LM scoring (2-scan tokenize)",
+            p,
+            [f"generate_nodes={n_gen} (want 2 — counts pass + scoring pass)"],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
