@@ -2159,6 +2159,27 @@ def q_importance_weights(spark, sf_dir):
     )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Cross-document exact paragraph dedup (operators/dedup.py
+    dedup_paragraphs): a boilerplate paragraph injected into EVERY doc
+    must survive only in doc 0; short 'ok' lines are kept verbatim
+    everywhere; body paragraphs dedup by global (doc_id, pos)
+    first-occurrence. 8-byte-key shuffle + min-struct winners."""
+    from feature_engineering_tk_spark.operators.dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("Subscribe to our newsletter for updates.\n"),
+            F.substring("text", 1, 50), F.lit("\n"),
+            F.lit("ok\n"),
+            F.substring("text", 51, 40),
+        ),
+    )
+    out = dedup_paragraphs(docs)
+    return out.select("doc_id", "clean_text", "n_paras", "n_paras_kept")
+
+
 def q_domain_filter(spark, sf_dir):
     """Suffix-chain domain blocklist filter (functions/cleaning.py
     filter_by_domain): blocking 'srcN.example.com' must drop that
@@ -2376,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "importance_weights": q_importance_weights,
         "ccnet_buckets": q_ccnet_buckets,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "domain_filter": q_domain_filter,
         "stratified_sample": q_stratified_sample,
         "url_canonicalize": q_url_canonicalize,
@@ -3482,6 +3504,37 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.n_features, 0) AS n_features,
                    round(s.avg_logratio, 6) AS avg_logratio
               FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "dedup_paragraphs": """
+            WITH t AS (
+              SELECT doc_id,
+                     'Subscribe to our newsletter for updates.' || chr(10) ||
+                     substr(text, 1, 50) || chr(10) || 'ok' || chr(10) ||
+                     substr(text, 51, 40) AS t2
+                FROM documents
+            ), p AS (
+              SELECT doc_id, u.pos AS pos, u.para AS para
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, len(string_split(t2, chr(10))) + 1),
+                               i -> {'pos': i - 1, 'para': string_split(t2, chr(10))[i]})) AS u
+                        FROM t)
+            ), w AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+                FROM p
+            ), k AS (
+              SELECT doc_id, pos, para FROM w WHERE len(para) < 15 OR rn = 1
+            ), r AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_paras_kept
+                FROM k GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(len(string_split(t.t2, chr(10))) AS BIGINT) AS n_paras,
+                   coalesce(r.n_paras_kept, 0) AS n_paras_kept
+              FROM t LEFT JOIN r USING (doc_id)
         """,
         "gopher_rules": """
             WITH t AS (

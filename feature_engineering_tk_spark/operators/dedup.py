@@ -561,3 +561,75 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 15,
+) -> DataFrame:
+    """Cross-document exact paragraph dedup (RefinedWeb / C4 style):
+    split every document on ``sep``, keep only the globally FIRST
+    occurrence (lexicographic min of (doc_id, position)) of each
+    paragraph of at least ``min_chars`` characters, and reassemble
+    each document from its surviving paragraphs in original order.
+    Short paragraphs are kept verbatim — deduping one-word lines or
+    blank separators would eat legitimate structure corpus-wide.
+
+    Scale shape: the shuffle for the keep-decision carries only
+    ``(xxhash64, doc_id, pos)`` triples — 8-byte keys, never the
+    paragraph text (same stance as :func:`exact_dedup`; collision
+    risk 2^-64·n²). The winner per hash is a partial-aggregatable
+    ``groupBy().min(struct)`` — boilerplate hot keys pre-merge
+    map-side, so no window over a skewed partition. Reassembly is one
+    ``groupBy(doc_id)`` with ``array_sort(collect_list(struct))`` —
+    per-doc state only. Docs whose every paragraph was deduped away
+    keep a row with empty text.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
+            "pos", "para"
+        ),
+    )
+    eligible = paras.filter(F.length("para") >= min_chars)
+    winners = (
+        eligible.select(
+            F.xxhash64("para", F.length("para")).alias("_h"),
+            F.struct(F.col(id_col), F.col("pos")).alias("_loc"),
+        )
+        .groupBy("_h")
+        .agg(F.min("_loc").alias("_win"))
+        .select("_h", F.col(f"_win.{id_col}").alias("_wid"), F.col("_win.pos").alias("_wpos"))
+    )
+    kept = (
+        paras.withColumn("_h", F.xxhash64("para", F.length("para")))
+        .join(winners, "_h", "left")
+        .filter(
+            (F.length("para") < min_chars)
+            | ((F.col("_wid") == F.col(id_col)) & (F.col("_wpos") == F.col("pos")))
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    return (
+        df.select(id_col, F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+                  .cast("bigint").alias("n_paras"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_paras",
+            F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+        )
+    )

@@ -299,3 +299,29 @@ def test_semantic_dedup_below_threshold_keeps_all(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = semantic_dedup(df, n_centroids=2, threshold=0.5)
     assert out.count() == 4  # orthogonal vectors: nothing is a near-dup
+
+
+def test_dedup_paragraphs_keeps_global_first(spark):
+    from feature_engineering_tk_spark.operators.dedup import dedup_paragraphs
+
+    boiler = "Subscribe to our newsletter today."
+    df = spark.createDataFrame(
+        [
+            (0, f"{boiler}\nunique paragraph alpha\nok"),
+            (1, f"{boiler}\nunique paragraph beta"),
+            (2, f"unique paragraph beta\n{boiler}\nok"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    # boilerplate survives only in its first (doc_id, pos) home
+    assert out[0]["clean_text"] == f"{boiler}\nunique paragraph alpha\nok"
+    assert out[1]["clean_text"] == "unique paragraph beta"
+    # doc 2's copy of 'beta' loses to doc 1 (earlier doc_id); its short
+    # 'ok' line is kept verbatim (below min_chars, never deduped)
+    assert out[2]["clean_text"] == "ok"
+    assert out[2]["n_paras"] == 3 and out[2]["n_paras_kept"] == 1
+    # null text → one empty (short, kept-verbatim) paragraph, row present
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_paras"] == 1 and out[3]["n_paras_kept"] == 1
