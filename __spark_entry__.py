@@ -2180,6 +2180,28 @@ def q_dedup_paragraphs(spark, sf_dir):
     return out.select("doc_id", "clean_text", "n_paras", "n_paras_kept")
 
 
+def q_normalize_unicode(spark, sf_dir):
+    """Unicode NFC normalization + control strip (functions/cleaning.py
+    normalize_unicode): combining-acute sequences must fold to single
+    codepoints and a BEL control must vanish; the normalize itself is
+    an Arrow-batched pandas UDF, replayed by DuckDB nfc_normalize."""
+    from feature_engineering_tk_spark.functions.cleaning import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.substring("text", 1, 30),
+            F.lit(" café"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("")).otherwise(F.lit("")),
+            F.lit(" naive"),
+        ),
+    )
+    out = normalize_unicode(docs, "text", form="NFC", out="norm_text")
+    return out.select(
+        "doc_id", "norm_text", F.length("norm_text").cast("bigint").alias("n_chars")
+    )
+
+
 def q_domain_filter(spark, sf_dir):
     """Suffix-chain domain blocklist filter (functions/cleaning.py
     filter_by_domain): blocking 'srcN.example.com' must drop that
@@ -2398,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weights": q_importance_weights,
         "ccnet_buckets": q_ccnet_buckets,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "normalize_unicode": q_normalize_unicode,
         "domain_filter": q_domain_filter,
         "stratified_sample": q_stratified_sample,
         "url_canonicalize": q_url_canonicalize,
@@ -3504,6 +3527,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.n_features, 0) AS n_features,
                    round(s.avg_logratio, 6) AS avg_logratio
               FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "normalize_unicode": """
+            SELECT doc_id,
+                   nfc_normalize(regexp_replace(
+                     substr(text, 1, 30) || ' cafe' || chr(769) ||
+                     CASE WHEN doc_id % 2 = 0 THEN chr(7) ELSE '' END || ' naive',
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{80}-\\x{9f}]', '', 'g'))
+                       AS norm_text,
+                   CAST(length(nfc_normalize(regexp_replace(
+                     substr(text, 1, 30) || ' cafe' || chr(769) ||
+                     CASE WHEN doc_id % 2 = 0 THEN chr(7) ELSE '' END || ' naive',
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{80}-\\x{9f}]', '', 'g')))
+                       AS BIGINT) AS n_chars
+              FROM documents
         """,
         "dedup_paragraphs": """
             WITH t AS (

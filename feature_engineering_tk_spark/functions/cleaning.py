@@ -17,6 +17,7 @@ between dedup and tokenization:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -210,6 +211,55 @@ def gopher_rules(
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)
         & (F.col("stopword_hits") >= min_stopword_hits),
     )
+
+
+_nfc_udf_cache: dict = {}
+
+
+def normalize_unicode(
+    df: DataFrame,
+    column: str = "text",
+    form: str = "NFC",
+    strip_control: bool = True,
+    out: str | None = None,
+) -> DataFrame:
+    """Unicode normalization for corpus hygiene: strip C0/C1 control
+    characters (keeping tab/newline/CR), then apply NFC or NFKC so
+    byte-identical dedup hashes see canonically equal text (é as one
+    codepoint vs e+combining-acute would otherwise defeat exact and
+    MinHash dedup alike).
+
+    Scale shape: the control strip is a JVM ``regexp_replace`` (one
+    alternation-free character class) inside whole-stage codegen; the
+    normalization itself has no JVM builtin, so it runs as an
+    Arrow-batched pandas UDF over ``unicodedata.normalize`` — the
+    same vectorized-boundary stance as the titlecase parity UDF
+    (functions/strings.py). Payloads never cross a shuffle; NULLs
+    pass through.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    c: Column = F.col(column)
+    if strip_control:
+        c = F.regexp_replace(
+            c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{80}-\\x{9f}]", ""
+        )
+    if form not in _nfc_udf_cache:
+        import unicodedata
+
+        from pyspark.sql.functions import pandas_udf
+
+        def _make(f):
+            @pandas_udf("string")
+            def _norm(s: pd.Series) -> pd.Series:
+                return s.map(
+                    lambda x: unicodedata.normalize(f, x) if x is not None else None
+                )
+
+            return _norm
+
+        _nfc_udf_cache[form] = _make(form)
+    return df.withColumn(out or column, _nfc_udf_cache[form](c))
 
 
 def extract_domain(url: Column) -> Column:

@@ -259,3 +259,30 @@ def test_gopher_rules_signals(spark):
     assert out[3]["symbol_ratio"] > 0.1 and out[3]["gopher_pass"] is False
     assert out[4]["alpha_word_frac"] == 0.0 and out[4]["stopword_hits"] == 0
     assert out[5]["n_words"] == 0 and out[5]["gopher_pass"] is False
+
+
+def test_normalize_unicode_forms(spark):
+    from feature_engineering_tk_spark.functions.cleaning import normalize_unicode
+
+    decomposed = "cafe" + chr(0x301)          # e + combining acute
+    df = spark.createDataFrame(
+        [
+            (0, decomposed),
+            (1, "café"),                  # precomposed
+            (2, "bell" + chr(7) + " kept\ttab\nnewline"),
+            (3, "ﬁne ²"),            # ligature fi + superscript 2
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    nfc = {r["doc_id"]: r["n"] for r in
+           normalize_unicode(df, "text", form="NFC", out="n").collect()}
+    assert nfc[0] == "café" == nfc[1]     # canonical equivalence folds
+    assert nfc[2] == "bell kept\ttab\nnewline"  # BEL stripped, \t \n kept
+    assert nfc[3] == "ﬁne ²"          # NFC leaves compatibility chars
+    assert nfc[4] is None
+    nfkc = {r["doc_id"]: r["n"] for r in
+            normalize_unicode(df, "text", form="NFKC", out="n").collect()}
+    assert nfkc[3] == "fine 2"                  # NFKC folds ligature + superscript
+    with pytest.raises(ValueError):
+        normalize_unicode(df, "text", form="NFX")
