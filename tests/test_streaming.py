@@ -112,3 +112,51 @@ def test_streaming_dedup_drops_redeliveries(spark, transcripts, tmp_path):
     n_stream = spark.table("stream_dedup").count()
     n_batch = transcripts.select("conv_id", "turn_idx").distinct().count()
     assert n_stream == n_batch
+
+
+def test_streaming_quality_gates_stateless(spark, tmp_path):
+    """The corpus-quality operators (gopher_rules, clean_lines,
+    normalize_unicode) are row-local/stateless, so the SAME call works
+    unchanged on a readStream — drained availableNow output must match
+    the batch run row-for-row."""
+    import pandas as pd
+
+    from feature_engineering_tk_spark.functions.cleaning import (
+        clean_lines,
+        gopher_rules,
+    )
+
+    src = str(tmp_path / "docs_src")
+    batch_df = spark.createDataFrame(
+        [
+            (0, "This has plenty of words and ends with punctuation.\nshort.\n"
+                "the cat sat and that was fine to be of note with more words here."),
+            (1, "- a\n- b"),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    batch_df.write.mode("overwrite").parquet(src)
+
+    def gate(df):
+        out = clean_lines(df, "text", min_words=5)
+        return gopher_rules(out, "clean_text", min_words=5).select(
+            "doc_id", "n_lines_kept", "n_words", "gopher_pass"
+        )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    assert stream.isStreaming
+    q = (
+        gate(stream)
+        .writeStream.format("memory")
+        .queryName("quality_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM quality_gate").toPandas()
+    exp = gate(spark.read.parquet(src)).toPandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert bool(got.loc[got.doc_id == 0, "gopher_pass"].iloc[0]) is True
