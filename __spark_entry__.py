@@ -2202,6 +2202,23 @@ def q_normalize_unicode(spark, sf_dir):
     )
 
 
+def q_nb_classify(spark, sf_dir):
+    """Multinomial Naive Bayes corpus classifier (functions/text.py
+    nb_classify): trained on the lang-labeled corpus and replayed on
+    it — training is pure counting, the densified model broadcasts
+    into scoring, argmax is a deterministic max-struct. md5 hash mode
+    for the oracle."""
+    from feature_engineering_tk_spark.functions.text import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    out = nb_classify(
+        docs, docs, label_col="lang", n_buckets=1024, hash_mode="md5"
+    )
+    return out.select(
+        "doc_id", "pred_label", F.round("score", 6).alias("score"), "n_tokens"
+    )
+
+
 def q_domain_filter(spark, sf_dir):
     """Suffix-chain domain blocklist filter (functions/cleaning.py
     filter_by_domain): blocking 'srcN.example.com' must drop that
@@ -2421,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "dedup_paragraphs": q_dedup_paragraphs,
         "normalize_unicode": q_normalize_unicode,
+        "nb_classify": q_nb_classify,
         "domain_filter": q_domain_filter,
         "stratified_sample": q_stratified_sample,
         "url_canonicalize": q_url_canonicalize,
@@ -3527,6 +3545,60 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.n_features, 0) AS n_features,
                    round(s.avg_logratio, 6) AS avg_logratio
               FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "nb_classify": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(t), 1, 15), ''),
+                         c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (acc, x) -> acc * 16 + x) % 1024 AS bucket
+                FROM (SELECT doc_id, lang,
+                             unnest(list_filter(
+                               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                               x -> x <> '')) AS t
+                        FROM documents)
+            ), labels AS (
+              SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+            ), ntot AS (
+              SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM labels
+            ), priors AS (
+              SELECT lang, ln(n_docs / ntot.n) AS log_prior FROM labels CROSS JOIN ntot
+            ), counts AS (
+              SELECT bucket, lang, count(*) AS c FROM tok GROUP BY bucket, lang
+            ), totals AS (
+              SELECT lang, sum(c) AS tot FROM counts GROUP BY lang
+            ), seen AS (
+              SELECT DISTINCT bucket FROM counts
+            ), model AS (
+              SELECT s.bucket, t.lang,
+                     ln((coalesce(c.c, 0) + 1.0) / (t.tot + 1024.0)) AS log_cond
+                FROM seen s CROSS JOIN totals t
+                LEFT JOIN counts c ON c.bucket = s.bucket AND c.lang = t.lang
+            ), token_scores AS (
+              SELECT i.doc_id, m.lang, sum(m.log_cond) AS s, count(*) AS n_tok
+                FROM tok i JOIN model m USING (bucket)
+               GROUP BY i.doc_id, m.lang
+            ), doc_scores AS (
+              SELECT ts.doc_id, ts.lang, p.log_prior + ts.s AS score, ts.n_tok
+                FROM token_scores ts JOIN priors p USING (lang)
+            ), best AS (
+              SELECT doc_id, lang, score, n_tok,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang DESC) AS rn
+                FROM doc_scores
+            ), pb AS (
+              SELECT lang, log_prior,
+                     row_number() OVER (ORDER BY log_prior DESC, lang DESC) AS rn
+                FROM priors
+            )
+            SELECT d.doc_id,
+                   coalesce(b.lang, (SELECT lang FROM pb WHERE rn = 1)) AS pred_label,
+                   round(coalesce(b.score, (SELECT log_prior FROM pb WHERE rn = 1)), 6)
+                       AS score,
+                   coalesce(b.n_tok, 0) AS n_tokens
+              FROM documents d
+              LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
         """,
         "normalize_unicode": """
             SELECT doc_id,

@@ -542,3 +542,100 @@ def chunk_documents(
     return df.select(F.col(id_col), F.explode(chunks).alias("_c")).select(
         id_col, "_c.chunk_idx", "_c.chunk_text", "_c.chunk_tokens"
     )
+
+
+def nb_classify(
+    train_df: DataFrame,
+    infer_df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    n_buckets: int = 262_144,
+    add_k: float = 1.0,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Multinomial Naive Bayes over hashed unigram features — the
+    classic cheap corpus classifier (fastText-style bag-of-hashed-
+    words, but with closed-form training): train on a labeled slice,
+    score every inference doc per label, return the argmax label.
+
+    Training IS aggregation — P(label) and P(bucket|label) are pure
+    ``groupBy().count()`` tables (no iterations, no driver math), so
+    the 100 TB training pass is one shuffle of 8-byte keys. The model
+    (≤ n_buckets·|labels| rows after densification) broadcasts into
+    the scoring join; scoring is one windowless per-(doc,label)
+    aggregate + a deterministic max_by(struct) argmax (score desc,
+    then label desc — no arbitrary tie-break). Docs with no tokens
+    get the prior-only argmax, never dropped.
+
+    ``hash_mode='md5'`` swaps in the cross-engine hash so the DuckDB
+    oracle replays training and scoring value-for-value.
+    """
+    from feature_engineering_tk_spark.operators.dedup import _token_hash
+
+    def _tok_stream(df: DataFrame, cols: list) -> DataFrame:
+        toks = F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+            lambda x: x != "",
+        )
+        return df.select(*cols, F.explode(toks).alias("_t")).withColumn(
+            "bucket", F.pmod(_token_hash(F.col("_t"), hash_mode), F.lit(n_buckets))
+        )
+
+    b = float(n_buckets)
+    labels = train_df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_total = labels.agg(F.sum("n_docs").cast("double").alias("_n"))
+    priors = labels.crossJoin(F.broadcast(n_total)).select(
+        label_col, F.log(F.col("n_docs") / F.col("_n")).alias("log_prior")
+    )
+    tr = _tok_stream(train_df, [F.col(label_col)])
+    counts = tr.groupBy("bucket", label_col).agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy(label_col).agg(F.sum("c").alias("tot"))
+    # densify: every (seen-bucket, label) pair needs a smoothed log-prob,
+    # else absent pairs silently skip a label's penalty during scoring
+    seen = counts.select("bucket").distinct()
+    model = (
+        seen.crossJoin(F.broadcast(totals))
+        .join(counts, ["bucket", label_col], "left")
+        .select(
+            "bucket",
+            label_col,
+            F.log(
+                (F.coalesce("c", F.lit(0)) + F.lit(add_k))
+                / (F.col("tot") + F.lit(add_k * b))
+            ).alias("log_cond"),
+        )
+    )
+    inf = _tok_stream(infer_df, [F.col(id_col)])
+    token_scores = (
+        inf.join(F.broadcast(model), "bucket")
+        .groupBy(id_col, label_col)
+        .agg(F.sum("log_cond").alias("_s"), F.count(F.lit(1)).alias("_n_tok"))
+    )
+    doc_scores = token_scores.join(F.broadcast(priors), label_col).select(
+        id_col,
+        label_col,
+        (F.col("log_prior") + F.col("_s")).alias("score"),
+        "_n_tok",
+    )
+    best = doc_scores.groupBy(id_col).agg(
+        F.max(F.struct(F.col("score"), F.col(label_col))).alias("_b"),
+        F.max("_n_tok").alias("n_tokens"),
+    )
+    # prior-only fallback for token-less docs (deterministic argmax too)
+    prior_best = priors.agg(
+        F.max(F.struct(F.col("log_prior"), F.col(label_col))).alias("_pb")
+    )
+    return (
+        infer_df.select(id_col)
+        .join(best, id_col, "left")
+        .crossJoin(F.broadcast(prior_best))
+        .select(
+            id_col,
+            F.coalesce(F.col(f"_b.{label_col}"), F.col(f"_pb.{label_col}")).alias(
+                "pred_label"
+            ),
+            F.coalesce(F.col("_b.score"), F.col("_pb.log_prior")).alias("score"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    )

@@ -349,3 +349,29 @@ def test_ccnet_buckets_terciles(spark):
     assert all(out[i]["ppl_bucket"] == "head" for i in range(6))
     assert all(out[i + 10]["ppl_bucket"] == "tail" for i in range(3))
     assert out[99]["ppl_bucket"] is None  # unscored, never silently dropped
+
+
+def test_nb_classify_separable_labels(spark):
+    train = spark.createDataFrame(
+        [(i, "cat", "whiskers purr feline meow kitten") for i in range(6)]
+        + [(i + 10, "dog", "bark fetch canine woof puppy") for i in range(4)],
+        "doc_id long, label string, text string",
+    )
+    infer = spark.createDataFrame(
+        [
+            (100, "purr purr meow"),
+            (101, "woof bark fetch"),
+            (102, "quantum flux"),   # all tokens unseen → prior-only
+            (103, None),             # no tokens → prior-only fallback
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           TX.nb_classify(train, infer, n_buckets=4096).collect()}
+    assert out[100]["pred_label"] == "cat" and out[100]["n_tokens"] == 3
+    assert out[101]["pred_label"] == "dog"
+    # unseen/empty docs fall back to the majority-prior class (cat: 6 vs 4)
+    assert out[102]["pred_label"] == "cat" and out[102]["n_tokens"] == 0
+    assert out[103]["pred_label"] == "cat" and out[103]["n_tokens"] == 0
+    # every inference row survives
+    assert set(out) == {100, 101, 102, 103}
