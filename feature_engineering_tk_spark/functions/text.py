@@ -553,32 +553,51 @@ def nb_classify(
     n_buckets: int = 262_144,
     add_k: float = 1.0,
     hash_mode: str = "xxhash64",
+    analyzer: str = "word",
+    char_n: int = 3,
+    broadcast_model: bool = True,
 ) -> DataFrame:
-    """Multinomial Naive Bayes over hashed unigram features — the
-    classic cheap corpus classifier (fastText-style bag-of-hashed-
-    words, but with closed-form training): train on a labeled slice,
-    score every inference doc per label, return the argmax label.
+    """Multinomial Naive Bayes over hashed features — the classic
+    cheap corpus classifier (fastText-style bag-of-hashed-features,
+    but with closed-form training): train on a labeled slice, score
+    every inference doc per label, return the argmax label.
+    ``analyzer='word'`` hashes whitespace unigrams; ``'char'`` hashes
+    character ``char_n``-grams of the normalized text — the feature
+    real language-ID models use (robust to unsegmented scripts).
 
     Training IS aggregation — P(label) and P(bucket|label) are pure
     ``groupBy().count()`` tables (no iterations, no driver math), so
     the 100 TB training pass is one shuffle of 8-byte keys. The model
     (≤ n_buckets·|labels| rows after densification) broadcasts into
-    the scoring join; scoring is one windowless per-(doc,label)
-    aggregate + a deterministic max_by(struct) argmax (score desc,
-    then label desc — no arbitrary tie-break). Docs with no tokens
-    get the prior-only argmax, never dropped.
+    the scoring join — pass ``broadcast_model=False`` when
+    n_buckets·|labels| outgrows the broadcast budget and the scoring
+    join should shuffle on the bucket key instead; scoring is one
+    windowless per-(doc,label) aggregate + a deterministic
+    max-of-struct argmax (score desc, then label desc — no arbitrary
+    tie-break). Docs with no tokens get the prior-only argmax, never
+    dropped.
 
     ``hash_mode='md5'`` swaps in the cross-engine hash so the DuckDB
     oracle replays training and scoring value-for-value.
     """
+    if analyzer not in ("word", "char"):
+        raise ValueError(f"unknown analyzer: {analyzer!r}")
     from feature_engineering_tk_spark.operators.dedup import _token_hash
 
-    def _tok_stream(df: DataFrame, cols: list) -> DataFrame:
-        toks = F.filter(
-            F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
-            lambda x: x != "",
+    def _features(c: Column) -> Column:
+        norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+        if analyzer == "word":
+            return F.filter(F.split(norm, " "), lambda x: x != "")
+        n_grams = F.length(norm) - F.lit(char_n - 1)
+        return F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: norm.substr(i, F.lit(char_n)),
+            )
         )
-        return df.select(*cols, F.explode(toks).alias("_t")).withColumn(
+
+    def _tok_stream(df: DataFrame, cols: list) -> DataFrame:
+        return df.select(*cols, F.explode(_features(F.col(text_col))).alias("_t")).withColumn(
             "bucket", F.pmod(_token_hash(F.col("_t"), hash_mode), F.lit(n_buckets))
         )
 
@@ -608,7 +627,7 @@ def nb_classify(
     )
     inf = _tok_stream(infer_df, [F.col(id_col)])
     token_scores = (
-        inf.join(F.broadcast(model), "bucket")
+        inf.join(F.broadcast(model) if broadcast_model else model, "bucket")
         .groupBy(id_col, label_col)
         .agg(F.sum("log_cond").alias("_s"), F.count(F.lit(1)).alias("_n_tok"))
     )

@@ -375,3 +375,27 @@ def test_nb_classify_separable_labels(spark):
     assert out[103]["pred_label"] == "cat" and out[103]["n_tokens"] == 0
     # every inference row survives
     assert set(out) == {100, 101, 102, 103}
+
+
+def test_nb_classify_char_analyzer(spark):
+    """Char-trigram features separate scripts even with no shared
+    words; shuffle-join scoring path agrees with broadcast path."""
+    train = spark.createDataFrame(
+        [(i, "greek", "αλφα βητα γαμμα δελτα") for i in range(3)]
+        + [(i + 10, "latin", "alpha beta gamma delta") for i in range(3)],
+        "doc_id long, label string, text string",
+    )
+    infer = spark.createDataFrame(
+        [(100, "βητα αλφα"), (101, "beta alpha")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           TX.nb_classify(train, infer, analyzer="char", n_buckets=4096).collect()}
+    assert got[100]["pred_label"] == "greek"
+    assert got[101]["pred_label"] == "latin"
+    nob = {r["doc_id"]: r for r in
+           TX.nb_classify(train, infer, analyzer="char", n_buckets=4096,
+                          broadcast_model=False).collect()}
+    assert {k: v["pred_label"] for k, v in nob.items()} == {100: "greek", 101: "latin"}
+    with pytest.raises(ValueError):
+        TX.nb_classify(train, infer, analyzer="bigrams")
