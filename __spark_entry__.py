@@ -2219,6 +2219,25 @@ def q_nb_classify(spark, sf_dir):
     )
 
 
+def q_importance_resample(spark, sf_dir):
+    """Gumbel top-k importance resampling (operators/sampling.py
+    importance_resample): weights from a deterministic length
+    expression, Gumbel keys from the md5 hash fold — the 50-doc
+    selected set replays exactly in SQL. TakeOrdered top-k, no full
+    sort."""
+    from feature_engineering_tk_spark.operators.sampling import importance_resample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.log(F.lit(1.0) + F.length("text").cast("double") / F.lit(100.0))
+    )
+    out = importance_resample(
+        docs, "w", k=50, id_cols=["doc_id"], temperature=0.5, hash_mode="md5"
+    )
+    return out.select(
+        "doc_id", F.round("w", 6).alias("w"), F.round("gumbel_key", 6).alias("gumbel_key")
+    )
+
+
 def q_domain_filter(spark, sf_dir):
     """Suffix-chain domain blocklist filter (functions/cleaning.py
     filter_by_domain): blocking 'srcN.example.com' must drop that
@@ -2439,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "normalize_unicode": q_normalize_unicode,
         "nb_classify": q_nb_classify,
+        "importance_resample": q_importance_resample,
         "domain_filter": q_domain_filter,
         "stratified_sample": q_stratified_sample,
         "url_canonicalize": q_url_canonicalize,
@@ -3545,6 +3565,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.n_features, 0) AS n_features,
                    round(s.avg_logratio, 6) AS avg_logratio
               FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "importance_resample": """
+            WITH w AS (
+              SELECT doc_id, ln(1.0 + length(text) / 100.0) AS w FROM documents
+            ), g AS (
+              SELECT doc_id, w,
+                     ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(substr(md5('dsir-v1' || chr(31)
+                           || CAST(doc_id AS VARCHAR)), 1, 15), ''),
+                           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                         (acc, x) -> acc * 16 + x) % 1000000) + 0.5) / 1000000.0 AS u
+                FROM w
+            )
+            SELECT doc_id, round(w, 6) AS w,
+                   round(w / 0.5 + (-ln(-ln(u))), 6) AS gumbel_key
+              FROM g
+             ORDER BY w / 0.5 + (-ln(-ln(u))) DESC, doc_id
+             LIMIT 50
         """,
         "nb_classify": """
             WITH tok AS (

@@ -126,3 +126,44 @@ def weighted_mix(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def importance_resample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_cols: list[str],
+    temperature: float = 1.0,
+    salt: str = "dsir-v1",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Gumbel top-k importance resampling — the DSIR selection step
+    (Xie et al. 2023): draw ``k`` rows WITHOUT replacement with
+    probability ∝ exp(weight / temperature), via the Gumbel-top-k
+    trick: rank by ``weight/τ + g`` where ``g`` is a Gumbel(0,1)
+    draw. The Gumbel comes from the row's key hash
+    (``g = -ln(-ln(u))``, ``u = (bucket+0.5)/10^6``), NOT an RNG — so
+    the selected set is a pure function of (keys, salt): re-run-,
+    partitioning-, and engine-stable, like every sampler in this
+    module. Change ``salt`` for an independent draw.
+
+    Scale: the key is one row-local JVM expression; selection is a
+    global top-k (``TakeOrderedAndProject`` — a k-sized heap per
+    partition + driver merge, never a full sort). Rows with NULL
+    weight cannot be drawn (they were never scored) — count them
+    upstream before calling if the gap matters. Deterministic
+    tie-break on ``id_cols``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    u = (_key_bucket(id_cols, salt, hash_mode) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    gumbel = -F.log(-F.log(u))
+    key = F.col(weight_col) / F.lit(float(temperature)) + gumbel
+    return (
+        df.filter(F.col(weight_col).isNotNull())
+        .withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), *id_cols)
+        .limit(k)
+    )

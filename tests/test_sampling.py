@@ -99,3 +99,37 @@ def test_stratified_sample_rejects_bad_fraction(spark):
     df = spark.range(10).withColumn("s", F.lit("a"))
     with pytest.raises(ValueError):
         stratified_sample(df, ["id"], "s", {"a": 1.5})
+
+
+def test_importance_resample_gumbel_topk(spark):
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.operators.sampling import importance_resample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), "x") for i in range(200)] + [(999, None, "x")],
+        "doc_id long, w double, text string",
+    )
+    sel = importance_resample(df, "w", k=30, id_cols=["doc_id"])
+    rows = sel.collect()
+    assert len(rows) == 30
+    ids = {r["doc_id"] for r in rows}
+    assert 999 not in ids  # NULL weight can never be drawn
+    # deterministic: identical call selects the identical set
+    ids2 = {r["doc_id"] for r in importance_resample(df, "w", k=30, id_cols=["doc_id"]).collect()}
+    assert ids == ids2
+    # independent draw under a different salt differs
+    ids3 = {r["doc_id"] for r in
+            importance_resample(df, "w", k=30, id_cols=["doc_id"], salt="other").collect()}
+    assert ids != ids3
+    # weight bias: high-weight rows (w=6) are drawn far above their base rate
+    high = sum(1 for r in rows if r["w"] == 6.0)
+    assert high >= 8  # 6/42 of rows but exp(6)/Σ exp(w) dominated draw
+    # low temperature sharpens toward pure top-k by weight
+    sharp = importance_resample(df, "w", k=30, id_cols=["doc_id"], temperature=0.05)
+    assert all(r["w"] >= 5.0 for r in sharp.collect())
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        importance_resample(df, "w", k=0, id_cols=["doc_id"])
+    with _pt.raises(ValueError):
+        importance_resample(df, "w", k=5, id_cols=["doc_id"], temperature=0.0)
