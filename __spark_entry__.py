@@ -2334,6 +2334,33 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(docs, "url")
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge learning (functions/bpe.py learn_bpe):
+    merges learned on the distinct-word frequency table — the corpus
+    is scanned once, every merge iteration runs on the vocab-sized
+    table (10^7 rows at 10^12 tokens). Pair argmax ties break
+    lexicographically; the greedy-fold rewrite is a sequential
+    F.aggregate fold the oracle replays with list_reduce."""
+    from feature_engineering_tk_spark.functions import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = bpe.learn_bpe(docs, "text", num_merges=8)
+    vocab.unpersist()
+    return bpe.merge_table(spark, merges)
+
+
+def q_bpe_segment(spark, sf_dir):
+    """Per-document token counts under a corpus-trained BPE vocab
+    (functions/bpe.py bpe_token_counts): second corpus scan explodes
+    words and broadcast-joins the vocab-sized (word → subword count)
+    table — documents never shuffle; NULL-text docs keep a zero row."""
+    from feature_engineering_tk_spark.functions import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = bpe.learn_bpe(docs, "text", num_merges=8)
+    return bpe.bpe_token_counts(docs, vocab)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2464,6 +2491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "semantic_dedup": q_semantic_dedup,
         "url_dedup": q_url_dedup,
+        "bpe_train": q_bpe_train,
+        "bpe_segment": q_bpe_segment,
         "regional_revenue": q_regional_revenue,
         "multimodal_features": q_multimodal_features,
         "group_join_agg": q_group_join_agg,
@@ -2498,6 +2527,47 @@ def _h60_sql(expr: str) -> str:
         "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
         "(acc, x) -> acc * 16 + x)"
     )
+
+
+def _bpe_ctes(num_merges: int) -> str:
+    """Chained-CTE DuckDB replay of functions/bpe.py learn_bpe: w0 =
+    word frequencies (one corpus pass), s0 = char symbols + </w>, then
+    per merge k: pair count (overlaps included) → argmax with
+    lexicographic tie-break → greedy left-fold rewrite (list_reduce,
+    element-for-element the engine's F.aggregate fold)."""
+    parts = ["""
+        WITH w0 AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                            x -> x <> '')) AS word
+                    FROM documents WHERE text IS NOT NULL)
+           GROUP BY word
+        ), s0 AS (
+          SELECT word, cnt, list_append(string_split(word, ''), '</w>') AS syms FROM w0
+        )"""]
+    for k in range(num_merges):
+        parts.append(f""", p{k} AS (
+          SELECT u.a AS a, u.b AS b, sum(cnt) AS w
+            FROM (SELECT cnt,
+                         unnest(list_transform(range(1, len(syms)),
+                                i -> {{'a': syms[i], 'b': syms[i+1]}})) AS u
+                    FROM s{k})
+           GROUP BY u.a, u.b
+        ), b{k} AS (
+          SELECT a, b, w FROM p{k} ORDER BY w DESC, a, b LIMIT 1
+        ), s{k + 1} AS (
+          SELECT word, cnt,
+                 list_reduce(
+                   list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+                   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b{k}.a AND x[1] = b{k}.b
+                               THEN list_append(acc[1:len(acc)-1], b{k}.a || b{k}.b)
+                               ELSE list_append(acc, x[1]) END) AS syms
+            FROM s{k}, b{k}
+        )""")
+    return "".join(parts)
+
+
+_BPE_K = 8
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -3682,6 +3752,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(string_split(t.t2, chr(10))) AS BIGINT) AS n_paras,
                    coalesce(r.n_paras_kept, 0) AS n_paras_kept
               FROM t LEFT JOIN r USING (doc_id)
+        """,
+        "bpe_train": _bpe_ctes(_BPE_K) + " SELECT * FROM (" + " UNION ALL ".join(
+            f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged,"
+            f" CAST(w AS BIGINT) AS pair_weight FROM b{k}"
+            for k in range(_BPE_K)
+        ) + ") ORDER BY merge_rank",
+        "bpe_segment": _bpe_ctes(_BPE_K) + f"""
+        , docw AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ), bpe_agg AS (
+          SELECT dw.doc_id,
+                 CAST(sum(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+                 CAST(count(*) AS BIGINT) AS n_words
+            FROM docw dw JOIN s{_BPE_K} s USING (word)
+           GROUP BY dw.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+               coalesce(a.n_words, 0) AS n_words
+          FROM documents d LEFT JOIN bpe_agg a USING (doc_id)
         """,
         "gopher_rules": """
             WITH t AS (
