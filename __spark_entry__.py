@@ -2334,6 +2334,26 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(docs, "url")
 
 
+_SPAN_BOILER = "spark shuffle exchange partition codegen whole stage fusion broadcast probe"
+
+
+def q_span_dedup(spark, sf_dir):
+    """Exact-substring span dedup (operators/dedup.py exact_span_dedup,
+    Lee et al. ExactSubstr with rolling span hashes instead of a
+    suffix array): a 10-token boilerplate passage injected at the head
+    of every 3rd doc and the tail of every 5th is removed everywhere
+    except its first corpus occurrence; overlapping 8-token spans
+    union their coverage. Only touched docs are rebuilt."""
+    from feature_engineering_tk_spark.operators.dedup import exact_span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit(_SPAN_BOILER + " "), F.col("text"))
+    ).otherwise(F.col("text"))
+    t2 = F.when(F.col("doc_id") % 5 == 0, F.concat(t2, F.lit(" " + _SPAN_BOILER))).otherwise(t2)
+    return exact_span_dedup(docs.withColumn("text", t2), window=8)
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning (functions/bpe.py learn_bpe):
     merges learned on the distinct-word frequency table — the corpus
@@ -2491,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "semantic_dedup": q_semantic_dedup,
         "url_dedup": q_url_dedup,
+        "span_dedup": q_span_dedup,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "regional_revenue": q_regional_revenue,
@@ -3752,6 +3773,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(string_split(t.t2, chr(10))) AS BIGINT) AS n_paras,
                    coalesce(r.n_paras_kept, 0) AS n_paras_kept
               FROM t LEFT JOIN r USING (doc_id)
+        """,
+        "span_dedup": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN t1 || ' ' || '{_SPAN_BOILER}' ELSE t1 END AS text
+                FROM (SELECT doc_id,
+                             CASE WHEN doc_id % 3 = 0 THEN '{_SPAN_BOILER}' || ' ' || text
+                                  ELSE text END AS t1
+                        FROM documents)
+            ), base AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                                 x -> x <> '') AS toks
+                FROM t
+            ), occ AS (
+              SELECT doc_id, u.s AS start, u.sp AS sp
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(0, greatest(len(toks) - 7, 0)),
+                                    s -> {{'s': s, 'sp': array_to_string(toks[s+1:s+8], ' ')}})) AS u
+                        FROM base)
+            ), w2 AS (
+              SELECT doc_id, start,
+                     count(*) OVER (PARTITION BY sp) AS cnt,
+                     row_number() OVER (PARTITION BY sp ORDER BY doc_id, start) AS rn
+                FROM occ
+            ), rem AS (
+              SELECT DISTINCT doc_id, idx
+                FROM (SELECT doc_id, unnest(range(start, start + 8)) AS idx
+                        FROM w2 WHERE cnt > 1 AND rn > 1)
+            ), remc AS (
+              SELECT doc_id, count(*) AS nrem FROM rem GROUP BY doc_id
+            ), tok AS (
+              SELECT doc_id, u.i AS idx, u.t AS tok
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(0, len(toks)),
+                                    i -> {{'i': i, 't': toks[i+1]}})) AS u
+                        FROM base WHERE doc_id IN (SELECT doc_id FROM remc))
+            ), kept AS (
+              SELECT tk.doc_id,
+                     string_agg(tk.tok, ' ' ORDER BY tk.idx) AS rebuilt
+                FROM tok tk LEFT JOIN rem r ON tk.doc_id = r.doc_id AND tk.idx = r.idx
+               WHERE r.doc_id IS NULL
+               GROUP BY tk.doc_id
+            )
+            SELECT b.doc_id,
+                   CASE WHEN rc.doc_id IS NOT NULL THEN coalesce(k.rebuilt, '')
+                        ELSE b.text END AS clean_text,
+                   CAST(len(b.toks) AS BIGINT) AS n_tokens,
+                   coalesce(rc.nrem, 0) AS n_removed
+              FROM base b
+              LEFT JOIN remc rc USING (doc_id)
+              LEFT JOIN kept k USING (doc_id)
         """,
         "bpe_train": _bpe_ctes(_BPE_K) + " SELECT * FROM (" + " UNION ALL ".join(
             f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged,"

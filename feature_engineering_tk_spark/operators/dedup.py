@@ -633,3 +633,97 @@ def dedup_paragraphs(
             F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
         )
     )
+
+
+def exact_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring span dedup, the bounded-window analog of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", ExactSubstr): any ``window``-token span that occurs more
+    than once in the corpus is removed everywhere except its first
+    occurrence (min (doc_id, start) — keep-first, like the paper's
+    keep-one policy). Overlapping duplicated spans union their token
+    coverage, so a long duplicated passage is removed whole.
+
+    Published ExactSubstr builds a corpus suffix array; the
+    distributed equivalent here is rolling span hashing — every span's
+    identity is an 8-byte hash of its ``window`` tokens, so the span
+    table that shuffles is O(corpus tokens) hashes, never token text.
+    Reassembly is confined to the (typically tiny) fraction of
+    documents that actually lose a span: untouched documents keep
+    their original text byte-for-byte and never reach the rebuild
+    shuffle.
+
+    Returns (id_col, clean_text, n_tokens, n_removed); NULL/blank text
+    keeps a zero row. Rebuilt text is single-space joined (whitespace
+    inside removed documents is normalized; the duplicate-detection
+    tokenization already collapsed it).
+    """
+    w = int(window)
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+        toks.alias("_toks"),
+    )
+
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - w),
+        lambda s: _token_hash(F.concat_ws(" ", F.slice(F.col("_toks"), s + 1, F.lit(w))), hash_mode),
+    )
+    occ = (
+        base.where(F.size("_toks") >= w)
+        .select(id_col, F.posexplode(span_hashes).alias("_start", "_h"))
+    )
+    winners = occ.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_start").alias("s"))).alias("_win"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    losing = (
+        occ.join(winners, "_h")
+        .where(
+            (F.col("_cnt") > 1)
+            & ~((F.col(id_col) == F.col("_win.d")) & (F.col("_start") == F.col("_win.s")))
+        )
+        .select(id_col, "_start")
+    )
+    removed = losing.select(
+        id_col, F.explode(F.sequence(F.col("_start"), F.col("_start") + (w - 1))).alias("_idx")
+    ).distinct()
+    removed_counts = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nrem"))
+
+    # only documents that lost a span are exploded and rebuilt
+    touched = base.join(removed_counts, id_col, "left_semi")
+    kept = (
+        touched.select(id_col, F.posexplode("_toks").alias("_idx", "_tok"))
+        .join(removed, [id_col, "_idx"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_idx", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("_rebuilt")
+        )
+    )
+    return (
+        base.join(removed_counts, id_col, "left")
+        .join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_nrem").isNotNull(), F.coalesce("_rebuilt", F.lit("")))
+            .otherwise(F.col("_text"))
+            .alias("clean_text"),
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            F.coalesce("_nrem", F.lit(0)).cast("bigint").alias("n_removed"),
+        )
+    )
