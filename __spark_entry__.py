@@ -2334,6 +2334,21 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(docs, "url")
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means (functions/clustering.py kmeans):
+    assignment is a shuffle-free array_min expression over driver-
+    literal centroids; re-estimation is a map-side-combined (cluster,
+    dim) partial aggregate; centroid means round to 7 decimals per
+    iteration so the only order-dependent float reduction is pinned
+    cross-engine. Deterministic smallest-id init, ties → smallest
+    centroid id, empty clusters keep their previous centroid."""
+    from feature_engineering_tk_spark.functions.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, k=8, n_iter=4, round_decimals=7)
+    return assigned
+
+
 _SPAN_BOILER = "spark shuffle exchange partition codegen whole stage fusion broadcast probe"
 
 
@@ -2512,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "url_dedup": q_url_dedup,
         "span_dedup": q_span_dedup,
+        "kmeans_clusters": q_kmeans,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "regional_revenue": q_regional_revenue,
@@ -2589,6 +2605,50 @@ def _bpe_ctes(num_merges: int) -> str:
 
 
 _BPE_K = 8
+
+
+def _kmeans_ctes(k: int, n_iter: int, nd: int = 7) -> str:
+    """DuckDB replay of functions/clustering.py kmeans: smallest-id
+    init, per-iteration (assign via bit-identical left-fold sq-dist,
+    argmin ties → smallest cid) then per-dim mean rounded to ``nd``
+    decimals; empty clusters coalesce to the previous centroid."""
+    sqd = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(e.vec, c.cvec), "
+        "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
+        "* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+    parts = [f"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 list_transform(vec, x -> round(x, {nd})) AS cvec
+            FROM (SELECT vec_id, vec FROM e ORDER BY vec_id LIMIT {k})
+        )"""]
+    for i in range(n_iter):
+        parts.append(f""", a{i} AS (
+          SELECT vec_id, vec, cluster_id, sq_dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sq_dist, cluster_id) AS rn
+              FROM (SELECT e.vec_id, e.vec, c.cid AS cluster_id, {sqd} AS sq_dist
+                      FROM e CROSS JOIN c{i} c)
+          ) WHERE rn = 1
+        ), c{i + 1} AS (
+          SELECT c.cid, coalesce(nv.cvec, c.cvec) AS cvec
+            FROM c{i} c LEFT JOIN (
+                 SELECT cluster_id AS cid, list(m ORDER BY dim) AS cvec
+                   FROM (SELECT cluster_id, dim, round(avg(val), {nd}) AS m
+                           FROM (SELECT cluster_id, u.i AS dim, u.v AS val
+                                   FROM (SELECT cluster_id,
+                                                unnest(list_transform(range(0, len(vec)),
+                                                       i -> {{'i': i, 'v': vec[i+1]}})) AS u
+                                           FROM a{i}))
+                          GROUP BY cluster_id, dim)
+                  GROUP BY cluster_id) nv USING (cid)
+        )""")
+    return "".join(parts)
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -3825,6 +3885,22 @@ def oracle_sql() -> dict[str, str]:
               FROM base b
               LEFT JOIN remc rc USING (doc_id)
               LEFT JOIN kept k USING (doc_id)
+        """,
+        "kmeans_clusters": _kmeans_ctes(8, 4) + """
+            SELECT e.vec_id, f.cluster_id, round(f.sq_dist, 7) AS sq_dist
+              FROM e JOIN (
+                SELECT vec_id, cluster_id, sq_dist FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY sq_dist, cluster_id) AS rn
+                    FROM (SELECT e.vec_id, c.cid AS cluster_id,
+                                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                   list_transform(list_zip(e.vec, c.cvec),
+                                     z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+                                        * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))),
+                                   (acc, x) -> acc + x) AS sq_dist
+                            FROM e CROSS JOIN c4 c)
+                ) WHERE rn = 1
+              ) f USING (vec_id)
         """,
         "bpe_train": _bpe_ctes(_BPE_K) + " SELECT * FROM (" + " UNION ALL ".join(
             f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged,"
