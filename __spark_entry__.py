@@ -2334,6 +2334,31 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(docs, "url")
 
 
+def q_context_window(spark, sf_dir):
+    """SFT context assembly (operators/window_features.py
+    context_window): previous-3-turn history per event, leakage-free
+    frame (-3, -1), sharing the entity-key shuffle with every other
+    window feature. NULL texts pad as '' so history stays positional."""
+    from feature_engineering_tk_spark.operators.window_features import context_window
+
+    ev = _t(spark, sf_dir, "events")
+    out = context_window(
+        ev, "event_type", n_prev=3, entity="user_id", order=EVENT_ORDER, sep=" > "
+    )
+    return out.select("event_id", "user_id", "event_type", "context", "context_n")
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocation mining (functions/text.py collocations):
+    explode-once unigram+bigram counts, vocab-sized broadcast
+    join-back, rounded-pmi ordering so ln() ulp noise can't flip
+    ties."""
+    from feature_engineering_tk_spark.functions.text import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, min_count=5, top_k=20)
+
+
 def q_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means (functions/clustering.py kmeans):
     assignment is a shuffle-free array_min expression over driver-
@@ -2528,6 +2553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "span_dedup": q_span_dedup,
         "kmeans_clusters": q_kmeans,
+        "context_window": q_context_window,
+        "collocations": q_collocations,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "regional_revenue": q_regional_revenue,
@@ -3885,6 +3912,44 @@ def oracle_sql() -> dict[str, str]:
               FROM base b
               LEFT JOIN remc rc USING (doc_id)
               LEFT JOIN kept k USING (doc_id)
+        """,
+        "context_window": """
+            SELECT event_id, user_id, event_type,
+                   coalesce(array_to_string(ctx, ' > '), '') AS context,
+                   CAST(nctx AS BIGINT) AS context_n
+              FROM (SELECT event_id, user_id, event_type,
+                           list(coalesce(event_type, '')) OVER w AS ctx,
+                           count(*) OVER w AS nctx
+                      FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+        """,
+        "collocations": """
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+                FROM documents WHERE text IS NOT NULL
+            ), tn AS (SELECT t FROM toks WHERE len(t) > 0
+            ), uni AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS cw
+                FROM (SELECT unnest(t) AS w FROM tn) GROUP BY w
+            ), total AS (SELECT sum(cw) AS n FROM uni
+            ), bi AS (
+              SELECT u.w1 AS w1, u.w2 AS w2, CAST(count(*) AS BIGINT) AS cab
+                FROM (SELECT unnest(list_transform(range(1, len(t)),
+                             i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+                        FROM tn WHERE len(t) >= 2)
+               GROUP BY u.w1, u.w2
+              HAVING count(*) >= 5
+            )
+            SELECT b.w1, b.w2, b.cab,
+                   u1.cw AS c1, u2.cw AS c2,
+                   round(ln(CAST(total.n AS DOUBLE) * b.cab / (u1.cw * u2.cw)), 9) AS pmi
+              FROM bi b
+              JOIN uni u1 ON b.w1 = u1.w
+              JOIN uni u2 ON b.w2 = u2.w
+              CROSS JOIN total
+             ORDER BY pmi DESC, b.w1, b.w2
+             LIMIT 20
         """,
         "kmeans_clusters": _kmeans_ctes(8, 4) + """
             SELECT e.vec_id, f.cluster_id, round(f.sq_dist, 7) AS sq_dist

@@ -658,3 +658,70 @@ def nb_classify(
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    column: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """PMI collocation mining: top-``top_k`` adjacent word pairs by
+    pointwise mutual information ``ln(n * c(a,b) / (c(a) * c(b)))``
+    over the corpus (the classic collocation-extraction signal; used
+    to spot boilerplate phrases worth treating as units).
+
+    One explode pass feeds both the unigram and bigram counts; both
+    groupBys partial-aggregate map-side, the unigram table joins back
+    vocab-sized and broadcast. Deterministic output: sort on the
+    ROUNDED pmi then the pair itself, so cross-engine ulp noise in
+    ``ln`` can't reorder ties (same trick as ccnet_buckets).
+    """
+    c = F.col(column)
+    toks = (
+        df.where(c.isNotNull())
+        .select(F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "").alias("_t"))
+        .where(F.size("_t") > 0)
+        .persist()  # Catalyst does not dedupe common subtrees: pin tokenization
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n_tokens = uni.agg(F.sum("cw")).first()[0]
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("_t"), i + 1).alias("w1"),
+            F.element_at(F.col("_t"), i + 2).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.where(F.size("_t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    out = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.lit(float(n_tokens))
+                    * F.col("cab")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                9,
+            ),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+        .select("w1", "w2", "cab", "c1", "c2", "pmi")
+    )
+    return out

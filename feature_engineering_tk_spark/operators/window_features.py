@@ -400,3 +400,37 @@ def expanding_impute(
     return df.withColumns(
         {c: F.coalesce(F.col(c), agg(F.col(c)).over(w)) for c in cols}
     )
+
+
+def context_window(
+    df: DataFrame,
+    text_col: str,
+    n_prev: int = 3,
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    sep: str = " | ",
+    out: str = "context",
+) -> DataFrame:
+    """SFT-style context assembly: for every turn, the concatenation of
+    the previous ``n_prev`` turns' ``text_col`` (oldest → newest) plus
+    its size — the "conversation history" column a supervised-
+    fine-tuning exporter attaches to each target turn.
+
+    Leakage-free by construction: the frame is ``rows between -n_prev
+    and -1`` — the anchor row and everything after it are outside the
+    frame, satisfying the zero-temporal-leakage contract without a
+    runtime guard. One shuffle on the entity key, shared with every
+    other window feature in the job (same ``entity_window``).
+
+    NULL texts participate as empty strings so the context width stays
+    positional (turn 5 always sees turns 2-4), matching how a trainer
+    pads missing turns rather than silently shifting history.
+    """
+    w = entity_window(entity, order).rowsBetween(-n_prev, -1)
+    filled = F.coalesce(F.col(text_col), F.lit(""))
+    return df.withColumns(
+        {
+            out: F.array_join(F.collect_list(filled).over(w), sep),
+            f"{out}_n": F.count(F.lit(1)).over(w).cast("bigint"),
+        }
+    )

@@ -399,3 +399,33 @@ def test_nb_classify_char_analyzer(spark):
     assert {k: v["pred_label"] for k, v in nob.items()} == {100: "greek", 101: "latin"}
     with pytest.raises(ValueError):
         TX.nb_classify(train, infer, analyzer="bigrams")
+
+
+class TestCollocations:
+    def test_pmi_ranks_fixed_phrase_first(self, spark):
+        import math
+
+        from feature_engineering_tk_spark.functions.text import collocations
+
+        rows = [(i, "alpha beta") for i in range(10)] + [
+            (10 + i, "x y z w") for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = collocations(df, min_count=10, top_k=5).collect()
+        top = got[0]
+        # alpha+beta co-occur exclusively → highest PMI despite fewer hits
+        assert (top["w1"], top["w2"]) == ("alpha", "beta")
+        n = 10 * 2 + 30 * 4
+        expect = round(math.log(n * 10 / (10 * 10)), 9)
+        assert abs(top["pmi"] - expect) < 1e-9
+
+    def test_min_count_filters_rare_pairs(self, spark):
+        from feature_engineering_tk_spark.functions.text import collocations
+
+        df = spark.createDataFrame(
+            [(0, "rare pair"), (1, "alpha beta"), (2, "alpha beta"),
+             (3, "alpha beta"), (4, "alpha beta"), (5, "alpha beta")],
+            "doc_id long, text string",
+        )
+        got = collocations(df, min_count=5, top_k=10).collect()
+        assert [(r["w1"], r["w2"]) for r in got] == [("alpha", "beta")]

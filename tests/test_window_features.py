@@ -334,3 +334,36 @@ def test_expanding_impute_past_only(spark):
     pdf2 = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0], "v": [None]})
     df2 = spark.createDataFrame(pdf2, "conv_id string, turn_idx int, v double")
     assert expanding_impute(df2, ["v"]).first()["v"] is None
+
+
+class TestContextWindow:
+    def test_history_is_past_only_and_positional(self, spark):
+        from feature_engineering_tk_spark.operators.window_features import context_window
+
+        df = spark.createDataFrame(
+            [("c1", 0, "a"), ("c1", 1, None), ("c1", 2, "c"), ("c1", 3, "d"), ("c2", 0, "z")],
+            "conv_id string, turn_idx int, text string",
+        )
+        out = {
+            (r["conv_id"], r["turn_idx"]): (r["context"], r["context_n"])
+            for r in context_window(df, "text", n_prev=2, sep="|").collect()
+        }
+        assert out[("c1", 0)] == ("", 0)
+        assert out[("c1", 1)] == ("a", 1)
+        # NULL turn pads as '' so history stays positional
+        assert out[("c1", 2)] == ("a|", 2)
+        assert out[("c1", 3)] == ("|c", 2)
+        assert out[("c2", 0)] == ("", 0)
+
+    def test_shares_entity_shuffle_with_other_windows(self, transcripts):
+        from feature_engineering_tk_spark.operators.window_features import (
+            context_window,
+            with_lag,
+        )
+
+        base = with_lag(transcripts, "text")
+        out = context_window(base, "text", n_prev=3)
+        base_plan = base._jdf.queryExecution().executedPlan().toString()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the context window reuses with_lag's conv_id exchange
+        assert plan.count("Exchange") == base_plan.count("Exchange")
