@@ -2359,6 +2359,18 @@ def q_collocations(spark, sf_dir):
     return collocations(docs, min_count=5, top_k=20)
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """One-pass embedding covariance (functions/embeddings.py):
+    Arrow batches reduce to d(d+3)/2+1 partial sums via numpy matmul
+    before anything shuffles (RowMatrix/treeAggregate shape); sample
+    (ddof=1) covariance assembled on the driver from the sufficient
+    statistics, rounded to pin order-dependent batch sums."""
+    from feature_engineering_tk_spark.functions.embeddings import covariance_table
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return covariance_table(spark, emb)
+
+
 def q_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means (functions/clustering.py kmeans):
     assignment is a shuffle-free array_min expression over driver-
@@ -2555,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans,
         "context_window": q_context_window,
         "collocations": q_collocations,
+        "embedding_covariance": q_embedding_covariance,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "regional_revenue": q_regional_revenue,
@@ -3912,6 +3925,22 @@ def oracle_sql() -> dict[str, str]:
               FROM base b
               LEFT JOIN remc rc USING (doc_id)
               LEFT JOIN kept k USING (doc_id)
+        """,
+        "embedding_covariance": """
+            WITH x AS (
+              SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+            ), d AS (
+              SELECT vec_id, u.i AS i, u.v AS v
+                FROM (SELECT vec_id,
+                             unnest(list_transform(range(0, len(embedding)),
+                                    i -> {'i': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) AS u
+                        FROM x)
+            )
+            SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+                   round((sum(a.v * b.v) - count(*) * avg(a.v) * avg(b.v))
+                         / (count(*) - 1), 6) AS cov
+              FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.i <= b.i
+             GROUP BY a.i, b.i
         """,
         "context_window": """
             SELECT event_id, user_id, event_type,

@@ -1,0 +1,65 @@
+"""Embedding covariance / PCA vs numpy ground truth, plus plan-shape
+checks (batch-reduced moments, shuffle-free projection)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feature_engineering_tk_spark.functions.embeddings import (
+    covariance_stats,
+    embedding_moments,
+    pca_components,
+    pca_project,
+)
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = np.random.default_rng(11)
+    # anisotropic gaussian: dominant variance along a known direction
+    base = rng.normal(0, 1, (200, 6))
+    base[:, 0] *= 4.0
+    base[:, 1] *= 2.0
+    base += np.array([1.0, -2.0, 0.5, 0.0, 3.0, -1.0])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    return df, base.astype(np.float32).astype(np.float64)
+
+
+def test_covariance_matches_numpy(data):
+    df, x = data
+    n, mean, cov = covariance_stats(df)
+    assert n == 200
+    np.testing.assert_allclose(mean, x.mean(axis=0), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(x, rowvar=False, ddof=1), rtol=1e-7, atol=1e-9)
+
+
+def test_moments_table_is_batch_sized(data):
+    df, _ = data
+    m = embedding_moments(df)
+    d = 6
+    assert m.count() == d * (d + 1) // 2 + d + 1
+
+
+def test_pca_recovers_dominant_axis(data):
+    df, x = data
+    mean, comps, ev = pca_components(df, k=3)
+    # dominant component aligns with dim 0 (variance 16 vs 4 vs ~1)
+    assert np.abs(comps[0][0]) > 0.95
+    assert ev[0] > ev[1] > ev[2]
+    ref = np.linalg.eigvalsh(np.cov(x, rowvar=False, ddof=1))[::-1][:3]
+    np.testing.assert_allclose(ev, ref, rtol=1e-7)
+
+
+def test_projection_matches_numpy_and_is_shuffle_free(data):
+    df, x = data
+    mean, comps, _ = pca_components(df, k=2)
+    out = pca_project(df, mean, comps)
+    got = {r["vec_id"]: (r["pc0"], r["pc1"]) for r in out.collect()}
+    expect = (x - x.mean(axis=0)) @ comps.T
+    for i in range(200):
+        np.testing.assert_allclose(got[i], expect[i], rtol=1e-6, atol=1e-9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
