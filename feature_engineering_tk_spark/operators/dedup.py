@@ -519,6 +519,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     n_centroids: int = 8,
     threshold: float = 0.9,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
     semantic near-duplicate removal over an embedding column. Cluster
@@ -543,7 +544,20 @@ def semantic_dedup(
         l2_norm,
     )
 
-    assigned, _ = ivf_assign(df, vec_col, id_col, n_centroids)
+    if refine_iters > 0:
+        # Lloyd-refined cells (functions/clustering.py): balances the
+        # per-cluster quadratic term when the corpus is clumpy, which
+        # is exactly when SemDeDup matters
+        from feature_engineering_tk_spark.functions.clustering import kmeans
+
+        clustered, _cent = kmeans(
+            df, vec_col, id_col, k=n_centroids, n_iter=refine_iters
+        )
+        assigned = df.join(
+            clustered.select(id_col, F.col("cluster_id").alias("centroid_id")), id_col
+        )
+    else:
+        assigned, _ = ivf_assign(df, vec_col, id_col, n_centroids)
     a = assigned.select(
         F.col("centroid_id"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
     )

@@ -67,3 +67,21 @@ def test_cluster_sizes(blobs):
     sizes = {r["cluster_id"]: r["n"] for r in cluster_sizes(assigned).collect()}
     assert sum(sizes.values()) == 90
     assert all(v == 30 for v in sizes.values())
+
+
+def test_semantic_dedup_with_lloyd_refined_cells(spark):
+    """refine_iters routes cell assignment through kmeans; exact
+    clones still collapse to the smallest-id representative."""
+    import numpy as np
+
+    from feature_engineering_tk_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 1, (40, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    rows += [(100 + i, [float(x) for x in vecs[i]]) for i in range(10)]  # clones
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = semantic_dedup(df, threshold=0.999, n_centroids=4, refine_iters=3)
+    ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert set(range(40)).issubset(ids)
+    assert all(100 + i not in ids for i in range(10))
