@@ -2359,6 +2359,50 @@ def q_collocations(spark, sf_dir):
     return collocations(docs, min_count=5, top_k=20)
 
 
+_DRIFT_CUT = "2024-01-15"
+
+
+def q_psi_drift(spark, sf_dir):
+    """PSI drift monitor (analysis/drift.py psi_table): reference
+    decile bins from exact distributed quantiles (DuckDB
+    quantile_cont-identical), smoothed proportions, per-bin terms +
+    repeated total. Ref = events before the cut date, cur = after."""
+    from feature_engineering_tk_spark.analysis.drift import psi_table
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("ts") < F.lit(_DRIFT_CUT).cast("timestamp"))
+    cur = ev.where(F.col("ts") >= F.lit(_DRIFT_CUT).cast("timestamp"))
+    return psi_table(ref, cur, "value", bins=10)
+
+
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample KS (analysis/drift.py ks_statistic_df):
+    sup|F1-F2| over pooled distinct values via range-partitioned
+    prefix sums (no unpartitioned window); Kolmogorov-series p as a
+    100-term sequential fold, bit-identical cross-engine."""
+    from feature_engineering_tk_spark.analysis.drift import ks_statistic_df
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "view")
+    return ks_statistic_df(a, b, "value")
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (analysis/stats.py mann_whitney_u): midranks
+    from distinct-value prefix sums, tie-corrected normal z with
+    continuity correction; p (erfc-based) lives in the dict API, the
+    oracled surface is the exact U and z."""
+    from feature_engineering_tk_spark.analysis.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    r = mann_whitney_u(ev, "value", "event_type", "click", "view")
+    return spark.createDataFrame(
+        [(float(r["u_statistic"]), round(float(r["z"]), 9), r["n1"], r["n2"])],
+        "u_statistic double, z double, n1 bigint, n2 bigint",
+    )
+
+
 def q_embedding_covariance(spark, sf_dir):
     """One-pass embedding covariance (functions/embeddings.py):
     Arrow batches reduce to d(d+3)/2+1 partial sums via numpy matmul
@@ -2568,6 +2612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_window": q_context_window,
         "collocations": q_collocations,
         "embedding_covariance": q_embedding_covariance,
+        "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
+        "mann_whitney": q_mann_whitney,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "regional_revenue": q_regional_revenue,
@@ -3925,6 +3972,118 @@ def oracle_sql() -> dict[str, str]:
               FROM base b
               LEFT JOIN remc rc USING (doc_id)
               LEFT JOIN kept k USING (doc_id)
+        """,
+        "psi_drift": """
+            WITH r AS (
+              SELECT value AS v FROM events
+               WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-15'
+            ), cur AS (
+              SELECT value AS v FROM events
+               WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-15'
+            ), e AS (
+              -- engine edges route probabilities through the percent
+              -- scale (operators/quantiles.py); replay the round trip
+              SELECT """ + ", ".join(
+                  f"quantile_cont(v, (CAST({i} AS DOUBLE)/10*100)/100) AS e{i}"
+                  for i in range(1, 10)
+              ) + """
+                FROM r
+            ), coded AS (
+              SELECT """ + " + ".join(f"CAST((v > e.e{i}) AS INT)" for i in range(1, 10)) + """
+                     AS bin, 1 AS is_r FROM r, e
+              UNION ALL
+              SELECT """ + " + ".join(f"CAST((v > e.e{i}) AS INT)" for i in range(1, 10)) + """
+                     AS bin, 0 AS is_r FROM cur, e
+            ), cnt AS (
+              SELECT bin, CAST(sum(is_r) AS BIGINT) AS n_ref,
+                     CAST(sum(1 - is_r) AS BIGINT) AS n_cur
+                FROM coded GROUP BY bin
+            ), grid AS (SELECT CAST(unnest(range(10)) AS INTEGER) AS bin
+            ), g2 AS (
+              SELECT grid.bin, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+                FROM grid LEFT JOIN cnt USING (bin)
+            ), tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM g2
+            ), terms AS (
+              SELECT bin, n_ref, n_cur,
+                     greatest(n_ref / tr, 1e-6) AS pr,
+                     greatest(n_cur / tc, 1e-6) AS pc,
+                     (greatest(n_ref / tr, 1e-6) - greatest(n_cur / tc, 1e-6))
+                       * ln(greatest(n_ref / tr, 1e-6) / greatest(n_cur / tc, 1e-6)) AS t
+                FROM g2, tot
+            ), total AS (SELECT round(sum(t), 9) AS psi_total FROM terms)
+            SELECT bin, n_ref, n_cur,
+                   round(pr, 9) AS p_ref, round(pc, 9) AS p_cur,
+                   round(t, 9) AS psi_term, psi_total
+              FROM terms, total
+        """,
+        "ks_drift": """
+            WITH a AS (
+              SELECT value AS x FROM events
+               WHERE value IS NOT NULL AND event_type = 'click'
+            ), b AS (
+              SELECT value AS x FROM events
+               WHERE value IS NOT NULL AND event_type = 'view'
+            ), u AS (
+              SELECT x, 1 AS ia FROM a UNION ALL SELECT x, 0 FROM b
+            ), vc AS (
+              SELECT x, CAST(sum(ia) AS BIGINT) AS ca,
+                     CAST(sum(1 - ia) AS BIGINT) AS cb
+                FROM u GROUP BY x
+            ), cum AS (
+              SELECT x, sum(ca) OVER (ORDER BY x) AS cum_a,
+                     sum(cb) OVER (ORDER BY x) AS cum_b FROM vc
+            ), n AS (SELECT max(cum_a) AS n1, max(cum_b) AS n2 FROM cum
+            ), d AS (
+              SELECT max(abs(cum_a / n.n1 - cum_b / n.n2)) AS d_stat,
+                     max(n.n1) AS n1, max(n.n2) AS n2
+                FROM cum, n
+            ), l AS (
+              SELECT d_stat, n1, n2,
+                     (sqrt(n1 * n2 / (n1 + n2)) + 0.12
+                      + 0.11 / sqrt(n1 * n2 / (n1 + n2))) * d_stat AS lam
+                FROM d
+            )
+            SELECT round(d_stat, 9) AS d_stat,
+                   CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   round(CASE WHEN d_stat = 0.0 THEN 1.0
+                         ELSE least(greatest(
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(range(1, 101),
+                               j -> (CASE WHEN j % 2 = 1 THEN 2.0 ELSE -2.0 END)
+                                    * exp(-2.0 * (j * j) * lam * lam))),
+                             (acc, x) -> acc + x), 0.0), 1.0) END, 9) AS p_value
+              FROM l
+        """,
+        "mann_whitney": """
+            WITH d AS (
+              SELECT event_type AS g, value AS v FROM events
+               WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+            ), vc AS (
+              SELECT v, count(*) AS c FROM d GROUP BY v
+            ), vr AS (
+              SELECT v, c, sum(c) OVER (ORDER BY v) - c + (c + 1) / 2.0 AS ar FROM vc
+            ), j AS (
+              SELECT d.g, vr.ar FROM d JOIN vr ON d.v = vr.v
+            ), pg AS (
+              SELECT g, sum(ar) AS R, count(*) AS n FROM j GROUP BY g
+            ), s AS (
+              SELECT (SELECT R FROM pg WHERE g = 'click') AS r1,
+                     (SELECT n FROM pg WHERE g = 'click') AS n1,
+                     (SELECT n FROM pg WHERE g = 'view') AS n2,
+                     (SELECT sum(CAST(c AS DOUBLE) * c * c - c) FROM vc) AS tie
+            ), f AS (
+              SELECT r1 - n1 * (n1 + 1) / 2.0 AS u1, n1, n2, n1 + n2 AS N, tie FROM s
+            ), zc AS (
+              SELECT u1, n1, n2, n1 * n2 / 2.0 AS mu,
+                     sqrt(n1 * n2 / 12.0 * ((N + 1.0) - tie / (N * (N - 1.0)))) AS sigma
+                FROM f
+            )
+            SELECT u1 AS u_statistic,
+                   round((u1 - mu - (CASE WHEN u1 > mu THEN 0.5
+                                          WHEN u1 < mu THEN -0.5
+                                          ELSE 0.0 END)) / sigma, 9) AS z,
+                   CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+              FROM zc
         """,
         "embedding_covariance": """
             WITH x AS (

@@ -1,0 +1,199 @@
+"""Distribution-drift monitoring between two corpus slices.
+
+The production counterpart of the reference's one-shot EDA
+(`data_analysis.py` distribution summaries): a 100 TB feature pipeline
+re-runs daily, and what it needs is not a histogram but a DRIFT signal
+between the reference window and the current one.  Two classic
+monitors, both computed without ever sorting row data globally:
+
+- **PSI** (population stability index, the credit-scoring standard):
+  reference-decile bins from the engine's exact distributed quantiles
+  (operators/quantiles.py sort-select — bit-identical to DuckDB
+  ``quantile_cont``), one map-side-combined groupBy per slice,
+  smoothed proportions so empty bins stay finite.
+- **Exact two-sample Kolmogorov-Smirnov**: ECDFs change only at
+  sample points, so sup|F1-F2| over the pooled DISTINCT values is
+  exact — distinct-value counts + a range-partitioned prefix sum (the
+  kruskal-wallis midrank machinery generalized to two cumulative
+  columns), never a single-partition window.  The asymptotic p-value
+  is the Kolmogorov series (Numerical Recipes ``probks``), evaluated
+  as a fixed-length sequential fold so any engine reproduces it
+  bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feature_engineering_tk_spark.operators.quantiles import exact_quantiles
+
+PSI_EPS = 1e-6
+
+
+def psi_table(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    bins: int = 10,
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """Per-bin PSI decomposition between ``ref`` and ``cur``.
+
+    Bin edges are the reference slice's exact ``i/bins`` quantiles;
+    assignment is the open-left ``sum(v > edge)`` coding shared with
+    transforms/binning.py, so the reference slice lands ~uniformly by
+    construction and drift shows up as current-slice mass imbalance.
+    Proportions are floored at ``eps`` (standard PSI smoothing) so a
+    bin that empties out contributes a large-but-finite term.
+
+    Returns one row per bin — (bin, n_ref, n_cur, p_ref, p_cur,
+    psi_term, psi_total) — with ``psi_total`` repeated per row
+    (aggregate-sized result; > 0.25 is the conventional alarm).
+    """
+    edges = exact_quantiles(ref, column, [i / bins for i in range(1, bins)])
+    edges = sorted({float(e) for e in edges if e is not None})
+
+    def code(df: DataFrame, flag: str) -> DataFrame:
+        v = F.col(column)
+        b = sum((v > F.lit(e)).cast("int") for e in edges)
+        return (
+            df.where(v.isNotNull())
+            .select(b.alias("bin"))
+            .withColumn("_f", F.lit(flag))
+        )
+
+    both = code(ref, "r").unionByName(code(cur, "c"))
+    counts = both.groupBy("bin").agg(
+        F.sum((F.col("_f") == "r").cast("bigint")).alias("n_ref"),
+        F.sum((F.col("_f") == "c").cast("bigint")).alias("n_cur"),
+    )
+    spark = ref.sparkSession
+    grid = spark.range(len(edges) + 1).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p_ref = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(float(eps)))
+    p_cur = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(float(eps)))
+    term = (p_ref - p_cur) * F.log(p_ref / p_cur)
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 9).alias("p_ref"),
+        F.round(p_cur, 9).alias("p_cur"),
+        F.round(term, 9).alias("psi_term"),
+        term.alias("_t"),
+    )
+    total = scored.agg(F.round(F.sum("_t"), 9).alias("psi_total"))
+    return scored.crossJoin(F.broadcast(total)).drop("_t")
+
+
+def _two_sided_cumulative(df: DataFrame, value: str, flag: str) -> DataFrame:
+    """Distinct-value table with range-partitioned prefix sums of both
+    slices' counts: (v, ca, cb, cum_a, cum_b). Same pid-offset pattern
+    as stats._average_ranks — no unpartitioned window anywhere."""
+    sess = df.sparkSession
+    vc = df.groupBy(F.col(value).alias("_v")).agg(
+        F.sum((F.col(flag) == "a").cast("bigint")).alias("_ca"),
+        F.sum((F.col(flag) == "b").cast("bigint")).alias("_cb"),
+    )
+    nparts = max(sess.sparkContext.defaultParallelism, 2)
+    vc = vc.repartitionByRange(nparts, "_v").sortWithinPartitions("_v")
+    vc = vc.withColumn("_pid", F.spark_partition_id()).persist()
+    part_tot = {
+        r["_pid"]: (r["ta"], r["tb"])
+        for r in vc.groupBy("_pid")
+        .agg(F.sum("_ca").alias("ta"), F.sum("_cb").alias("tb"))
+        .collect()
+    }
+    offs, acc_a, acc_b = {}, 0, 0
+    for pid in sorted(part_tot):
+        offs[pid] = (acc_a, acc_b)
+        acc_a += part_tot[pid][0]
+        acc_b += part_tot[pid][1]
+    off_a = F.create_map(*[x for k, v in offs.items() for x in (F.lit(k), F.lit(v[0]))])
+    off_b = F.create_map(*[x for k, v in offs.items() for x in (F.lit(k), F.lit(v[1]))])
+    w = Window.partitionBy("_pid").orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    return vc.select(
+        "_v",
+        "_ca",
+        "_cb",
+        (F.sum("_ca").over(w) + off_a[F.col("_pid")]).alias("_cum_a"),
+        (F.sum("_cb").over(w) + off_b[F.col("_pid")]).alias("_cum_b"),
+    )
+
+
+def ks_statistic_df(a: DataFrame, b: DataFrame, column: str) -> DataFrame:
+    """One-row DataFrame (d_stat, n1, n2, p_value): exact two-sample
+    KS over pooled distinct values; p from the Kolmogorov series as a
+    100-term sequential fold (cross-engine bit-identical)."""
+    av = a.select(F.col(column).alias("_x")).where(F.col("_x").isNotNull())
+    bv = b.select(F.col(column).alias("_x")).where(F.col("_x").isNotNull())
+    both = av.withColumn("_s", F.lit("a")).unionByName(bv.withColumn("_s", F.lit("b")))
+    cum = _two_sided_cumulative(both, "_x", "_s")
+    agg = cum.agg(
+        F.max("_cum_a").alias("n1"),
+        F.max("_cum_b").alias("n2"),
+    )
+    d = cum.crossJoin(F.broadcast(agg)).agg(
+        F.max(
+            F.abs(
+                F.col("_cum_a") / F.col("n1") - F.col("_cum_b") / F.col("n2")
+            )
+        ).alias("d_stat"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    en = F.sqrt(F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")))
+    lam = (en + F.lit(0.12) + F.lit(0.11) / en) * F.col("d_stat")
+    # probks: p = 2 Σ_{j≥1} (-1)^{j-1} exp(-2 j² λ²), fixed 100 terms,
+    # sequential fold so the oracle replays the same rounding order
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.when(j % 2 == 1, F.lit(2.0)).otherwise(F.lit(-2.0))
+        * F.exp(F.lit(-2.0) * (j * j).cast("double") * lam * lam),
+    )
+    # p first, rounding after: a `d_stat` alias in the same select
+    # would lateral-resolve inside `lam` and shift p by ~1e-9
+    scored = d.select(
+        "d_stat",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(
+            F.when(F.col("d_stat") == 0.0, F.lit(1.0))  # λ=0: series oscillates
+            .otherwise(F.least(F.greatest(series, F.lit(0.0)), F.lit(1.0))),
+            9,
+        ).alias("p_value"),
+    )
+    return scored.select(
+        F.round("d_stat", 9).alias("d_stat"), "n1", "n2", "p_value"
+    )
+
+
+def ks_two_sample(a: DataFrame, b: DataFrame, column: str) -> dict:
+    """Dict API over :func:`ks_statistic_df`."""
+    r = ks_statistic_df(a, b, column).first()
+    return {
+        "statistic": r["d_stat"],
+        "pvalue": r["p_value"],
+        "n1": r["n1"],
+        "n2": r["n2"],
+    }
+
+
+def psi(ref: DataFrame, cur: DataFrame, column: str, bins: int = 10) -> float:
+    """Scalar PSI (sum of per-bin terms)."""
+    return psi_table(ref, cur, column, bins).select("psi_total").first()[0]

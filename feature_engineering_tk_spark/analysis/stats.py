@@ -391,3 +391,59 @@ def kruskal_wallis(df: DataFrame, value: str, group: str) -> dict:
     stat = H / C if C > 0 else float("nan")
     p = S.chi2_sf(stat, k - 1)
     return {"statistic": stat, "pvalue": p}
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value: str,
+    group: str,
+    group_a,
+    group_b,
+) -> dict:
+    """Mann-Whitney U (scipy.mannwhitneyu two-sided, normal
+    approximation with tie correction and continuity correction) —
+    the two-group special case the reference reaches via
+    Kruskal-Wallis (target_analyzer/statistical.py non-parametric
+    path), exposed directly because drift checks compare exactly two
+    slices.
+
+    Same scale shape as kruskal_wallis: global midranks WITHOUT a
+    global sort (distinct-value prefix sums), one rank join, one
+    two-row aggregate; everything after runs on sufficient statistics
+    on the driver.
+    """
+    d = df.select(F.col(group).alias("_g"), F.col(value).alias("_v")).filter(
+        F.col("_v").isNotNull() & F.col(group).isin([group_a, group_b])
+    )
+    ranks = _average_ranks(d, "_v")
+    per_group = {
+        r["_g"]: (r["R"], r["n"])
+        for r in d.join(ranks, "_v")
+        .groupBy("_g")
+        .agg(F.sum("_avg_rank").alias("R"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if group_a not in per_group or group_b not in per_group:
+        return {"u_statistic": float("nan"), "z": float("nan"), "pvalue": float("nan")}
+    r1, n1 = per_group[group_a]
+    _r2, n2 = per_group[group_b]
+    N = n1 + n2
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2 / 2.0
+    ties = ranks.agg(
+        F.sum(F.col("_c").cast("double") * F.col("_c") * F.col("_c") - F.col("_c")).alias("t")
+    ).first()["t"] or 0.0
+    sigma_sq = n1 * n2 / 12.0 * ((N + 1.0) - ties / (N * (N - 1.0)))
+    if sigma_sq <= 0:
+        return {"u_statistic": u1, "z": float("nan"), "pvalue": float("nan")}
+    sigma = math.sqrt(sigma_sq)
+    cc = 0.5 if u1 > mu else (-0.5 if u1 < mu else 0.0)
+    z = (u1 - mu - cc) / sigma
+    p = math.erfc(abs(z) / math.sqrt(2.0))
+    return {
+        "u_statistic": u1,
+        "z": z,
+        "pvalue": min(p, 1.0),
+        "n1": int(n1),
+        "n2": int(n2),
+    }
