@@ -111,7 +111,10 @@ def main() -> None:
         )
     )
 
-    # 6. Q5-shaped 6-table join: every join must be a broadcast
+    # 6. Q5-shaped 6-table join: bounded dims (region/nation/orders-side
+    # aggregates) broadcast; customer scales with the corpus, so its join
+    # is LEFT to AQE (sort-merge at toy SF is the scale-correct plan —
+    # round-2 verdict item #3)
     import __spark_entry__ as entry
 
     p = plan_of(entry.q_regional_revenue(spark, SF))
@@ -121,7 +124,8 @@ def main() -> None:
         (
             "6-table dim chain (TPC-H Q5 shape)",
             p,
-            [f"broadcast_joins={n_bhj} (want 5)", f"sort_merge_joins={n_smj} (want 0)"],
+            [f"broadcast_joins={n_bhj} (want 4 — bounded dims only)",
+             f"sort_merge_joins={n_smj} (want 1 — customer via AQE, never broadcast-hinted)"],
         )
     )
 
