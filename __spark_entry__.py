@@ -2359,6 +2359,29 @@ def q_collocations(spark, sf_dir):
     return collocations(docs, min_count=5, top_k=20)
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-event funnel (operators/funnel.py): earliest strict
+    view→click→purchase completion within 2 h per user — ONE entity
+    shuffle, the whole state machine a sequential JVM fold over
+    time-sorted events (no k-join chain), integer-µs arithmetic."""
+    from feature_engineering_tk_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev, ["view", "click", "purchase"], within_seconds=7200.0
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention triangle (operators/funnel.py
+    cohort_retention): Monday-truncated first-seen cohorts × active
+    weeks, three partial-aggregatable shuffles, no window."""
+    from feature_engineering_tk_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
 _DRIFT_CUT = "2024-01-15"
 
 
@@ -2615,6 +2638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "mann_whitney": q_mann_whitney,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "regional_revenue": q_regional_revenue,
@@ -3972,6 +3997,57 @@ def oracle_sql() -> dict[str, str]:
               FROM base b
               LEFT JOIN remc rc USING (doc_id)
               LEFT JOIN kept k USING (doc_id)
+        """,
+        "funnel": """
+            WITH ev AS (
+              SELECT user_id,
+                     [CAST(epoch_us(ts) AS BIGINT),
+                      CAST(CASE event_type WHEN 'view' THEN 0
+                                           WHEN 'click' THEN 1
+                                           WHEN 'purchase' THEN 2
+                                           ELSE -1 END AS BIGINT)] AS e
+                FROM events WHERE ts IS NOT NULL
+            ), g AS (
+              SELECT user_id, list(e ORDER BY e[1], e[2]) AS evs FROM ev GROUP BY user_id
+            ), s AS (
+              SELECT user_id,
+                     list_reduce(
+                       list_prepend([CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)], evs),
+                       (acc, x) -> [
+                         CASE WHEN acc[1] != -1 THEN acc[1]
+                              WHEN x[2] = 0 THEN x[1] ELSE -1 END,
+                         CASE WHEN acc[2] != -1 THEN acc[2]
+                              WHEN x[2] = 1 AND acc[1] != -1 AND x[1] > acc[1]
+                                   AND x[1] - acc[1] <= 7200000000 THEN x[1] ELSE -1 END,
+                         CASE WHEN acc[3] != -1 THEN acc[3]
+                              WHEN x[2] = 2 AND acc[2] != -1 AND x[1] > acc[2]
+                                   AND x[1] - acc[1] <= 7200000000 THEN x[1] ELSE -1 END
+                       ]) AS st
+                FROM g
+            )
+            SELECT user_id,
+                   CAST(len(list_filter(st, v -> v != -1)) AS INTEGER) AS steps_completed,
+                   len(list_filter(st, v -> v != -1)) = 3 AS completed,
+                   CASE WHEN len(list_filter(st, v -> v != -1)) = 3
+                        THEN (st[3] - st[1]) / 1000000.0 END AS funnel_seconds
+              FROM s
+        """,
+        "cohort_retention": """
+            WITH wk AS (
+              SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+                FROM events WHERE ts IS NOT NULL
+            ), fw AS (
+              SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+            ), active AS (
+              SELECT DISTINCT user_id, week FROM wk
+            ), j AS (
+              SELECT a.user_id, f.cohort_week,
+                     CAST(datediff('day', f.cohort_week, a.week) // 7 AS INTEGER) AS week_offset
+                FROM active a JOIN fw f USING (user_id)
+            )
+            SELECT cohort_week, week_offset,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM j GROUP BY cohort_week, week_offset
         """,
         "psi_drift": """
             WITH r AS (
