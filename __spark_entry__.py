@@ -2359,6 +2359,26 @@ def q_collocations(spark, sf_dir):
     return collocations(docs, min_count=5, top_k=20)
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Blocked fuzzy matching (operators/dedup.py fuzzy_pairs):
+    one-substitution variants injected for every 7th doc are recovered
+    as Levenshtein ≤ 2 pairs inside first-4-char blocks — edit
+    distance never crosses blocks, runs as the built-in JVM
+    expression."""
+    from feature_engineering_tk_spark.operators.dedup import fuzzy_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.substring("text", 1, 24).alias("name"))
+    variants = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 9), F.lit("z"), F.substring("text", 11, 14)
+        ).alias("name"),
+    )
+    corpus = base.unionByName(variants)
+    return fuzzy_pairs(corpus, "name", "doc_id", max_dist=2)
+
+
 def q_funnel(spark, sf_dir):
     """Ordered-event funnel (operators/funnel.py): earliest strict
     view→click→purchase completion within 2 h per user — ONE entity
@@ -2639,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "mann_whitney": q_mann_whitney,
         "funnel": q_funnel,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "cohort_retention": q_cohort_retention,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -3997,6 +4018,23 @@ def oracle_sql() -> dict[str, str]:
               FROM base b
               LEFT JOIN remc rc USING (doc_id)
               LEFT JOIN kept k USING (doc_id)
+        """,
+        "fuzzy_pairs": """
+            WITH base AS (
+              SELECT doc_id, substr(text, 1, 24) AS name FROM documents
+            ), var AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     substr(text, 1, 9) || 'z' || substr(text, 11, 14) AS name
+                FROM documents WHERE doc_id % 7 = 0
+            ), c AS (
+              SELECT * FROM base UNION ALL SELECT * FROM var
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+              FROM c a JOIN c b
+                ON substr(lower(trim(a.name)), 1, 4) = substr(lower(trim(b.name)), 1, 4)
+               AND a.doc_id < b.doc_id
+             WHERE levenshtein(a.name, b.name) <= 2
         """,
         "funnel": """
             WITH ev AS (

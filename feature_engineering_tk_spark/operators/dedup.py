@@ -741,3 +741,61 @@ def exact_span_dedup(
             F.coalesce("_nrem", F.lit(0)).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: Column | None = None,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy matching (record linkage / entity resolution):
+    candidate pairs within an equality BLOCK, kept when Levenshtein
+    distance ≤ ``max_dist``.  Returns (id_a, id_b, dist), id_a < id_b.
+
+    The standard blocking trade: edit distance is quadratic, so it is
+    never evaluated across blocks — the self-join shuffles on the
+    block key (default: first 4 chars, case/space-folded) and the
+    per-block candidate square stays tiny when the key is selective.
+    For skew-prone keys compose a tighter block (add a length band,
+    soundex, or an LSH bucket) or cap hot blocks the way
+    minhash_lsh_candidates does; AQE's skew split is the backstop.
+    Levenshtein runs in the JVM (built-in expression), no Python.
+    """
+    if block is None:
+        block = F.substring(F.lower(F.trim(F.col(text_col))), 1, 4)
+    side = df.select(
+        block.alias("_blk"), F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+    )
+    a = side.select(
+        "_blk", F.col("_id").alias("id_a"), F.col("_txt").alias("_ta")
+    )
+    b = side.select(
+        "_blk", F.col("_id").alias("id_b"), F.col("_txt").alias("_tb")
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: Column | None = None,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Keep-smallest-id fuzzy dedup over :func:`fuzzy_pairs` — every
+    row with a more-senior fuzzy match inside its block is dropped
+    (ids-only anti join; text never shuffles twice)."""
+    losers = (
+        fuzzy_pairs(df, text_col, id_col, block, max_dist)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")

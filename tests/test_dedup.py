@@ -325,3 +325,32 @@ def test_dedup_paragraphs_keeps_global_first(spark):
     # null text → one empty (short, kept-verbatim) paragraph, row present
     assert out[3]["clean_text"] == ""
     assert out[3]["n_paras"] == 1 and out[3]["n_paras_kept"] == 1
+
+
+class TestFuzzyPairs:
+    def test_blocked_levenshtein_pairs(self, spark):
+        from feature_engineering_tk_spark.operators.dedup import fuzzy_dedup, fuzzy_pairs
+
+        rows = [
+            (1, "Acme Corporation"),
+            (2, "Acme Corporation"),   # exact dup
+            (3, "Acme Corporatian"),   # 1 substitution
+            (4, "Acme Holdings"),      # same block, too far
+            (5, "Zeta Widgets"),       # different block
+            (6, "acme Corporatio"),    # case-folded block, 1 deletion vs 1
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in fuzzy_pairs(df).collect()}
+        assert pairs[(1, 2)] == 0
+        assert pairs[(1, 3)] == 1
+        assert (1, 4) not in pairs and (4, 5) not in pairs
+        assert (1, 6) in pairs  # blocking is case-insensitive
+        kept = {r["doc_id"] for r in fuzzy_dedup(df).select("doc_id").collect()}
+        assert kept == {1, 4, 5}
+
+    def test_distance_runs_in_jvm(self, spark):
+        from feature_engineering_tk_spark.operators.dedup import fuzzy_pairs
+
+        df = spark.createDataFrame([(1, "ab"), (2, "ac")], "doc_id long, text string")
+        plan = fuzzy_pairs(df)._jdf.queryExecution().executedPlan().toString()
+        assert "levenshtein" in plan and "BatchEvalPython" not in plan
