@@ -315,3 +315,61 @@ def test_sessionize_matches_pandas_cumsum(spark, gaps, threshold):
         .tolist()
     )
     assert got == expected
+
+
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(0, 4)),
+        min_size=0,
+        max_size=40,
+    ),
+    within=st.one_of(st.none(), st.integers(1, 300)),
+)
+@SET
+def test_funnel_matches_bruteforce(spark, evs, within):
+    """funnel() fold vs a brute-force per-entity simulation: earliest
+    strict-order completion of [e0, e1, e2] with optional budget from
+    step 1, over arbitrary event soup (ties, repeats, off-funnel
+    noise)."""
+    import datetime as dt
+
+    from feature_engineering_tk_spark.operators.funnel import funnel as spark_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    steps = ["e0", "e1", "e2"]
+    rows = [
+        (u, t0 + dt.timedelta(seconds=s), f"e{e}") for u, s, e in evs
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: (r["steps_completed"], r["funnel_seconds"])
+        for r in spark_funnel(
+            df, steps, within_seconds=None if within is None else float(within)
+        ).collect()
+    }
+
+    # brute force: replay events per user in (ts, step_idx) order
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, s, e in evs:
+        idx = e if e < 3 else -1
+        by_user.setdefault(u, []).append((s, idx))
+    for u, seq in by_user.items():
+        st_arr = [None, None, None]
+        for s, idx in sorted(seq):
+            for i in range(3):
+                if st_arr[i] is None and idx == i:
+                    prev_ok = i == 0 or (st_arr[i - 1] is not None and s > st_arr[i - 1])
+                    if prev_ok and (
+                        within is None or i == 0 or (s - st_arr[0]) <= within
+                    ):
+                        st_arr[i] = s
+        done = 0
+        for v in st_arr:
+            if v is None:
+                break
+            done += 1
+        span = float(st_arr[2] - st_arr[0]) if done == 3 else None
+        assert got[u][0] == done, (u, seq, st_arr, got[u])
+        assert got[u][1] == span, (u, seq, st_arr, got[u])
