@@ -33,6 +33,22 @@ from feature_engineering_tk_spark.operators.quantiles import exact_quantiles
 PSI_EPS = 1e-6
 
 
+def reference_edges(ref: DataFrame, column: str, bins: int = 10) -> list[float]:
+    """Fitted drift-bin edges: the reference slice's exact i/bins
+    quantiles (deduplicated). Persist these next to other fitted
+    transform state — the streaming monitor applies them as a
+    stateless expression."""
+    edges = exact_quantiles(ref, column, [i / bins for i in range(1, bins)])
+    return sorted({float(e) for e in edges if e is not None})
+
+
+def bin_code(v, edges: list[float]):
+    """Open-left bin coding ``sum(v > edge)`` — the transforms/
+    binning.py convention; a pure row-local expression, safe in
+    Structured Streaming."""
+    return sum((v > F.lit(e)).cast("int") for e in edges)
+
+
 def psi_table(
     ref: DataFrame,
     cur: DataFrame,
@@ -53,15 +69,13 @@ def psi_table(
     psi_term, psi_total) — with ``psi_total`` repeated per row
     (aggregate-sized result; > 0.25 is the conventional alarm).
     """
-    edges = exact_quantiles(ref, column, [i / bins for i in range(1, bins)])
-    edges = sorted({float(e) for e in edges if e is not None})
+    edges = reference_edges(ref, column, bins)
 
     def code(df: DataFrame, flag: str) -> DataFrame:
         v = F.col(column)
-        b = sum((v > F.lit(e)).cast("int") for e in edges)
         return (
             df.where(v.isNotNull())
-            .select(b.alias("bin"))
+            .select(bin_code(v, edges).alias("bin"))
             .withColumn("_f", F.lit(flag))
         )
 

@@ -160,3 +160,46 @@ def test_streaming_quality_gates_stateless(spark, tmp_path):
     exp = exp.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
     assert bool(got.loc[got.doc_id == 0, "gopher_pass"].iloc[0]) is True
+
+
+def test_streaming_psi_bin_coding(spark, tmp_path):
+    """Drift monitoring in production is a STREAM: edges fitted once
+    on the reference batch, bin coding applied statelessly to the
+    stream, per-bin counts from a streaming aggregate. The drained
+    counts must equal the batch coding exactly."""
+    import numpy as np
+
+    from feature_engineering_tk_spark.analysis.drift import bin_code, reference_edges
+
+    rng = np.random.default_rng(21)
+    src = str(tmp_path / "cur_src")
+    ref = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0, 1, 1000)], "value double"
+    )
+    cur_rows = [(float(v),) for v in rng.normal(0.5, 1, 800)]
+    spark.createDataFrame(cur_rows, "value double").write.mode("overwrite").parquet(src)
+
+    edges = reference_edges(ref, "value", bins=10)
+    from pyspark.sql import functions as F
+
+    def counts(df):
+        return df.where(F.col("value").isNotNull()).groupBy(
+            bin_code(F.col("value"), edges).alias("bin")
+        ).count()
+
+    stream = spark.readStream.schema("value double").parquet(src)
+    q = (
+        counts(stream)
+        .writeStream.format("memory")
+        .queryName("psi_bins")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["bin"]: r["count"] for r in spark.sql("SELECT * FROM psi_bins").collect()
+    }
+    exp = {r["bin"]: r["count"] for r in counts(spark.read.parquet(src)).collect()}
+    assert got == exp
+    assert sum(got.values()) == 800
