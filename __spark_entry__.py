@@ -2359,6 +2359,27 @@ def q_collocations(spark, sf_dir):
     return collocations(docs, min_count=5, top_k=20)
 
 
+def q_pagerank(spark, sf_dir):
+    """Weighted PageRank (operators/graph.py) over a deterministic
+    50-host link graph derived from doc ids (hosts ≡3 mod 10 emit no
+    edges → dangling-mass path exercised). Per-iteration groupBy(dst)
+    contribution sums, ranks rounded to 9 decimals per iteration so
+    the only order-dependent reduction is pinned cross-engine."""
+    from feature_engineering_tk_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        docs.select(
+            (F.col("doc_id") % 50).alias("src"),
+            ((F.col("doc_id") * 31 + 7) % 50).alias("dst"),
+        )
+        .where(F.col("src") % 10 != 3)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return pagerank(edges, weight="weight", damping=0.85, n_iter=5)
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Blocked fuzzy matching (operators/dedup.py fuzzy_pairs):
     one-substitution variants injected for every 7th doc are recovered
@@ -2660,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "funnel": q_funnel,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "pagerank": q_pagerank,
         "cohort_retention": q_cohort_retention,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -2780,6 +2802,47 @@ def _kmeans_ctes(k: int, n_iter: int, nd: int = 7) -> str:
                                            FROM a{i}))
                           GROUP BY cluster_id, dim)
                   GROUP BY cluster_id) nv USING (cid)
+        )""")
+    return "".join(parts)
+
+
+def _pagerank_ctes(n_iter: int, damping: float = 0.85, nd: int = 9) -> str:
+    """DuckDB replay of operators/graph.py pagerank over the
+    q_pagerank synthetic host graph: exact fixed-point integer
+    iterations (parts-per-10^nd ranks, integer // division) — bit-
+    identical on any engine under any summation order."""
+    from fractions import Fraction
+
+    frac = Fraction(damping).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+    scale = 10**nd
+    parts = [f"""
+        WITH e2 AS (
+          SELECT doc_id % 50 AS s, (doc_id * 31 + 7) % 50 AS d,
+                 CAST(count(*) AS BIGINT) AS w
+            FROM documents WHERE (doc_id % 50) % 10 != 3
+           GROUP BY doc_id % 50, (doc_id * 31 + 7) % 50
+        ), nodes AS (
+          SELECT DISTINCT node FROM (SELECT s AS node FROM e2 UNION SELECT d FROM e2)
+        ), nn AS (SELECT count(*) AS n FROM nodes
+        ), ow AS (SELECT s, CAST(sum(w) AS BIGINT) AS ow FROM e2 GROUP BY s
+        ), t AS (SELECT e2.s, e2.d, e2.w, ow.ow FROM e2 JOIN ow USING (s)
+        ), r0 AS (
+          SELECT node, CAST(CAST({scale} AS BIGINT) // nn.n AS BIGINT) AS r FROM nodes, nn
+        )"""]
+    for k in range(n_iter):
+        parts.append(f""", c{k} AS (
+          SELECT t.d AS node, CAST(sum((t.w * r.r) // t.ow) AS BIGINT) AS c
+            FROM t JOIN r{k} r ON t.s = r.node GROUP BY t.d
+        ), dm{k} AS (
+          SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r{k}
+           WHERE node NOT IN (SELECT s FROM ow)
+        ), r{k + 1} AS (
+          SELECT nodes.node,
+                 CAST((CAST({den - num} AS BIGINT) * {scale}) // ({den} * nn.n)
+                      + ({num} * (coalesce(c{k}.c, CAST(0 AS BIGINT))
+                                  + dm{k}.dm // nn.n)) // {den} AS BIGINT) AS r
+            FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.node, dm{k}, nn
         )""")
     return "".join(parts)
 
@@ -4018,6 +4081,9 @@ def oracle_sql() -> dict[str, str]:
               FROM base b
               LEFT JOIN remc rc USING (doc_id)
               LEFT JOIN kept k USING (doc_id)
+        """,
+        "pagerank": _pagerank_ctes(5) + """
+            SELECT node, r AS rank_fp, r / 1000000000.0 AS rank FROM r5
         """,
         "fuzzy_pairs": """
             WITH base AS (

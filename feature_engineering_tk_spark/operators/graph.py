@@ -1,0 +1,112 @@
+"""Link-graph operators: weighted PageRank.
+
+Crawl-scale training pipelines use domain-level PageRank as a document
+quality signal (the Common Crawl host-graph ranking is public); this
+is that computation as pure DataFrame iterations.
+
+Scale shape per iteration: one ``groupBy(dst)`` of contributions (the
+classic edge-join formulation — contributions partial-aggregate
+map-side, so the shuffle carries one row per distinct dst per
+partition), the transition table built once and reused, and a
+``localCheckpoint`` every few iterations to keep plan depth bounded.
+Dangling mass (nodes with no out-edges) is redistributed uniformly.
+
+**Exact fixed-point arithmetic.** Ranks are integers in units of
+10^-precision ("parts per billion" at the default 9).  Every update is
+integer multiply + integer ``div``:
+
+    contrib(e)  = (w_e · r_src) div ow_src
+    r'          = base + (d_num · (Σ contrib + dm div n)) div d_den
+    base        = ((d_den - d_num) · S) div (d_den · n)
+
+Integer sums are associative, so the result is bit-identical on ANY
+engine under ANY partitioning/summation order — float rounding (even
+floor-pinning) is NOT, because symmetric graphs park true values
+exactly on the rounding grid where 1-ulp sum noise flips the cell
+(observed; see the oracle gate history).  The float ``rank`` column is
+derived from the integer at the end, one deterministic division.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    precision: int = 9,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Weighted PageRank over an integer-weighted edge list; returns
+    (node, rank_fp, rank) with ``rank_fp`` the exact fixed-point
+    integer and ``rank = rank_fp / 10^precision``.
+
+    ``weight`` must be integer-valued (counts); ``damping`` is taken
+    as a small rational (0.85 → 85/100) so the whole iteration stays
+    in exact integer arithmetic.
+    """
+    frac = Fraction(damping).limit_denominator(10_000)
+    d_num, d_den = frac.numerator, frac.denominator
+    scale = 10**precision
+
+    w = F.col(weight) if weight else F.lit(1)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), w.cast("bigint").alias("_w")
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    trans = (
+        e.join(e.groupBy("_s").agg(F.sum("_w").alias("_ow")), "_s")
+        .select("_s", "_d", "_w", "_ow")
+        .persist()
+    )
+    base = ((d_den - d_num) * scale) // (d_den * n)
+
+    ranks = nodes.select("node", F.lit(scale // n).cast("bigint").alias("r"))
+    for it in range(n_iter):
+        contrib = (
+            trans.join(ranks.withColumnRenamed("node", "_s"), "_s")
+            .select("_d", F.expr("(_w * r) div _ow").alias("_ce"))
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("_ce").alias("_c"))
+        )
+        dangling = (
+            ranks.join(
+                trans.select(F.col("_s").alias("node")).distinct(), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("_dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({d_num} * (coalesce(_c, CAST(0 AS BIGINT)) + (_dm div {n}))) div {d_den}"
+                    )
+                ).cast("bigint").alias("r"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    nodes.unpersist()
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_fp"),
+        (F.col("r") / F.lit(float(scale))).alias("rank"),
+    )
