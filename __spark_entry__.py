@@ -2400,6 +2400,72 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_pairs(corpus, "name", "doc_id", max_dist=2)
 
 
+def _transcript_view(spark, sf_dir):
+    """Canonical transcript table (conv_id, turn_idx, role, text,
+    tool, ts — datagen.TRANSCRIPT_SCHEMA) derived deterministically
+    from the events table: user_id → conv_id, (ts, event_id) order →
+    turn_idx, event_type → role/text/tool. The oracle replays the
+    identical derivation in SQL (_TRANSCRIPT_CTE)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("view", "signup"), F.lit("user"))
+        .when(F.col("event_type").isin("click", "purchase"), F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+        .alias("role"),
+        F.col("event_type").alias("text"),
+        F.when(F.col("event_type") == "error", F.lit("search")).alias("tool"),
+        F.col("ts"),
+    )
+
+
+def q_transcript_validate(spark, sf_dir):
+    """Per-conversation structural QA (operators/transcripts.py):
+    role alternation (tool turns transparent), tool-call pairing,
+    strict ts monotonicity — one conv_id shuffle, every window
+    partitioned."""
+    from feature_engineering_tk_spark.operators.transcripts import (
+        validate_transcripts,
+    )
+
+    return validate_transcripts(_transcript_view(spark, sf_dir))
+
+
+def q_conversation_stats(spark, sf_dir):
+    """Per-conversation profile (operators/transcripts.py): turn/role
+    counts, integer-µs duration and mean gap (fixed division order),
+    assistant share of characters."""
+    from feature_engineering_tk_spark.operators.transcripts import (
+        conversation_stats,
+    )
+
+    return conversation_stats(_transcript_view(spark, sf_dir))
+
+
+def q_response_latency(spark, sf_dir):
+    """Assistant response latency (operators/transcripts.py): seconds
+    since the most recent PRIOR user turn — point-in-time frame ends
+    at the previous row, integer-µs difference, one division."""
+    from feature_engineering_tk_spark.operators.transcripts import (
+        response_latency,
+    )
+
+    out = response_latency(_transcript_view(spark, sf_dir))
+    return out.select("conv_id", "turn_idx", "role", "latency_s")
+
+
+def q_loss_mask(spark, sf_dir):
+    """SFT loss-weight projection (operators/transcripts.py):
+    assistant turns weight 1.0, everything else 0.0 — row-local, no
+    shuffle beyond the view's turn_idx derivation."""
+    from feature_engineering_tk_spark.operators.transcripts import loss_mask
+
+    out = loss_mask(_transcript_view(spark, sf_dir))
+    return out.select("conv_id", "turn_idx", "role", "loss_weight")
+
+
 def q_funnel(spark, sf_dir):
     """Ordered-event funnel (operators/funnel.py): earliest strict
     view→click→purchase completion within 2 h per user — ONE entity
@@ -2682,6 +2748,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "fuzzy_pairs": q_fuzzy_pairs,
         "pagerank": q_pagerank,
+        "transcript_validate": q_transcript_validate,
+        "conversation_stats": q_conversation_stats,
+        "response_latency": q_response_latency,
+        "loss_mask": q_loss_mask,
         "cohort_retention": q_cohort_retention,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -2804,6 +2874,22 @@ def _kmeans_ctes(k: int, n_iter: int, nd: int = 7) -> str:
                   GROUP BY cluster_id) nv USING (cid)
         )""")
     return "".join(parts)
+
+
+_TRANSCRIPT_CTE = """
+    WITH transcript AS (
+      SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) - 1
+                  AS INTEGER) AS turn_idx,
+             CASE WHEN event_type IN ('view','signup') THEN 'user'
+                  WHEN event_type IN ('click','purchase') THEN 'assistant'
+                  ELSE 'tool' END AS role,
+             event_type AS text,
+             CASE WHEN event_type = 'error' THEN 'search' END AS tool,
+             ts
+        FROM events
+    )"""
 
 
 def _pagerank_ctes(n_iter: int, damping: float = 0.85, nd: int = 9) -> str:
@@ -4084,6 +4170,89 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_ctes(5) + """
             SELECT node, r AS rank_fp, r / 1000000000.0 AS rank FROM r5
+        """,
+        "transcript_validate": _TRANSCRIPT_CTE + """
+            , f AS (
+              SELECT conv_id, role,
+                     lag(role) OVER w AS pr,
+                     CASE WHEN lag(us) OVER w IS NOT NULL
+                           AND us <= lag(us) OVER w THEN 1 ELSE 0 END AS ts_bad,
+                     row_number() OVER w AS rn
+                FROM (SELECT *, epoch_us(ts) AS us FROM transcript)
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   max(CASE WHEN rn = 1 THEN
+                         CASE WHEN role = 'user' THEN 1 ELSE 0 END END) = 1
+                     AS starts_with_user,
+                   CAST(sum(CASE WHEN role IN ('user','assistant')
+                                  AND pr = role THEN 1 ELSE 0 END) AS BIGINT)
+                     AS alternation_violations,
+                   CAST(sum(CASE WHEN role = 'tool'
+                                  AND NOT coalesce(pr IN ('assistant','tool'),
+                                                   FALSE)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS orphan_tool_turns,
+                   sum(ts_bad) = 0 AS ts_monotonic,
+                   (max(CASE WHEN rn = 1 THEN
+                          CASE WHEN role = 'user' THEN 1 ELSE 0 END END) = 1
+                    AND sum(CASE WHEN role IN ('user','assistant')
+                                  AND pr = role THEN 1 ELSE 0 END) = 0
+                    AND sum(CASE WHEN role = 'tool'
+                                  AND NOT coalesce(pr IN ('assistant','tool'),
+                                                   FALSE)
+                                 THEN 1 ELSE 0 END) = 0
+                    AND sum(ts_bad) = 0) AS is_valid
+              FROM f GROUP BY conv_id
+        """,
+        "conversation_stats": _TRANSCRIPT_CTE + """
+            , g AS (
+              SELECT conv_id, role, tool,
+                     CAST(length(text) AS BIGINT) AS chars,
+                     epoch_us(ts) AS us,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+                FROM transcript
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_assistant,
+                   CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool_calls,
+                   (max(us) - min(us)) / 1000000.0 AS duration_s,
+                   CASE WHEN sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) > 0
+                        THEN (CAST(sum(gap) AS DOUBLE)
+                              / CAST(sum(CASE WHEN gap IS NOT NULL THEN 1
+                                              ELSE 0 END) AS BIGINT))
+                             / 1000000.0 END AS mean_gap_s,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN chars
+                                 ELSE 0 END) AS DOUBLE) / sum(chars)
+                     AS assistant_char_share
+              FROM g GROUP BY conv_id
+        """,
+        "response_latency": _TRANSCRIPT_CTE + """
+            SELECT conv_id, turn_idx, role,
+                   CASE WHEN role = 'assistant' AND lu IS NOT NULL
+                        THEN (us - lu) / 1000000.0 END AS latency_s
+              FROM (
+                SELECT conv_id, turn_idx, role, epoch_us(ts) AS us,
+                       last_value(CASE WHEN role = 'user'
+                                       THEN epoch_us(ts) END IGNORE NULLS)
+                         OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS lu
+                  FROM transcript)
+        """,
+        "loss_mask": _TRANSCRIPT_CTE + """
+            SELECT conv_id, turn_idx, role,
+                   CASE WHEN role = 'assistant'
+                        THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS loss_weight
+              FROM transcript
         """,
         "fuzzy_pairs": """
             WITH base AS (

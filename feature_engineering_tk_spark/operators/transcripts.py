@@ -1,0 +1,209 @@
+"""Transcript-native operators over the canonical conversation table.
+
+The engine's primary payload is a multi-turn conversation / agent
+transcript table ``(conv_id, turn_idx, role, text, tool, ts)``
+(`datagen.TRANSCRIPT_SCHEMA`).  The generic window machinery
+(`operators/window_features.py`) gives lag/rolling/sessionize over any
+entity; this module adds the operations that only make sense on the
+transcript shape itself:
+
+- ``validate_transcripts`` — per-conversation structural QA: role
+  alternation, tool-call pairing, timestamp monotonicity.  SFT corpus
+  builders run this as the first gate on raw transcript dumps.
+- ``conversation_stats`` — one-shuffle per-conversation profile
+  (turn/role counts, duration, mean gap, assistant share of text).
+- ``response_latency`` — per assistant turn, seconds since the most
+  recent prior user turn; the core serving-quality signal.
+- ``loss_mask`` — per-turn training weight (assistant-only loss is
+  the standard SFT recipe), a pure row-local projection.
+
+Scale shape: every window below is ``partitionBy(conv_id)`` — never a
+global window — and the per-conversation reductions are single
+``groupBy(conv_id)`` aggregations over window-derived row flags, so
+one conversation-key shuffle serves the whole family (conversations
+are bounded; a 10^12-turn corpus shuffles conv-sized groups, and the
+heavy-tailed hot conversations are exactly what AQE skew-split
+handles).  All time arithmetic is integer epoch-microseconds
+(`functions/timeutil.py`) — no float subtraction of epoch seconds.
+
+Float outputs are derived from integer sums with a fixed division
+order so results are bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from feature_engineering_tk_spark.functions.timeutil import epoch_micros
+
+_CHAT_ROLES = ("user", "assistant")
+
+
+def _conv_window(conv_id: str, turn_idx: str) -> Window:
+    return Window.partitionBy(conv_id).orderBy(turn_idx)
+
+
+def validate_transcripts(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    ts: str = "ts",
+    tool_role: str = "tool",
+) -> DataFrame:
+    """Per-conversation structural validation.
+
+    Returns one row per conversation:
+
+    - ``n_turns``
+    - ``starts_with_user`` — first turn (min ``turn_idx``) has role
+      ``user``.
+    - ``alternation_violations`` — count of IMMEDIATELY consecutive
+      same-role chat turns (``user``/``assistant``).  An assistant
+      turn followed by a tool turn and then another assistant turn is
+      the normal agent pattern and does NOT count; ``assistant``
+      directly followed by ``assistant`` (the "double reply") does.
+    - ``orphan_tool_turns`` — tool-role turns whose immediately
+      preceding turn is neither ``assistant`` nor another tool turn
+      (a tool call must be initiated by an assistant turn).
+    - ``ts_monotonic`` — ``ts`` strictly increases with ``turn_idx``.
+    - ``is_valid`` — the conjunction.
+
+    One ``conv_id`` shuffle: the lag flags come from a
+    ``partitionBy(conv_id)`` window and the reduction reuses that
+    partitioning for its ``groupBy``.
+    """
+    w = _conv_window(conv_id, turn_idx)
+    prev_role = F.lag(role).over(w)
+    us = epoch_micros(F.col(ts))
+    prev_us = F.lag(us).over(w)
+
+    flagged = df.select(
+        F.col(conv_id),
+        F.col(role).alias("_r"),
+        prev_role.alias("_pr"),
+        (prev_us.isNotNull() & (us <= prev_us)).cast("int").alias("_ts_bad"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    alt_bad = (
+        F.col("_r").isin(*_CHAT_ROLES) & (F.col("_pr") == F.col("_r"))
+    ).cast("int")
+    orphan = (
+        (F.col("_r") == tool_role)
+        & (~F.coalesce(F.col("_pr").isin("assistant", tool_role), F.lit(False)))
+    ).cast("int")
+    first_user = F.max(
+        F.when(F.col("_rn") == 1, (F.col("_r") == "user").cast("int"))
+    )
+    return (
+        flagged.groupBy(conv_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            (first_user == 1).alias("starts_with_user"),
+            F.sum(alt_bad).alias("alternation_violations"),
+            F.sum(orphan).alias("orphan_tool_turns"),
+            (F.sum("_ts_bad") == 0).alias("ts_monotonic"),
+        )
+        .withColumn(
+            "is_valid",
+            F.col("starts_with_user")
+            & (F.col("alternation_violations") == 0)
+            & (F.col("orphan_tool_turns") == 0)
+            & F.col("ts_monotonic"),
+        )
+    )
+
+
+def conversation_stats(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    ts: str = "ts",
+    tool: str = "tool",
+) -> DataFrame:
+    """One-shuffle per-conversation profile.
+
+    ``duration_s`` and ``mean_gap_s`` are integer-µs sums divided
+    once at the end (fixed order: ``µs → /n → /1e6``), so they are
+    bit-identical on any engine.  ``assistant_char_share`` is an
+    integer-char ratio, one division.
+    """
+    w = _conv_window(conv_id, turn_idx)
+    us = epoch_micros(F.col(ts))
+    gap = us - F.lag(us).over(w)
+    rows = df.select(
+        F.col(conv_id),
+        F.col(role).alias("_r"),
+        F.col(tool).alias("_tool"),
+        F.length(F.col(text)).cast("bigint").alias("_chars"),
+        us.alias("_us"),
+        gap.alias("_gap"),
+    )
+    n_gaps = F.sum(F.col("_gap").isNotNull().cast("bigint"))
+    return rows.groupBy(conv_id).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("_r") == "user").cast("bigint")).alias("n_user"),
+        F.sum((F.col("_r") == "assistant").cast("bigint")).alias("n_assistant"),
+        F.sum(F.col("_tool").isNotNull().cast("bigint")).alias("n_tool_calls"),
+        ((F.max("_us") - F.min("_us")) / F.lit(1e6)).alias("duration_s"),
+        F.when(
+            n_gaps > 0,
+            (F.sum("_gap").cast("double") / n_gaps) / F.lit(1e6),
+        ).alias("mean_gap_s"),
+        (
+            F.sum(F.when(F.col("_r") == "assistant", F.col("_chars")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("_chars")
+        ).alias("assistant_char_share"),
+    )
+
+
+def response_latency(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    ts: str = "ts",
+    out: str = "latency_s",
+) -> DataFrame:
+    """Seconds from the most recent prior ``user`` turn to each
+    ``assistant`` turn (NULL for non-assistant turns and for
+    assistant turns with no prior user turn).
+
+    Point-in-time by construction: the frame ends at the previous
+    row, so a turn never reads its own or later timestamps.  One
+    ``partitionBy(conv_id)`` window — no self-join.
+    """
+    w = _conv_window(conv_id, turn_idx)
+    us = epoch_micros(F.col(ts))
+    last_user_us = F.last(
+        F.when(F.col(role) == "user", us), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return df.withColumn(
+        out,
+        F.when(
+            (F.col(role) == "assistant") & last_user_us.isNotNull(),
+            (us - last_user_us) / F.lit(1e6),
+        ),
+    )
+
+
+def loss_mask(
+    df: DataFrame,
+    role: str = "role",
+    train_roles: tuple[str, ...] = ("assistant",),
+    out: str = "loss_weight",
+    weight: float = 1.0,
+) -> DataFrame:
+    """Per-turn SFT loss weight: ``weight`` for turns whose role is in
+    ``train_roles``, else 0.0.  Pure row-local projection — no
+    shuffle, fused into whatever scan precedes it."""
+    return df.withColumn(
+        out,
+        F.when(F.col(role).isin(*train_roles), F.lit(float(weight))).otherwise(
+            F.lit(0.0)
+        ),
+    )

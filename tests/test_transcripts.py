@@ -1,0 +1,154 @@
+"""Transcript-native operators vs hand-computed expectations."""
+
+import datetime as dt
+
+import pytest
+
+from feature_engineering_tk_spark.operators.transcripts import (
+    conversation_stats,
+    loss_mask,
+    response_latency,
+    validate_transcripts,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _tr(spark, rows):
+    """rows: (conv_id, turn_idx, role, text, tool, offset_seconds)."""
+    return spark.createDataFrame(
+        [(c, i, r, x, tl, T0 + dt.timedelta(seconds=s)) for c, i, r, x, tl, s in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+class TestValidate:
+    def test_clean_conversation_is_valid(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "hi", None, 0),
+            ("a", 1, "assistant", "hello", None, 1),
+            ("a", 2, "user", "do it", None, 2),
+            ("a", 3, "assistant", "calling", "search", 3),
+            ("a", 4, "tool", "result", "search", 4),
+            ("a", 5, "assistant", "done", None, 5),
+        ])
+        r = validate_transcripts(df).first()
+        assert r["is_valid"]
+        assert r["n_turns"] == 6
+        assert r["alternation_violations"] == 0
+        assert r["orphan_tool_turns"] == 0
+
+    def test_direct_double_reply_flagged(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "q", None, 0),
+            ("a", 1, "assistant", "r1", None, 1),
+            ("a", 2, "assistant", "r2", None, 2),   # double reply
+        ])
+        r = validate_transcripts(df).first()
+        assert r["alternation_violations"] == 1 and not r["is_valid"]
+
+    def test_tool_interleave_is_not_double_reply(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "q", None, 0),
+            ("a", 1, "assistant", "calling", "search", 1),
+            ("a", 2, "tool", "result", "search", 2),
+            ("a", 3, "assistant", "answer", None, 3),
+        ])
+        r = validate_transcripts(df).first()
+        assert r["alternation_violations"] == 0 and r["is_valid"]
+
+    def test_orphan_tool_and_bad_start(self, spark):
+        df = _tr(spark, [
+            ("b", 0, "assistant", "x", None, 0),     # bad start
+            ("b", 1, "tool", "y", "calc", 1),        # follows assistant: ok
+            ("b", 2, "user", "z", None, 2),
+            ("b", 3, "tool", "w", "calc", 3),        # follows user: orphan
+        ])
+        r = validate_transcripts(df).first()
+        assert not r["starts_with_user"]
+        assert r["orphan_tool_turns"] == 1
+        assert not r["is_valid"]
+
+    def test_first_turn_tool_is_orphan(self, spark):
+        df = _tr(spark, [("c", 0, "tool", "t", "calc", 0)])
+        r = validate_transcripts(df).first()
+        assert r["orphan_tool_turns"] == 1
+
+    def test_non_monotonic_ts(self, spark):
+        df = _tr(spark, [
+            ("d", 0, "user", "a", None, 10),
+            ("d", 1, "assistant", "b", None, 5),     # goes backwards
+        ])
+        r = validate_transcripts(df).first()
+        assert not r["ts_monotonic"] and not r["is_valid"]
+
+
+class TestStats:
+    def test_counts_and_time(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "hi", None, 0),          # 2 chars
+            ("a", 1, "assistant", "hello!", None, 4),  # 6 chars
+            ("a", 2, "user", "ok", None, 10),          # 2 chars
+        ])
+        r = conversation_stats(df).first()
+        assert r["n_turns"] == 3 and r["n_user"] == 2 and r["n_assistant"] == 1
+        assert r["n_tool_calls"] == 0
+        assert r["duration_s"] == pytest.approx(10.0)
+        assert r["mean_gap_s"] == pytest.approx(5.0)
+        assert r["assistant_char_share"] == pytest.approx(6 / 10)
+
+    def test_single_turn_has_null_gap(self, spark):
+        df = _tr(spark, [("a", 0, "user", "hi", None, 0)])
+        r = conversation_stats(df).first()
+        assert r["mean_gap_s"] is None and r["duration_s"] == 0.0
+
+
+class TestLatency:
+    def test_latency_from_most_recent_prior_user(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "q1", None, 0),
+            ("a", 1, "assistant", "r1", None, 3),
+            ("a", 2, "user", "q2", None, 10),
+            ("a", 3, "tool", "t", "calc", 11),
+            ("a", 4, "assistant", "r2", None, 15),
+        ])
+        out = {r["turn_idx"]: r["latency_s"]
+               for r in response_latency(df).collect()}
+        assert out[1] == pytest.approx(3.0)
+        assert out[4] == pytest.approx(5.0)     # from q2, through the tool turn
+        assert out[0] is None and out[2] is None and out[3] is None
+
+    def test_assistant_with_no_prior_user_is_null(self, spark):
+        df = _tr(spark, [("a", 0, "assistant", "r", None, 0)])
+        assert response_latency(df).first()["latency_s"] is None
+
+    def test_point_in_time_never_reads_own_row(self, spark):
+        # user and assistant at the SAME offset: frame ends at the
+        # previous row, so latency is 0 only via the PRIOR user row.
+        df = _tr(spark, [
+            ("a", 0, "user", "q", None, 7),
+            ("a", 1, "assistant", "r", None, 7),
+        ])
+        assert response_latency(df).collect()[1]["latency_s"] == 0.0
+
+
+class TestLossMask:
+    def test_default_assistant_only(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "q", None, 0),
+            ("a", 1, "assistant", "r", None, 1),
+            ("a", 2, "tool", "t", "calc", 2),
+        ])
+        out = {r["turn_idx"]: r["loss_weight"] for r in loss_mask(df).collect()}
+        assert out == {0: 0.0, 1: 1.0, 2: 0.0}
+
+    def test_custom_roles_and_weight(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "q", None, 0),
+            ("a", 1, "assistant", "r", None, 1),
+        ])
+        out = {r["turn_idx"]: r["loss_weight"]
+               for r in loss_mask(df, train_roles=("user", "assistant"),
+                                  weight=0.5).collect()}
+        assert out == {0: 0.5, 1: 0.5}
