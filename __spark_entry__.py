@@ -2466,6 +2466,42 @@ def q_loss_mask(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "role", "loss_weight")
 
 
+def q_conversation_dedup(spark, sf_dir):
+    """Sequence-level conversation dedup (operators/transcripts.py):
+    fingerprint = hash of the ordered (role, text) turn sequence;
+    winners = min conv_id per fingerprint. Truncating to the first 3
+    turns forces duplicate sequences by pigeonhole (150 convs, ≤125
+    distinct 3-turn sequences). hash_mode='md5' so DuckDB replays the
+    fingerprint value-for-value."""
+    from feature_engineering_tk_spark.operators.transcripts import (
+        dedup_conversations,
+    )
+
+    tr = _transcript_view(spark, sf_dir).filter(F.col("turn_idx") < 3)
+    return dedup_conversations(tr, hash_mode="md5")
+
+
+def q_echo_rate(spark, sf_dir):
+    """Assistant parroting rate (operators/transcripts.py): distinct-
+    token overlap with the most recent prior user turn, pure JVM array
+    exprs over one partitioned window. Text here is event_type+props
+    so token overlap is non-trivial."""
+    from feature_engineering_tk_spark.operators.transcripts import echo_rate
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("view", "signup"), F.lit("user"))
+        .when(F.col("event_type").isin("click", "purchase"), F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+        .alias("role"),
+        F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("text"),
+    )
+    return echo_rate(tr).select("conv_id", "turn_idx", "role", "echo_rate")
+
+
 def q_funnel(spark, sf_dir):
     """Ordered-event funnel (operators/funnel.py): earliest strict
     view→click→purchase completion within 2 h per user — ONE entity
@@ -2752,6 +2788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": q_conversation_stats,
         "response_latency": q_response_latency,
         "loss_mask": q_loss_mask,
+        "conversation_dedup": q_conversation_dedup,
+        "echo_rate": q_echo_rate,
         "cohort_retention": q_cohort_retention,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -4246,6 +4284,55 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND 1 PRECEDING) AS lu
                   FROM transcript)
+        """,
+        "conversation_dedup": _TRANSCRIPT_CTE + f"""
+            , fp AS (
+              SELECT conv_id, {_h60_sql("joined")} AS conv_fp
+                FROM (SELECT conv_id,
+                             string_agg(role || chr(31) || text,
+                                        chr(30) ORDER BY turn_idx) AS joined
+                        FROM transcript WHERE turn_idx < 3
+                       GROUP BY conv_id)
+            )
+            , w AS (SELECT conv_fp, min(conv_id) AS kept_conv_id
+                      FROM fp GROUP BY conv_fp)
+            SELECT fp.conv_id, fp.conv_fp, w.kept_conv_id,
+                   fp.conv_id != w.kept_conv_id AS is_duplicate
+              FROM fp JOIN w USING (conv_fp)
+        """,
+        "echo_rate": """
+            WITH tr AS (
+              SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) - 1
+                          AS INTEGER) AS turn_idx,
+                     CASE WHEN event_type IN ('view','signup') THEN 'user'
+                          WHEN event_type IN ('click','purchase')
+                            THEN 'assistant'
+                          ELSE 'tool' END AS role,
+                     event_type || ' ' || props AS text
+                FROM events
+            ), tok AS (
+              SELECT conv_id, turn_idx, role,
+                     list_distinct(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x != '')) AS toks
+                FROM tr
+            ), lk AS (
+              SELECT conv_id, turn_idx, role, toks,
+                     last_value(CASE WHEN role = 'user' THEN toks END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pu
+                FROM tok
+            )
+            SELECT conv_id, turn_idx, role,
+                   CASE WHEN role = 'assistant' AND pu IS NOT NULL
+                             AND len(toks) > 0
+                        THEN CAST(len(list_intersect(toks, pu)) AS DOUBLE)
+                             / len(toks) END AS echo_rate
+              FROM lk
         """,
         "loss_mask": _TRANSCRIPT_CTE + """
             SELECT conv_id, turn_idx, role,

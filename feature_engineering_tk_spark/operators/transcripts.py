@@ -191,6 +191,103 @@ def response_latency(
     )
 
 
+def conversation_fingerprint(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    hash_mode: str = "xxhash64",
+    out: str = "conv_fp",
+) -> DataFrame:
+    """One row per conversation with a fingerprint of its ordered
+    ``(role, text)`` turn sequence.
+
+    Two conversations get the same fingerprint iff they have the same
+    turns with the same roles in the same order (timestamps and ids
+    excluded — the standard sequence-level dedup key for SFT corpora).
+
+    Scale shape: one ``groupBy(conv_id)`` whose partial aggregation
+    assembles the per-conversation turn list map-side; downstream
+    consumers see an 8-byte key per conversation, never the text.
+    """
+    from feature_engineering_tk_spark.operators.dedup import _token_hash
+
+    turn_str = F.concat_ws("\x1f", F.col(role), F.col(text))
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(turn_idx).alias("i"), turn_str.alias("s")))
+    )
+    joined = F.array_join(F.transform(arr, lambda x: x["s"]), "\x1e")
+    return df.groupBy(conv_id).agg(_token_hash(joined, hash_mode).alias(out))
+
+
+def dedup_conversations(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Sequence-level exact dedup: one row per conversation with its
+    fingerprint, the winning ``kept_conv_id`` (minimum ``conv_id``
+    among conversations sharing the fingerprint — deterministic under
+    any partitioning), and ``is_duplicate``.
+
+    The duplicate-group reduction runs on the fingerprint table (one
+    8-byte row per conversation), so a 10^12-turn corpus dedups on a
+    conversations-sized intermediate; the join back is on the same
+    8-byte key and AQE broadcast-sizes it when the winner table is
+    small.
+    """
+    fps = conversation_fingerprint(
+        df, conv_id, turn_idx, role, text, hash_mode=hash_mode
+    )
+    winners = fps.groupBy("conv_fp").agg(F.min(conv_id).alias("kept_conv_id"))
+    return fps.join(winners, "conv_fp").select(
+        conv_id,
+        "conv_fp",
+        "kept_conv_id",
+        (F.col(conv_id) != F.col("kept_conv_id")).alias("is_duplicate"),
+    )
+
+
+def echo_rate(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    out: str = "echo_rate",
+) -> DataFrame:
+    """Per assistant turn: fraction of its distinct whitespace tokens
+    that already appear in the most recent prior ``user`` turn —
+    the standard parroting / copy-rate quality signal for SFT data.
+
+    NULL for non-assistant turns, assistant turns with no prior user
+    turn, and empty assistant texts.  Point-in-time: the user-turn
+    lookup frame ends at the previous row.  Pure JVM array exprs over
+    one ``partitionBy(conv_id)`` window — no UDF, no self-join.
+    """
+    w = _conv_window(conv_id, turn_idx).rowsBetween(Window.unboundedPreceding, -1)
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim(F.col(text)), r"\s+"), lambda x: x != "")
+    )
+    prev_user = F.last(
+        F.when(F.col(role) == "user", toks), ignorenulls=True
+    ).over(w)
+    return df.withColumn(
+        out,
+        F.when(
+            (F.col(role) == "assistant")
+            & prev_user.isNotNull()
+            & (F.size(toks) > 0),
+            F.size(F.array_intersect(toks, prev_user)).cast("double")
+            / F.size(toks),
+        ),
+    )
+
+
 def loss_mask(
     df: DataFrame,
     role: str = "role",

@@ -6,6 +6,8 @@ import pytest
 
 from feature_engineering_tk_spark.operators.transcripts import (
     conversation_stats,
+    dedup_conversations,
+    echo_rate,
     loss_mask,
     response_latency,
     validate_transcripts,
@@ -131,6 +133,91 @@ class TestLatency:
             ("a", 1, "assistant", "r", None, 7),
         ])
         assert response_latency(df).collect()[1]["latency_s"] == 0.0
+
+
+class TestDedupConversations:
+    def test_same_sequence_different_times_dedups(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "hi", None, 0),
+            ("a", 1, "assistant", "hello", None, 1),
+            ("b", 0, "user", "hi", None, 100),      # same turns, later
+            ("b", 1, "assistant", "hello", None, 200),
+            ("c", 0, "user", "hi", None, 0),
+            ("c", 1, "assistant", "different", None, 1),
+        ])
+        out = {r["conv_id"]: r for r in dedup_conversations(df).collect()}
+        assert out["a"]["conv_fp"] == out["b"]["conv_fp"]
+        assert out["b"]["is_duplicate"] and out["b"]["kept_conv_id"] == "a"
+        assert not out["a"]["is_duplicate"]
+        assert not out["c"]["is_duplicate"]
+        assert out["c"]["conv_fp"] != out["a"]["conv_fp"]
+
+    def test_role_swap_changes_fingerprint(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "x", None, 0),
+            ("a", 1, "assistant", "y", None, 1),
+            ("b", 0, "assistant", "x", None, 0),
+            ("b", 1, "user", "y", None, 1),
+        ])
+        out = {r["conv_id"]: r["conv_fp"]
+               for r in dedup_conversations(df).collect()}
+        assert out["a"] != out["b"]
+
+    def test_turn_order_matters(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "x", None, 0),
+            ("a", 1, "user", "y", None, 1),
+            ("b", 0, "user", "y", None, 0),
+            ("b", 1, "user", "x", None, 1),
+        ])
+        out = {r["conv_id"]: r["conv_fp"]
+               for r in dedup_conversations(df).collect()}
+        assert out["a"] != out["b"]
+
+    def test_md5_mode_matches_xxhash_grouping(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "hi", None, 0),
+            ("b", 0, "user", "hi", None, 9),
+        ])
+        for mode in ("xxhash64", "md5"):
+            out = dedup_conversations(df, hash_mode=mode).collect()
+            assert sum(r["is_duplicate"] for r in out) == 1
+
+
+class TestEchoRate:
+    def test_full_and_partial_echo(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "alpha beta gamma", None, 0),
+            ("a", 1, "assistant", "alpha beta", None, 1),      # 2/2 echoed
+            ("a", 2, "user", "delta", None, 2),
+            ("a", 3, "assistant", "delta epsilon zeta", None, 3),  # 1/3
+        ])
+        out = {r["turn_idx"]: r["echo_rate"] for r in echo_rate(df).collect()}
+        assert out[1] == pytest.approx(1.0)
+        assert out[3] == pytest.approx(1 / 3)
+        assert out[0] is None and out[2] is None
+
+    def test_duplicate_tokens_counted_once(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "go go go stop", None, 0),
+            ("a", 1, "assistant", "go go never never", None, 1),
+        ])
+        # distinct assistant tokens {go, never}: 1 of 2 echoed
+        assert echo_rate(df).collect()[1]["echo_rate"] == pytest.approx(0.5)
+
+    def test_no_prior_user_is_null(self, spark):
+        df = _tr(spark, [("a", 0, "assistant", "hi", None, 0)])
+        assert echo_rate(df).first()["echo_rate"] is None
+
+    def test_uses_most_recent_user_not_any(self, spark):
+        df = _tr(spark, [
+            ("a", 0, "user", "alpha", None, 0),
+            ("a", 1, "assistant", "alpha", None, 1),
+            ("a", 2, "user", "beta", None, 2),
+            ("a", 3, "assistant", "alpha", None, 3),   # alpha not in 'beta'
+        ])
+        out = {r["turn_idx"]: r["echo_rate"] for r in echo_rate(df).collect()}
+        assert out[1] == pytest.approx(1.0) and out[3] == pytest.approx(0.0)
 
 
 class TestLossMask:
