@@ -2502,6 +2502,25 @@ def q_echo_rate(spark, sf_dir):
     return echo_rate(tr).select("conv_id", "turn_idx", "role", "echo_rate")
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators/privacy.py): group sizes over the
+    (user_id, event_type) quasi-identifier pair, risky below k=5 —
+    one groupBy with map-side partials."""
+    from feature_engineering_tk_spark.operators.privacy import k_anonymity
+
+    ev = _t(spark, sf_dir, "events")
+    return k_anonymity(ev, ["user_id", "event_type"], k=5)
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (operators/privacy.py): distinct sensitive
+    event_type values per user_id group, risky below l=5."""
+    from feature_engineering_tk_spark.operators.privacy import l_diversity
+
+    ev = _t(spark, sf_dir, "events")
+    return l_diversity(ev, ["user_id"], "event_type", l=5)
+
+
 def q_funnel(spark, sf_dir):
     """Ordered-event funnel (operators/funnel.py): earliest strict
     view→click→purchase completion within 2 h per user — ONE entity
@@ -2790,6 +2809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loss_mask": q_loss_mask,
         "conversation_dedup": q_conversation_dedup,
         "echo_rate": q_echo_rate,
+        "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
         "cohort_retention": q_cohort_retention,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -4333,6 +4354,19 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(len(list_intersect(toks, pu)) AS DOUBLE)
                              / len(toks) END AS echo_rate
               FROM lk
+        """,
+        "k_anonymity": """
+            SELECT user_id, event_type,
+                   count(*) AS group_size,
+                   count(*) < 5 AS is_risky
+              FROM events GROUP BY user_id, event_type
+        """,
+        "l_diversity": """
+            SELECT user_id,
+                   count(*) AS group_size,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive,
+                   count(DISTINCT event_type) < 5 AS is_risky
+              FROM events GROUP BY user_id
         """,
         "loss_mask": _TRANSCRIPT_CTE + """
             SELECT conv_id, turn_idx, role,
