@@ -2502,6 +2502,23 @@ def q_echo_rate(spark, sf_dir):
     return echo_rate(tr).select("conv_id", "turn_idx", "role", "echo_rate")
 
 
+def q_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability (functions/text.py
+    readability_scores): row-local regexp_count expressions, fixed
+    float expression order replayed exactly in SQL."""
+    from feature_engineering_tk_spark.functions.text import readability_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return readability_scores(docs, "text").select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "flesch_reading_ease",
+        "fk_grade",
+    )
+
+
 def q_k_anonymity(spark, sf_dir):
     """k-anonymity audit (operators/privacy.py): group sizes over the
     (user_id, event_type) quasi-identifier pair, risky below k=5 —
@@ -2811,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "echo_rate": q_echo_rate,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
+        "readability": q_readability,
         "cohort_retention": q_cohort_retention,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -4354,6 +4372,30 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(len(list_intersect(toks, pu)) AS DOUBLE)
                              / len(toks) END AS echo_rate
               FROM lk
+        """,
+        "readability": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(trim(text),
+                                                             '\\s+'),
+                                          x -> x != '')) AS BIGINT) AS w,
+                     greatest(CAST(1 AS BIGINT),
+                              CAST(len(regexp_extract_all(text, '[.!?]+'))
+                                   AS BIGINT)) AS s,
+                     CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                          AS BIGINT) AS sy
+                FROM documents
+            )
+            SELECT doc_id, w AS n_words, s AS n_sentences, sy AS n_syllables,
+                   CASE WHEN w > 0 THEN
+                     206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                             - 84.6 * (CAST(sy AS DOUBLE) / w) END
+                     AS flesch_reading_ease,
+                   CASE WHEN w > 0 THEN
+                     0.39 * (CAST(w AS DOUBLE) / s)
+                     + 11.8 * (CAST(sy AS DOUBLE) / w) - 15.59 END
+                     AS fk_grade
+              FROM m
         """,
         "k_anonymity": """
             SELECT user_id, event_type,

@@ -725,3 +725,45 @@ def collocations(
         .select("w1", "w2", "cab", "c1", "c2", "pmi")
     )
     return out
+
+
+def readability_scores(
+    df: DataFrame,
+    column: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document
+    (Flesch 1948 / Kincaid 1975 — the standard public formulas), via
+    the usual fast approximations: words = whitespace tokens,
+    sentences = ``[.!?]+`` runs (min 1), syllables = vowel-group runs
+    ``[aeiouy]+`` in the lowercased text (spaces break groups, so the
+    text-level count equals the per-word sum).
+
+    Pure JVM ``regexp_count`` expressions — row-local, fuses into the
+    scan, no shuffle.  Score arithmetic uses one fixed expression
+    order (two divisions, two multiplies) so values are bit-identical
+    cross-engine.  Zero-word documents get NULL scores.
+    """
+    c = F.col(column)
+    n_words = F.size(
+        F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    n_sentences = F.greatest(
+        F.lit(1).cast("bigint"), F.regexp_count(c, F.lit(r"[.!?]+"))
+    )
+    n_syllables = F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+")).cast("bigint")
+    wps = n_words.cast("double") / n_sentences
+    spw = n_syllables.cast("double") / n_words
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        F.when(
+            n_words > 0,
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+        ).alias("flesch_reading_ease"),
+        F.when(
+            n_words > 0,
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+        ).alias("fk_grade"),
+    )

@@ -429,3 +429,42 @@ class TestCollocations:
         )
         got = collocations(df, min_count=5, top_k=10).collect()
         assert [(r["w1"], r["w2"]) for r in got] == [("alpha", "beta")]
+
+
+class TestReadability:
+    def test_hand_computed_flesch(self, spark):
+        from feature_engineering_tk_spark.functions.text import readability_scores
+
+        # "The cat sat. It ran!" -> 5 words, 2 sentences, 5 syllable
+        # groups (e/a/a/i/a).
+        df = spark.createDataFrame(
+            [(0, "The cat sat. It ran!")], "doc_id long, text string"
+        )
+        r = readability_scores(df).first()
+        assert r["n_words"] == 5 and r["n_sentences"] == 2
+        assert r["n_syllables"] == 5
+        expected = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+        assert r["flesch_reading_ease"] == pytest.approx(expected)
+        assert r["fk_grade"] == pytest.approx(0.39 * 2.5 + 11.8 * 1.0 - 15.59)
+
+    def test_no_terminator_counts_one_sentence(self, spark):
+        from feature_engineering_tk_spark.functions.text import readability_scores
+
+        df = spark.createDataFrame([(0, "hello world")], "doc_id long, text string")
+        r = readability_scores(df).first()
+        assert r["n_sentences"] == 1 and r["n_words"] == 2
+
+    def test_empty_text_null_scores(self, spark):
+        from feature_engineering_tk_spark.functions.text import readability_scores
+
+        df = spark.createDataFrame([(0, "")], "doc_id long, text string")
+        r = readability_scores(df).first()
+        assert r["n_words"] == 0
+        assert r["flesch_reading_ease"] is None and r["fk_grade"] is None
+
+    def test_multi_char_terminators_one_run(self, spark):
+        from feature_engineering_tk_spark.functions.text import readability_scores
+
+        df = spark.createDataFrame([(0, "wait... what?!")], "doc_id long, text string")
+        r = readability_scores(df).first()
+        assert r["n_sentences"] == 2  # '...' and '?!' are single runs
