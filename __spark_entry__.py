@@ -2380,6 +2380,25 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, weight="weight", damping=0.85, n_iter=5)
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators/graph.py) on the same
+    deterministic 50-host graph as q_pagerank — max-normalized exact
+    fixed-point iterations so both engines agree bit-for-bit."""
+    from feature_engineering_tk_spark.operators.graph import hits
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        docs.select(
+            (F.col("doc_id") % 50).alias("src"),
+            ((F.col("doc_id") * 31 + 7) % 50).alias("dst"),
+        )
+        .where(F.col("src") % 10 != 3)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return hits(edges, weight="weight", n_iter=4)
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Blocked fuzzy matching (operators/dedup.py fuzzy_pairs):
     one-substitution variants injected for every 7th doc are recovered
@@ -2820,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "fuzzy_pairs": q_fuzzy_pairs,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "transcript_validate": q_transcript_validate,
         "conversation_stats": q_conversation_stats,
         "response_latency": q_response_latency,
@@ -3006,6 +3026,46 @@ def _pagerank_ctes(n_iter: int, damping: float = 0.85, nd: int = 9) -> str:
                       + ({num} * (coalesce(c{k}.c, CAST(0 AS BIGINT))
                                   + dm{k}.dm // nn.n)) // {den} AS BIGINT) AS r
             FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.node, dm{k}, nn
+        )""")
+    return "".join(parts)
+
+
+def _hits_ctes(n_iter: int, scale: int = 10**6) -> str:
+    """DuckDB replay of operators/graph.py hits over the q_pagerank
+    synthetic host graph: max-normalized exact fixed-point halves —
+    integer sums and divs only, bit-identical on any engine."""
+    parts = [f"""
+        WITH e2 AS (
+          SELECT doc_id % 50 AS s, (doc_id * 31 + 7) % 50 AS d,
+                 CAST(count(*) AS BIGINT) AS w
+            FROM documents WHERE (doc_id % 50) % 10 != 3
+           GROUP BY doc_id % 50, (doc_id * 31 + 7) % 50
+        ), nodes AS (
+          SELECT DISTINCT node FROM (SELECT s AS node FROM e2 UNION SELECT d FROM e2)
+        ), h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)"""]
+    for k in range(n_iter):
+        parts.append(f""", ar{k} AS (
+          SELECT e2.d AS node, CAST(sum(e2.w * h{k}.h) AS BIGINT) AS x
+            FROM e2 JOIN h{k} ON e2.s = h{k}.node GROUP BY e2.d
+        ), am{k} AS (
+          SELECT greatest(CAST(1 AS BIGINT),
+                          coalesce(max(x), CAST(1 AS BIGINT))) AS m FROM ar{k}
+        ), a{k + 1} AS (
+          SELECT nodes.node,
+                 CAST((coalesce(x, CAST(0 AS BIGINT)) * {scale}) // m
+                      AS BIGINT) AS a
+            FROM nodes LEFT JOIN ar{k} USING (node), am{k}
+        ), hr{k} AS (
+          SELECT e2.s AS node, CAST(sum(e2.w * a{k + 1}.a) AS BIGINT) AS x
+            FROM e2 JOIN a{k + 1} ON e2.d = a{k + 1}.node GROUP BY e2.s
+        ), hm{k} AS (
+          SELECT greatest(CAST(1 AS BIGINT),
+                          coalesce(max(x), CAST(1 AS BIGINT))) AS m FROM hr{k}
+        ), h{k + 1} AS (
+          SELECT nodes.node,
+                 CAST((coalesce(x, CAST(0 AS BIGINT)) * {scale}) // m
+                      AS BIGINT) AS h
+            FROM nodes LEFT JOIN hr{k} USING (node), hm{k}
         )""")
     return "".join(parts)
 
@@ -4247,6 +4307,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_ctes(5) + """
             SELECT node, r AS rank_fp, r / 1000000000.0 AS rank FROM r5
+        """,
+        "hits": _hits_ctes(4) + """
+            SELECT a4.node, a4.a AS authority_fp, h4.h AS hub_fp,
+                   a4.a / 1000000.0 AS authority,
+                   h4.h / 1000000.0 AS hub
+              FROM a4 JOIN h4 USING (node)
         """,
         "transcript_validate": _TRANSCRIPT_CTE + """
             , f AS (

@@ -110,3 +110,95 @@ def pagerank(
         F.col("r").alias("rank_fp"),
         (F.col("r") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    n_iter: int = 4,
+    precision: int = 6,
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over an integer-weighted
+    edge list; returns (node, authority_fp, hub_fp, authority, hub)
+    with the ``_fp`` columns exact fixed-point integers in units of
+    10^-precision and the floats one deterministic division each.
+
+    Normalization per half-step divides by the current MAX (integer
+    ``div``) instead of the L2 norm — max is an exact, order-free
+    reduction, so every iterate is bit-identical on any engine under
+    any partitioning (an L2 norm would need a float sqrt of a float
+    sum, which is summation-order-dependent).  The top-ranked node's
+    score is pinned at exactly 1.0 in every iterate, which is the
+    standard presentation anyway.
+
+    Overflow bound: ``max_in_weight_sum * 10^(2*precision) < 2^63``;
+    the default precision 6 allows per-node weighted degree sums up
+    to ~9.2e6 * 10^-6 of a unit — raise/lower ``precision`` to trade
+    headroom for resolution.
+
+    Scale shape per iteration: two edge-table joins with map-side
+    partial-sum ``groupBy`` (one keyed on dst, one on src) plus two
+    scalar max reductions broadcast back; ``localCheckpoint`` bounds
+    plan depth for long runs.
+    """
+    scale = 10**precision
+
+    w = F.col(weight) if weight else F.lit(1)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), w.cast("bigint").alias("_w")
+    ).persist()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def _norm(raw: DataFrame, key: str, col: str) -> DataFrame:
+        """nodes ⟕ raw, then x' = (x * scale) div max(x) (0 if the
+        graph half is empty)."""
+        m = raw.agg(F.greatest(F.lit(1), F.coalesce(F.max("_x"), F.lit(1))).alias("_m"))
+        return (
+            nodes.join(raw.withColumnRenamed(key, "node"), "node", "left")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "node",
+                F.expr(f"(coalesce(_x, CAST(0 AS BIGINT)) * {scale}) div _m")
+                .cast("bigint")
+                .alias(col),
+            )
+        )
+
+    hubs = nodes.select("node", F.lit(scale).cast("bigint").alias("h"))
+    auth = None
+    for it in range(n_iter):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "_s"), "_s")
+            .groupBy("_d")
+            .agg(F.sum(F.expr("_w * h")).alias("_x"))
+        )
+        auth = _norm(a_raw, "_d", "a")
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "_d"), "_d")
+            .groupBy("_s")
+            .agg(F.sum(F.expr("_w * a")).alias("_x"))
+        )
+        hubs = _norm(h_raw, "_s", "h")
+        if (it + 1) % checkpoint_every == 0:
+            auth = auth.localCheckpoint(eager=False)
+            hubs = hubs.localCheckpoint(eager=False)
+    e.unpersist()
+    nodes.unpersist()
+    return (
+        auth.join(hubs, "node")
+        .select(
+            "node",
+            F.col("a").alias("authority_fp"),
+            F.col("h").alias("hub_fp"),
+            (F.col("a") / F.lit(float(scale))).alias("authority"),
+            (F.col("h") / F.lit(float(scale))).alias("hub"),
+        )
+    )

@@ -81,3 +81,52 @@ class TestPageRank:
              for r in pagerank(e, weight="weight", n_iter=5,
                                checkpoint_every=100).collect()}
         assert a == b
+
+
+class TestHits:
+    def _sim(self, rows, n_iter, scale=10**6):
+        nodes = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+        h = {v: scale for v in nodes}
+        a = {}
+        for _ in range(n_iter):
+            ar = {v: 0 for v in nodes}
+            for s, d, w in rows:
+                ar[d] += w * h[s]
+            m = max(1, max(ar.values()) if ar else 1)
+            a = {v: (ar[v] * scale) // m for v in nodes}
+            hr = {v: 0 for v in nodes}
+            for s, d, w in rows:
+                hr[s] += w * a[d]
+            m = max(1, max(hr.values()) if hr else 1)
+            h = {v: (hr[v] * scale) // m for v in nodes}
+        return a, h
+
+    def test_matches_driver_simulation(self, spark):
+        from feature_engineering_tk_spark.operators.graph import hits
+
+        rows = [(0, 2, 1), (1, 2, 2), (0, 3, 1), (3, 2, 1), (2, 4, 1)]
+        e = _edges(spark, rows)
+        out = {r["node"]: (r["authority_fp"], r["hub_fp"])
+               for r in hits(e, weight="weight", n_iter=3).collect()}
+        a, h = self._sim(rows, 3)
+        assert out == {v: (a[v], h[v]) for v in a}
+
+    def test_pure_authority_and_hub(self, spark):
+        from feature_engineering_tk_spark.operators.graph import hits
+
+        # 0 and 1 both point at 2: 2 is the sole authority (score 1.0),
+        # and the heavier-weighted pointer is the stronger hub.
+        e = _edges(spark, [(0, 2, 3), (1, 2, 1)])
+        out = {r["node"]: r for r in hits(e, weight="weight", n_iter=2).collect()}
+        assert out[2]["authority"] == 1.0 and out[2]["hub"] == 0.0
+        assert out[0]["hub"] == 1.0
+        assert 0.0 < out[1]["hub"] < 1.0
+        assert out[0]["authority"] == 0.0
+
+    def test_unweighted_symmetric_pair(self, spark):
+        from feature_engineering_tk_spark.operators.graph import hits
+
+        e = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+        out = {r["node"]: r for r in hits(e, n_iter=3).collect()}
+        for v in (0, 1):
+            assert out[v]["authority"] == 1.0 and out[v]["hub"] == 1.0
