@@ -195,6 +195,56 @@ def main() -> None:
         )
     )
 
+    # 11. transcript family: validate + latency + mask stacked on a
+    # native transcript table must share ONE conv_id exchange, and no
+    # Window may be unpartitioned
+    from feature_engineering_tk_spark.datagen import generate_transcripts
+    from feature_engineering_tk_spark.operators.transcripts import (
+        loss_mask,
+        response_latency,
+        validate_transcripts,
+    )
+
+    tr = generate_transcripts(spark, n_convs=50, seed=7)
+    stacked = loss_mask(response_latency(tr))
+    p1 = plan_of(stacked)
+    p2 = plan_of(validate_transcripts(tr))
+    p = p1 + p2
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p1))) + len(
+        set(re.findall(r"Exchange \((\d+)\)", p2))
+    )
+    # formatted Window arguments: [exprs], [partition spec], [order] —
+    # an empty partition spec prints as "], [], ["
+    unpart = len(re.findall(r"Arguments: \[[^\]]*\], \[\], \[", p))
+    sections.append(
+        (
+            "transcript ops (latency+mask stacked; validate)",
+            p,
+            [
+                f"exchanges={n_ex} (want 2 — one conv_id sort per plan)",
+                f"unpartitioned_windows={unpart} (want 0)",
+            ],
+        )
+    )
+
+    # 12. pagerank iteration: contribution groupBy must partial-agg
+    # map-side before its exchange
+    from feature_engineering_tk_spark.operators.graph import pagerank
+
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        ((F.col("user_id") * 13 + 3) % 40).alias("dst"),
+    ).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+    p = plan_of(pagerank(edges, weight="weight", n_iter=2))
+    n_partial = len(re.findall(r"partial_sum", p))
+    sections.append(
+        (
+            "pagerank (2 iters)",
+            p,
+            [f"partial_sum_sites={n_partial} (want >0 — map-side combine)"],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
