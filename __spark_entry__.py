@@ -2485,6 +2485,25 @@ def q_loss_mask(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "role", "loss_weight")
 
 
+def q_tool_roundtrip(spark, sf_dir):
+    """Tool-call roundtrip (operators/transcripts.py): seconds from
+    each tool turn to the NEXT assistant turn — forward-reading
+    serving analytic, one partitioned window, integer-µs."""
+    from feature_engineering_tk_spark.operators.transcripts import tool_roundtrip
+
+    out = tool_roundtrip(_transcript_view(spark, sf_dir))
+    return out.select("conv_id", "turn_idx", "role", "roundtrip_s")
+
+
+def q_tool_stats(spark, sf_dir):
+    """Per-tool usage profile (operators/transcripts.py): call count,
+    distinct conversations, mean roundtrip (integer-µs sum, one
+    division at the end)."""
+    from feature_engineering_tk_spark.operators.transcripts import tool_stats
+
+    return tool_stats(_transcript_view(spark, sf_dir))
+
+
 def q_conversation_dedup(spark, sf_dir):
     """Sequence-level conversation dedup (operators/transcripts.py):
     fingerprint = hash of the ordered (role, text) turn sequence;
@@ -2846,6 +2865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loss_mask": q_loss_mask,
         "conversation_dedup": q_conversation_dedup,
         "echo_rate": q_echo_rate,
+        "tool_roundtrip": q_tool_roundtrip,
+        "tool_stats": q_tool_stats,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
         "readability": q_readability,
@@ -4438,6 +4459,42 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(len(list_intersect(toks, pu)) AS DOUBLE)
                              / len(toks) END AS echo_rate
               FROM lk
+        """,
+        "tool_roundtrip": _TRANSCRIPT_CTE + """
+            SELECT conv_id, turn_idx, role,
+                   CASE WHEN role = 'tool' AND na IS NOT NULL
+                        THEN (na - us) / 1000000.0 END AS roundtrip_s
+              FROM (
+                SELECT conv_id, turn_idx, role, epoch_us(ts) AS us,
+                       first_value(CASE WHEN role = 'assistant'
+                                        THEN epoch_us(ts) END IGNORE NULLS)
+                         OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS BETWEEN 1 FOLLOWING
+                                        AND UNBOUNDED FOLLOWING) AS na
+                  FROM transcript)
+        """,
+        "tool_stats": _TRANSCRIPT_CTE + """
+            , calls AS (
+              SELECT tool AS t, conv_id AS c, na - us AS rt_us
+                FROM (
+                  SELECT role, tool, conv_id, epoch_us(ts) AS us,
+                         first_value(CASE WHEN role = 'assistant'
+                                          THEN epoch_us(ts) END IGNORE NULLS)
+                           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                 ROWS BETWEEN 1 FOLLOWING
+                                          AND UNBOUNDED FOLLOWING) AS na
+                    FROM transcript)
+               WHERE role = 'tool' AND tool IS NOT NULL
+            )
+            SELECT t AS tool,
+                   count(*) AS n_calls,
+                   CAST(count(DISTINCT c) AS BIGINT) AS n_conversations,
+                   CASE WHEN sum(CASE WHEN rt_us IS NOT NULL THEN 1 ELSE 0 END) > 0
+                        THEN (CAST(sum(rt_us) AS DOUBLE)
+                              / CAST(sum(CASE WHEN rt_us IS NOT NULL THEN 1
+                                              ELSE 0 END) AS BIGINT))
+                             / 1000000.0 END AS mean_roundtrip_s
+              FROM calls GROUP BY t
         """,
         "readability": """
             WITH m AS (

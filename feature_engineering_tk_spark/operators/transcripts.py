@@ -304,3 +304,78 @@ def loss_mask(
             F.lit(0.0)
         ),
     )
+
+
+def tool_roundtrip(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    ts: str = "ts",
+    tool_role: str = "tool",
+    out: str = "roundtrip_s",
+) -> DataFrame:
+    """Seconds from each tool turn to the NEXT assistant turn in the
+    conversation (NULL for non-tool turns and for tool turns never
+    followed by an assistant turn).
+
+    This reads FORWARD in time — it is an offline serving-quality
+    analytic, NOT a point-in-time training feature; never join it
+    onto feature vectors at the tool turn's own timestamp.  One
+    ``partitionBy(conv_id)`` window, integer-µs difference, one
+    division.
+    """
+    w = _conv_window(conv_id, turn_idx).rowsBetween(1, Window.unboundedFollowing)
+    us = epoch_micros(F.col(ts))
+    next_assist = F.first(
+        F.when(F.col(role) == "assistant", us), ignorenulls=True
+    ).over(w)
+    return df.withColumn(
+        out,
+        F.when(
+            (F.col(role) == tool_role) & next_assist.isNotNull(),
+            (next_assist - us) / F.lit(1e6),
+        ),
+    )
+
+
+def tool_stats(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    ts: str = "ts",
+    tool: str = "tool",
+    tool_role: str = "tool",
+) -> DataFrame:
+    """Per-tool usage profile: call counts, distinct conversations,
+    and mean roundtrip to the next assistant turn.
+
+    The roundtrip window reuses the ``conv_id`` partitioning; the
+    final reduction is a tiny ``groupBy(tool)`` over integer-µs sums
+    divided once at the end (bit-identical cross-engine).
+    """
+    us = epoch_micros(F.col(ts))
+    w = _conv_window(conv_id, turn_idx).rowsBetween(1, Window.unboundedFollowing)
+    next_assist = F.first(
+        F.when(F.col(role) == "assistant", us), ignorenulls=True
+    ).over(w)
+    # annotate BEFORE filtering — the window must see the assistant
+    # turns, which the tool-turn filter would remove
+    annotated = df.select(
+        F.col(tool).alias("_tool"),
+        F.col(conv_id).alias("_c"),
+        F.col(role).alias("_role"),
+        (next_assist - us).alias("_rt_us"),
+    )
+    calls = annotated.filter(
+        (F.col("_role") == tool_role) & F.col("_tool").isNotNull()
+    )
+    n_rt = F.sum(F.col("_rt_us").isNotNull().cast("bigint"))
+    return calls.groupBy(F.col("_tool").alias("tool")).agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.countDistinct("_c").alias("n_conversations"),
+        F.when(
+            n_rt > 0, (F.sum("_rt_us").cast("double") / n_rt) / F.lit(1e6)
+        ).alias("mean_roundtrip_s"),
+    )

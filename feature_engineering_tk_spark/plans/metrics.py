@@ -1,12 +1,14 @@
 """Per-stage metrics: row counts, entity-skew ratio, output bytes.
 
 The north rule requires per-partition lineage and metrics (rows, skew
-ratio, shuffle bytes) persisted per stage. In local mode Spark's
-listener-level shuffle byte counters aren't exposed to PySpark without
-a JVM listener; we record what the engine controls directly —
-filesystem bytes of materialized stages, per-entity-bucket skew — and
-leave a hook where a SparkListener JAR would feed true shuffle bytes on a
-real cluster deployment.
+ratio, shuffle bytes) persisted per stage. ``stage_snapshot`` /
+``stage_delta`` read TRUE per-Spark-stage shuffle read/write bytes,
+input/output bytes and task counts straight from the JVM
+``AppStatusStore`` (no UI, REST endpoint, or listener JAR needed —
+identical on ``local[*]`` and a real cluster master); ``entity_skew``
+measures the shuffle-hash distribution a key will see; ``dir_bytes``
+/ ``partition_stats`` record filesystem lineage of materialized
+stages.
 """
 
 from __future__ import annotations

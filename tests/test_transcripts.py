@@ -239,3 +239,54 @@ class TestLossMask:
                for r in loss_mask(df, train_roles=("user", "assistant"),
                                   weight=0.5).collect()}
         assert out == {0: 0.5, 1: 0.5}
+
+
+class TestToolAnalytics:
+    def test_roundtrip_to_next_assistant(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            tool_roundtrip,
+        )
+
+        df = _tr(spark, [
+            ("a", 0, "user", "q", None, 0),
+            ("a", 1, "assistant", "calling", "search", 1),
+            ("a", 2, "tool", "result", "search", 2),
+            ("a", 3, "tool", "result2", "search", 4),
+            ("a", 4, "assistant", "answer", None, 10),
+        ])
+        out = {r["turn_idx"]: r["roundtrip_s"]
+               for r in tool_roundtrip(df).collect()}
+        assert out[2] == pytest.approx(8.0)
+        assert out[3] == pytest.approx(6.0)
+        assert out[0] is None and out[1] is None and out[4] is None
+
+    def test_trailing_tool_turn_is_null(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            tool_roundtrip,
+        )
+
+        df = _tr(spark, [
+            ("a", 0, "assistant", "calling", "calc", 0),
+            ("a", 1, "tool", "result", "calc", 1),   # never answered
+        ])
+        assert tool_roundtrip(df).collect()[1]["roundtrip_s"] is None
+
+    def test_tool_stats_grouping(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import tool_stats
+
+        df = _tr(spark, [
+            ("a", 0, "assistant", "c1", "search", 0),
+            ("a", 1, "tool", "r1", "search", 1),
+            ("a", 2, "assistant", "done", None, 5),     # rt 4s
+            ("b", 0, "assistant", "c2", "search", 0),
+            ("b", 1, "tool", "r2", "search", 2),
+            ("b", 2, "assistant", "done", None, 4),     # rt 2s
+            ("b", 3, "assistant", "c3", "calc", 6),
+            ("b", 4, "tool", "r3", "calc", 7),          # trailing: no rt
+        ])
+        out = {r["tool"]: r for r in tool_stats(df).collect()}
+        assert out["search"]["n_calls"] == 2
+        assert out["search"]["n_conversations"] == 2
+        assert out["search"]["mean_roundtrip_s"] == pytest.approx(3.0)
+        assert out["calc"]["n_calls"] == 1
+        assert out["calc"]["mean_roundtrip_s"] is None
