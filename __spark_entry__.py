@@ -2504,6 +2504,16 @@ def q_tool_stats(spark, sf_dir):
     return tool_stats(_transcript_view(spark, sf_dir))
 
 
+def q_sft_export(spark, sf_dir):
+    """Chat-SFT JSONL assembly (operators/transcripts.py sft_export):
+    deterministic byte-level JSON built from concat + minimal escaping
+    (NOT engine to_json), one conv groupBy with map-side list
+    assembly."""
+    from feature_engineering_tk_spark.operators.transcripts import sft_export
+
+    return sft_export(_transcript_view(spark, sf_dir))
+
+
 def q_conversation_dedup(spark, sf_dir):
     """Sequence-level conversation dedup (operators/transcripts.py):
     fingerprint = hash of the ordered (role, text) turn sequence;
@@ -2867,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "echo_rate": q_echo_rate,
         "tool_roundtrip": q_tool_roundtrip,
         "tool_stats": q_tool_stats,
+        "sft_export": q_sft_export,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
         "readability": q_readability,
@@ -3089,6 +3100,17 @@ def _hits_ctes(n_iter: int, scale: int = 10**6) -> str:
             FROM nodes LEFT JOIN hr{k} USING (node), hm{k}
         )""")
     return "".join(parts)
+
+
+def _json_esc_sql(e: str) -> str:
+    """DuckDB replay of transcripts._json_escape: literal replaces in
+    the same order (backslash, quote, \\n, \\r, \\t), written with
+    chr() so no SQL-quoting ambiguity."""
+    out = f"replace({e}, chr(92), chr(92)||chr(92))"
+    out = f"replace({out}, chr(34), chr(92)||chr(34))"
+    out = f"replace({out}, chr(10), chr(92)||'n')"
+    out = f"replace({out}, chr(13), chr(92)||'r')"
+    return f"replace({out}, chr(9), chr(92)||'t')"
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -4459,6 +4481,16 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(len(list_intersect(toks, pu)) AS DOUBLE)
                              / len(toks) END AS echo_rate
               FROM lk
+        """,
+        "sft_export": _TRANSCRIPT_CTE + f"""
+            SELECT conv_id,
+                   '{{"conv_id":"' || {_json_esc_sql("conv_id")}
+                   || '","messages":['
+                   || string_agg('{{"role":"' || {_json_esc_sql("role")}
+                                 || '","content":"' || {_json_esc_sql("text")}
+                                 || '"}}', ',' ORDER BY turn_idx)
+                   || ']}}' AS json_line
+              FROM transcript GROUP BY conv_id
         """,
         "tool_roundtrip": _TRANSCRIPT_CTE + """
             SELECT conv_id, turn_idx, role,

@@ -379,3 +379,56 @@ def tool_stats(
             n_rt > 0, (F.sum("_rt_us").cast("double") / n_rt) / F.lit(1e6)
         ).alias("mean_roundtrip_s"),
     )
+
+
+def _json_escape(c: Column) -> Column:
+    """Minimal JSON string escaping (backslash, quote, newline, tab,
+    carriage return) via literal replaces — identical byte-for-byte
+    on any engine, unlike engine-native ``to_json`` implementations
+    which differ in key ordering and unicode escaping."""
+    out = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    return F.replace(out, F.lit("\t"), F.lit("\\t"))
+
+
+def sft_export(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    out: str = "json_line",
+) -> DataFrame:
+    """One JSONL training record per conversation:
+    ``{"conv_id":"...","messages":[{"role":"...","content":"..."},...]}``
+    with messages in turn order — the standard chat-SFT interchange
+    format (write the result with ``df.write.text`` for a JSONL
+    corpus sink).
+
+    The JSON is assembled from explicit concatenation + minimal
+    escaping rather than ``to_json`` so the bytes are deterministic
+    and engine-independent (oracle-verifiable).  One ``groupBy
+    (conv_id)`` with map-side list assembly — same shuffle shape as
+    ``conversation_fingerprint``.
+    """
+    msg = F.concat(
+        F.lit('{"role":"'),
+        _json_escape(F.col(role)),
+        F.lit('","content":"'),
+        _json_escape(F.col(text)),
+        F.lit('"}'),
+    )
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(turn_idx).alias("i"), msg.alias("m")))
+    )
+    return df.groupBy(conv_id).agg(
+        F.concat(
+            F.lit('{"conv_id":"'),
+            _json_escape(F.col(conv_id)),
+            F.lit('","messages":['),
+            F.array_join(F.transform(arr, lambda x: x["m"]), ","),
+            F.lit("]}"),
+        ).alias(out)
+    )

@@ -290,3 +290,49 @@ class TestToolAnalytics:
         assert out["search"]["mean_roundtrip_s"] == pytest.approx(3.0)
         assert out["calc"]["n_calls"] == 1
         assert out["calc"]["mean_roundtrip_s"] is None
+
+
+class TestSftExport:
+    def test_round_trips_through_json_parser(self, spark):
+        import json
+
+        from feature_engineering_tk_spark.operators.transcripts import sft_export
+
+        df = _tr(spark, [
+            ("a", 0, "user", 'say "hi"\nplease', None, 0),
+            ("a", 1, "assistant", "back\\slash\ttab", None, 1),
+        ])
+        line = sft_export(df).first()["json_line"]
+        doc = json.loads(line)
+        assert doc["conv_id"] == "a"
+        assert doc["messages"] == [
+            {"role": "user", "content": 'say "hi"\nplease'},
+            {"role": "assistant", "content": "back\\slash\ttab"},
+        ]
+
+    def test_messages_in_turn_order(self, spark):
+        import json
+
+        from feature_engineering_tk_spark.operators.transcripts import sft_export
+
+        # insert out of order; export must sort by turn_idx
+        df = _tr(spark, [
+            ("a", 2, "user", "third", None, 2),
+            ("a", 0, "user", "first", None, 0),
+            ("a", 1, "assistant", "second", None, 1),
+        ])
+        doc = json.loads(sft_export(df).first()["json_line"])
+        assert [m["content"] for m in doc["messages"]] == [
+            "first", "second", "third",
+        ]
+
+    def test_one_line_per_conversation(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import sft_export
+
+        df = _tr(spark, [
+            ("a", 0, "user", "x", None, 0),
+            ("b", 0, "user", "y", None, 0),
+        ])
+        out = sft_export(df).collect()
+        assert len(out) == 2
+        assert all("\n" not in r["json_line"] for r in out)
