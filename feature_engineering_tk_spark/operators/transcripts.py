@@ -86,9 +86,12 @@ def validate_transcripts(
         (prev_us.isNotNull() & (us <= prev_us)).cast("int").alias("_ts_bad"),
         F.row_number().over(w).alias("_rn"),
     )
-    alt_bad = (
-        F.col("_r").isin(*_CHAT_ROLES) & (F.col("_pr") == F.col("_r"))
-    ).cast("int")
+    # coalesce: the first turn's _pr is NULL, and a single-turn
+    # conversation would otherwise sum only NULLs → NULL violations
+    alt_bad = F.coalesce(
+        (F.col("_r").isin(*_CHAT_ROLES) & (F.col("_pr") == F.col("_r"))).cast("int"),
+        F.lit(0),
+    )
     orphan = (
         (F.col("_r") == tool_role)
         & (~F.coalesce(F.col("_pr").isin("assistant", tool_role), F.lit(False)))

@@ -336,3 +336,113 @@ class TestSftExport:
         out = sft_export(df).collect()
         assert len(out) == 2
         assert all("\n" not in r["json_line"] for r in out)
+
+
+class TestValidateProperty:
+    """validate_transcripts vs a brute-force Python simulator on
+    arbitrary role sequences and (possibly non-monotonic) clocks."""
+
+    def test_random_transcripts_match_simulator(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        roles = st.sampled_from(["user", "assistant", "tool"])
+        conv = st.lists(
+            st.tuples(roles, st.integers(min_value=0, max_value=30)),
+            min_size=1, max_size=12,
+        )
+
+        @settings(max_examples=15, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                         HealthCheck.too_slow])
+        @given(convs=st.lists(conv, min_size=1, max_size=4))
+        def run(convs):
+            rows = []
+            expected = {}
+            for ci, turns in enumerate(convs):
+                cid = f"c{ci}"
+                alt = orphan = ts_bad = 0
+                for i, (r, s) in enumerate(turns):
+                    rows.append((cid, i, r, "t", None, s))
+                    if i > 0:
+                        pr, ps = turns[i - 1][0], turns[i - 1][1]
+                        if r in ("user", "assistant") and pr == r:
+                            alt += 1
+                        if r == "tool" and pr not in ("assistant", "tool"):
+                            orphan += 1
+                        if s <= ps:
+                            ts_bad += 1
+                    elif r == "tool":
+                        orphan += 1
+                expected[cid] = {
+                    "n_turns": len(turns),
+                    "starts_with_user": turns[0][0] == "user",
+                    "alternation_violations": alt,
+                    "orphan_tool_turns": orphan,
+                    "ts_monotonic": ts_bad == 0,
+                }
+                expected[cid]["is_valid"] = (
+                    expected[cid]["starts_with_user"]
+                    and alt == 0 and orphan == 0 and ts_bad == 0
+                )
+            got = {r["conv_id"]: r.asDict()
+                   for r in validate_transcripts(_tr(spark, rows)).collect()}
+            for cid, exp in expected.items():
+                g = got[cid]
+                assert {k: g[k] for k in exp} == exp, (cid, g, exp)
+
+        run()
+
+
+class TestStreamingTranscripts:
+    def test_loss_mask_stateless_on_stream(self, spark, tmp_path):
+        """loss_mask is row-local, so the SAME call runs unchanged on
+        a readStream; drained output must match batch row-for-row."""
+        src = str(tmp_path / "tr_src")
+        batch = _tr(spark, [
+            ("a", 0, "user", "q", None, 0),
+            ("a", 1, "assistant", "r", None, 1),
+            ("b", 0, "tool", "t", "calc", 0),
+        ])
+        batch.write.mode("overwrite").parquet(src)
+        schema = ("conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+        stream = spark.readStream.schema(schema).parquet(src)
+        assert stream.isStreaming
+        q = (
+            loss_mask(stream).select("conv_id", "turn_idx", "loss_weight")
+            .writeStream.format("memory").queryName("lm_stream")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.table("lm_stream").collect()))
+        exp = sorted(map(tuple, loss_mask(spark.read.parquet(src))
+                         .select("conv_id", "turn_idx", "loss_weight").collect()))
+        assert got == exp
+
+    def test_sft_export_streams_in_complete_mode(self, spark, tmp_path):
+        """sft_export is one groupBy agg, so it streams with complete
+        output mode; drained output must match the batch export."""
+        from feature_engineering_tk_spark.operators.transcripts import sft_export
+
+        src = str(tmp_path / "tr_sft_src")
+        batch = _tr(spark, [
+            ("a", 0, "user", "hello", None, 0),
+            ("a", 1, "assistant", "world", None, 1),
+            ("b", 0, "user", "bye", None, 0),
+        ])
+        batch.write.mode("overwrite").parquet(src)
+        schema = ("conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sft_export(stream)
+            .writeStream.format("memory").queryName("sft_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r["json_line"] for r in spark.table("sft_stream").collect())
+        exp = sorted(r["json_line"]
+                     for r in sft_export(spark.read.parquet(src)).collect())
+        assert got == exp
