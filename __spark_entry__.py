@@ -612,6 +612,22 @@ def q_lsh_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cos_sim"))
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN index quality (functions/similarity.py ann_recall):
+    recall@10 of the hyperplane-LSH top-k against the brute-force
+    cosine top-10 for the same query vector — k-sized join, no corpus
+    rescan."""
+    from feature_engineering_tk_spark.functions.similarity import ann_recall
+
+    approx = q_lsh_topk(spark, sf_dir)
+    exact = (
+        q_cosine_topk(spark, sf_dir)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return ann_recall(approx, exact)
+
+
 def q_kendall_corr(spark, sf_dir):
     """Kendall tau-b matrix (reference data_analysis.py:143-156,
     corr(method='kendall')) on a deterministic lineitem subset; the
@@ -2878,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_roundtrip": q_tool_roundtrip,
         "tool_stats": q_tool_stats,
         "sft_export": q_sft_export,
+        "ann_recall": q_ann_recall,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
         "readability": q_readability,
@@ -5911,4 +5928,19 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     d.update(d_static)
+    # composed oracle: recall@10 of the LSH result vs the exact top-10,
+    # reusing both verified pipelines as CTE bodies (nested WITH)
+    d["ann_recall"] = f"""
+        WITH approx AS ({d["lsh_topk"]}),
+             exact AS (
+               SELECT vec_id FROM ({d["cosine_topk"]}) q
+                ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+             )
+        SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+               CAST((SELECT count(*) FROM approx a
+                       JOIN exact e USING (vec_id)) AS BIGINT) AS n_hits,
+               CAST((SELECT count(*) FROM approx a
+                       JOIN exact e USING (vec_id)) AS DOUBLE)
+                 / (SELECT count(*) FROM exact) AS recall
+    """
     return d

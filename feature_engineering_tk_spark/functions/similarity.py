@@ -283,3 +283,49 @@ def ann_corpus_topk(
             qbucket |= 1 << j
     corpus = spark.read.parquet(path).filter(F.col("lsh_bucket") == qbucket)
     return cosine_topk(corpus, qv, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    id_col: str = "vec_id",
+    query_col: str | None = None,
+) -> DataFrame:
+    """Recall of an approximate top-k result against the exact top-k:
+    ``|approx ∩ exact| / |exact|`` — the standard ANN quality gauge
+    (run it on a sampled query set before trusting an IVF/LSH index at
+    corpus scale).
+
+    Single-query mode (``query_col=None``) returns one row
+    ``(n_exact, n_hits, recall)``; multi-query mode groups both sides
+    by ``query_col`` and returns one row per query.  Pure joins +
+    partial-agg counts on id columns — candidate lists are k-sized,
+    so every input here is tiny relative to the corpus scan that
+    produced it.
+    """
+    keys = [query_col, id_col] if query_col else [id_col]
+    a = approx.select(*keys)
+    e = exact.select(*keys)
+    if query_col:
+        hits = a.join(e, keys).groupBy(query_col).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        totals = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+        return (
+            totals.join(hits, query_col, "left")
+            .select(
+                query_col,
+                "n_exact",
+                F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+                (
+                    F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_exact")
+                ).alias("recall"),
+            )
+        )
+    hits = a.join(e, keys).agg(F.count(F.lit(1)).alias("n_hits"))
+    totals = e.agg(F.count(F.lit(1)).alias("n_exact"))
+    return totals.crossJoin(hits).select(
+        "n_exact",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
+    )

@@ -63,3 +63,35 @@ def test_projection_matches_numpy_and_is_shuffle_free(data):
         np.testing.assert_allclose(got[i], expect[i], rtol=1e-6, atol=1e-9)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+class TestAnnRecall:
+    def test_single_query_recall(self, spark):
+        from feature_engineering_tk_spark.functions.similarity import ann_recall
+
+        approx = spark.createDataFrame([(1,), (2,), (3,)], "vec_id long")
+        exact = spark.createDataFrame([(2,), (3,), (4,), (5,)], "vec_id long")
+        r = ann_recall(approx, exact).first()
+        assert r["n_exact"] == 4 and r["n_hits"] == 2
+        assert r["recall"] == pytest.approx(0.5)
+
+    def test_multi_query_missing_query_is_zero(self, spark):
+        from feature_engineering_tk_spark.functions.similarity import ann_recall
+
+        approx = spark.createDataFrame(
+            [("q1", 1), ("q1", 2)], "qid string, vec_id long"
+        )
+        exact = spark.createDataFrame(
+            [("q1", 1), ("q1", 9), ("q2", 5)], "qid string, vec_id long"
+        )
+        out = {r["qid"]: r for r in
+               ann_recall(approx, exact, query_col="qid").collect()}
+        assert out["q1"]["n_hits"] == 1 and out["q1"]["recall"] == pytest.approx(0.5)
+        assert out["q2"]["n_hits"] == 0 and out["q2"]["recall"] == 0.0
+
+    def test_perfect_recall(self, spark):
+        from feature_engineering_tk_spark.functions.similarity import ann_recall
+
+        ids = spark.createDataFrame([(i,) for i in range(5)], "vec_id long")
+        r = ann_recall(ids, ids).first()
+        assert r["recall"] == 1.0
