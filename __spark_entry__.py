@@ -612,6 +612,25 @@ def q_lsh_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cos_sim"))
 
 
+def q_resample_daily(spark, sf_dir):
+    """Calendar resample (operators/window_features.py resample):
+    per-event_type daily buckets with count/sum/avg/min/max — one
+    partial-agg groupBy on a row-local date_trunc key."""
+    from feature_engineering_tk_spark.operators.window_features import resample
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample(
+        ev,
+        ts="ts",
+        every="day",
+        entity="event_type",
+        aggs={"*": "count", "value": "sum"},
+    )
+    # date (not timestamp) output: the driver comparator's pandas
+    # timestamp dtypes differ between engines for bare timestamps
+    return out.withColumn("bucket", F.to_date("bucket"))
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN index quality (functions/similarity.py ann_recall):
     recall@10 of the hyperplane-LSH top-k against the brute-force
@@ -2895,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_stats": q_tool_stats,
         "sft_export": q_sft_export,
         "ann_recall": q_ann_recall,
+        "resample_daily": q_resample_daily,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
         "readability": q_readability,
@@ -4568,6 +4588,12 @@ def oracle_sql() -> dict[str, str]:
                      + 11.8 * (CAST(sy AS DOUBLE) / w) - 15.59 END
                      AS fk_grade
               FROM m
+        """,
+        "resample_daily": """
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+                   count(*) AS n_rows,
+                   sum(value) AS value_sum
+              FROM events GROUP BY event_type, date_trunc('day', ts)
         """,
         "k_anonymity": """
             SELECT user_id, event_type,

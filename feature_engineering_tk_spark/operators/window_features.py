@@ -434,3 +434,35 @@ def context_window(
             f"{out}_n": F.count(F.lit(1)).over(w).cast("bigint"),
         }
     )
+
+
+def resample(
+    df: DataFrame,
+    ts: str = "ts",
+    every: str = "day",
+    entity: str | None = None,
+    aggs: dict[str, str] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Downsample an event/turn stream into fixed calendar buckets
+    (``date_trunc`` units: 'hour', 'day', 'week', ...), optionally per
+    entity — the standard pandas ``resample('1D').agg(...)`` analog.
+
+    ``aggs`` maps column → one of count/sum/avg/min/max; output
+    columns are named ``{col}_{fn}``.  One ``groupBy`` with map-side
+    partial aggregation; the bucket key is derived row-locally so the
+    shuffle carries only (entity, bucket) partials.
+    """
+    aggs = aggs or {"*": "count"}
+    _FNS = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+    keys = [F.date_trunc(every, F.col(ts)).alias(bucket_col)]
+    if entity:
+        keys.insert(0, F.col(entity))
+    exprs = []
+    for col, fn in aggs.items():
+        if fn not in _FNS:
+            raise ValueError(f"unsupported agg {fn!r}; use {sorted(_FNS)}")
+        target = F.lit(1) if col == "*" else F.col(col)
+        name = "n_rows" if col == "*" else f"{col}_{fn}"
+        exprs.append(_FNS[fn](target).alias(name))
+    return df.groupBy(*keys).agg(*exprs)

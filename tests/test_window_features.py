@@ -367,3 +367,49 @@ class TestContextWindow:
         plan = out._jdf.queryExecution().executedPlan().toString()
         # the context window reuses with_lag's conv_id exchange
         assert plan.count("Exchange") == base_plan.count("Exchange")
+
+
+class TestResample:
+    def test_daily_buckets_per_entity(self, spark):
+        import datetime as dt
+
+        from feature_engineering_tk_spark.operators.window_features import resample
+
+        rows = [
+            ("a", dt.datetime(2024, 1, 1, 5), 1.0),
+            ("a", dt.datetime(2024, 1, 1, 23), 2.0),
+            ("a", dt.datetime(2024, 1, 2, 0), 4.0),
+            ("b", dt.datetime(2024, 1, 1, 12), 8.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+        out = {(r["k"], str(r["bucket"])): r
+               for r in resample(df, entity="k",
+                                 aggs={"*": "count", "value": "sum"}).collect()}
+        d1, d2 = "2024-01-01 00:00:00", "2024-01-02 00:00:00"
+        assert out[("a", d1)]["n_rows"] == 2 and out[("a", d1)]["value_sum"] == 3.0
+        assert out[("a", d2)]["n_rows"] == 1 and out[("a", d2)]["value_sum"] == 4.0
+        assert out[("b", d1)]["value_sum"] == 8.0
+
+    def test_hourly_no_entity_and_agg_names(self, spark):
+        import datetime as dt
+
+        from feature_engineering_tk_spark.operators.window_features import resample
+
+        rows = [(dt.datetime(2024, 1, 1, 5, 10), 1.0),
+                (dt.datetime(2024, 1, 1, 5, 50), 3.0)]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        r = resample(df, every="hour",
+                     aggs={"value": "avg"}).first()
+        assert r["value_avg"] == 2.0
+
+    def test_bad_agg_rejected(self, spark):
+        import datetime as dt
+
+        from feature_engineering_tk_spark.operators.window_features import resample
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), 1.0)], "ts timestamp, value double"
+        )
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            resample(df, aggs={"value": "median"})
