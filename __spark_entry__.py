@@ -2434,6 +2434,32 @@ def q_hits(spark, sf_dir):
     return hits(edges, weight="weight", n_iter=4)
 
 
+def q_label_prop(spark, sf_dir):
+    """Label propagation (operators/graph.py): every 7th host seeds
+    label node%3; 5 clamped-seed rounds over the symmetrized host
+    graph — integer votes, smallest-label tie-break, bit-exact
+    cross-engine."""
+    from feature_engineering_tk_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        docs.select(
+            (F.col("doc_id") % 50).alias("src"),
+            ((F.col("doc_id") * 31 + 7) % 50).alias("dst"),
+        )
+        .where(F.col("src") % 10 != 3)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = nodes.where(F.col("node") % 7 == 0).select(
+        "node", (F.col("node") % 3).alias("label")
+    )
+    return label_propagation(edges, seeds, weight="weight", n_iter=5)
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Blocked fuzzy matching (operators/dedup.py fuzzy_pairs):
     one-substitution variants injected for every 7th doc are recovered
@@ -2904,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "label_prop": q_label_prop,
         "transcript_validate": q_transcript_validate,
         "conversation_stats": q_conversation_stats,
         "response_latency": q_response_latency,
@@ -3135,6 +3162,47 @@ def _hits_ctes(n_iter: int, scale: int = 10**6) -> str:
                  CAST((coalesce(x, CAST(0 AS BIGINT)) * {scale}) // m
                       AS BIGINT) AS h
             FROM nodes LEFT JOIN hr{k} USING (node), hm{k}
+        )""")
+    return "".join(parts)
+
+
+def _labelprop_ctes(n_iter: int) -> str:
+    """DuckDB replay of operators/graph.py label_propagation over the
+    q_pagerank synthetic host graph: symmetrized edges, clamped
+    seeds (node%7==0 → node%3), integer votes, argmax with
+    smallest-label tie-break."""
+    parts = ["""
+        WITH e1 AS (
+          SELECT doc_id % 50 AS s, (doc_id * 31 + 7) % 50 AS d,
+                 CAST(count(*) AS BIGINT) AS w
+            FROM documents WHERE (doc_id % 50) % 10 != 3
+           GROUP BY doc_id % 50, (doc_id * 31 + 7) % 50
+        ), und AS (
+          SELECT s, d, w FROM e1
+          UNION ALL
+          SELECT d AS s, s AS d, w FROM e1
+        ), nodes AS (
+          SELECT DISTINCT node FROM (SELECT s AS node FROM und UNION SELECT d FROM und)
+        ), seed AS (
+          SELECT node, CAST(node % 3 AS BIGINT) AS lab FROM nodes WHERE node % 7 = 0
+        ), l0 AS (
+          SELECT nodes.node, seed.lab FROM nodes LEFT JOIN seed USING (node)
+        )"""]
+    for k in range(n_iter):
+        parts.append(f""", v{k} AS (
+          SELECT und.d AS node, l.lab, CAST(sum(und.w) AS BIGINT) AS v
+            FROM und JOIN l{k} l ON und.s = l.node
+           WHERE l.lab IS NOT NULL GROUP BY und.d, l.lab
+        ), b{k} AS (
+          SELECT node, lab AS nl FROM (
+            SELECT node, lab,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY v DESC, lab ASC) AS rn
+              FROM v{k}) WHERE rn = 1
+        ), l{k + 1} AS (
+          SELECT nodes.node, coalesce(seed.lab, b{k}.nl) AS lab
+            FROM nodes LEFT JOIN seed USING (node)
+                 LEFT JOIN b{k} ON nodes.node = b{k}.node
         )""")
     return "".join(parts)
 
@@ -4387,6 +4455,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_ctes(5) + """
             SELECT node, r AS rank_fp, r / 1000000000.0 AS rank FROM r5
+        """,
+        "label_prop": _labelprop_ctes(5) + """
+            SELECT node, lab AS label FROM l5
         """,
         "hits": _hits_ctes(4) + """
             SELECT a4.node, a4.a AS authority_fp, h4.h AS hub_fp,

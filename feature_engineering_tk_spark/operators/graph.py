@@ -202,3 +202,78 @@ def hits(
             (F.col("h") / F.lit(float(scale))).alias("hub"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    node: str = "node",
+    label: str = "label",
+    n_iter: int = 5,
+    directed: bool = False,
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002) over
+    an integer-weighted graph: seed nodes are clamped, every other
+    node takes the argmax of its neighbors' label weights each round
+    (ties → smallest label id, so the result is deterministic under
+    any partitioning — all arithmetic is integer).  Updates are
+    SYNCHRONOUS with pure neighbor votes, so the tie-break bias can
+    propagate along tied frontiers (a path between two equally-strong
+    seeds resolves toward the smaller label) — the price of an
+    engine-replayable deterministic fixture; use more iterations +
+    heavier seed weighting when the boundary matters.
+
+    Crawl pipelines spread spam/quality labels from a small audited
+    seed set across the host graph this way.  Returns
+    ``(node, label)`` with NULL for nodes no label has reached.
+
+    Scale shape per iteration: one edge⨝label join keyed on the
+    source, a ``groupBy(node, label)`` partial-sum, and an argmax
+    reduce — labels-sized tables shuffle, never the corpus;
+    ``localCheckpoint`` bounds plan depth.
+    """
+    w = F.col(weight) if weight else F.lit(1)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), w.cast("bigint").alias("_w")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"), "_w")
+        )
+    e = e.persist()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    seed = seeds.select(F.col(node).alias("node"), F.col(label).cast("bigint").alias("lab")).persist()
+
+    labels = nodes.join(seed, "node", "left").select("node", F.col("lab"))
+    for it in range(n_iter):
+        votes = (
+            e.join(
+                labels.where(F.col("lab").isNotNull()).withColumnRenamed("node", "_s"),
+                "_s",
+            )
+            .groupBy(F.col("_d").alias("node"), "lab")
+            .agg(F.sum("_w").alias("_v"))
+        )
+        best = votes.groupBy("node").agg(
+            F.max(F.struct(F.col("_v"), (-F.col("lab")).alias("_nl"))).alias("_b")
+        ).select("node", (-F.col("_b._nl")).alias("_new"))
+        labels = (
+            nodes.join(seed, "node", "left")
+            .join(best, "node", "left")
+            .select("node", F.coalesce("lab", "_new").alias("lab"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    e.unpersist()
+    nodes.unpersist()
+    seed.unpersist()
+    return labels.select("node", F.col("lab").alias(label))

@@ -130,3 +130,64 @@ class TestHits:
         out = {r["node"]: r for r in hits(e, n_iter=3).collect()}
         for v in (0, 1):
             assert out[v]["authority"] == 1.0 and out[v]["hub"] == 1.0
+
+
+class TestLabelPropagation:
+    def test_path_graph_deterministic_tie_bias(self, spark):
+        from feature_engineering_tk_spark.operators.graph import label_propagation
+
+        # path 0-1-2-3-4, seeds at the ends with labels 0 and 1.
+        # Synchronous updates with the smallest-label tie-break let the
+        # smaller label win every tie, and the bias propagates: node 2
+        # ties (0 vs 1) → 0, then node 3 ties (0 from node 2, 1 from
+        # the seed) → 0. Deterministic and documented.
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(0, 0), (4, 1)], "node long, label long")
+        out = {r["node"]: r["label"]
+               for r in label_propagation(e, seeds, n_iter=4).collect()}
+        assert out[0] == 0 and out[4] == 1
+        assert out[1] == 0 and out[2] == 0 and out[3] == 0
+
+    def test_seeds_are_clamped(self, spark):
+        from feature_engineering_tk_spark.operators.graph import label_propagation
+
+        # heavy neighbor pressure must not flip a seed
+        e = spark.createDataFrame(
+            [(1, 0, 100), (2, 0, 100)], "src long, dst long, weight long"
+        )
+        seeds = spark.createDataFrame(
+            [(0, 7), (1, 3), (2, 3)], "node long, label long"
+        )
+        out = {r["node"]: r["label"]
+               for r in label_propagation(e, seeds, weight="weight",
+                                          n_iter=3).collect()}
+        assert out[0] == 7
+
+    def test_unreachable_node_stays_null(self, spark):
+        from feature_engineering_tk_spark.operators.graph import label_propagation
+
+        # component {0,1} seeded; component {2,3} not
+        e = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+        seeds = spark.createDataFrame([(0, 5)], "node long, label long")
+        out = {r["node"]: r["label"]
+               for r in label_propagation(e, seeds, n_iter=3).collect()}
+        assert out[1] == 5
+        assert out[2] is None and out[3] is None
+
+    def test_weighted_vote_beats_count(self, spark):
+        from feature_engineering_tk_spark.operators.graph import label_propagation
+
+        # node 0 hears label 1 from one heavy edge (w=5) and label 2
+        # from two light edges (w=1 each): weight wins
+        e = spark.createDataFrame(
+            [(1, 0, 5), (2, 0, 1), (3, 0, 1)], "src long, dst long, weight long"
+        )
+        seeds = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 2)], "node long, label long"
+        )
+        out = {r["node"]: r["label"]
+               for r in label_propagation(e, seeds, weight="weight",
+                                          n_iter=1, directed=True).collect()}
+        assert out[0] == 1
