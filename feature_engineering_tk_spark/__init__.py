@@ -46,7 +46,12 @@ def __getattr__(name):
     DataPreprocessor / FeatureEngineer / DataAnalyzer (api.py),
     TargetAnalyzer (analysis.target), FeatureSelector
     (analysis.selection)."""
-    if name in ("DataPreprocessor", "FeatureEngineer", "DataAnalyzer"):
+    if name in (
+        "DataPreprocessor",
+        "FeatureEngineer",
+        "DataAnalyzer",
+        "TranscriptAnalyzer",
+    ):
         from feature_engineering_tk_spark import api
 
         return getattr(api, name)

@@ -566,3 +566,65 @@ class DataAnalyzer:
 
         spec = V.plot_distributions(self.df, columns, bins)
         return V.render(spec, figsize, show) if render and spec else spec
+
+
+class TranscriptAnalyzer:
+    """Transcript-family surface (operators/transcripts.py) in the
+    same class style as DataAnalyzer — one object over the canonical
+    conversation table ``(conv_id, turn_idx, role, text, tool, ts)``.
+
+    Beyond-reference scope: the reference toolkit has no transcript
+    payload; this facade groups the engine's conversation QA /
+    profiling / SFT-prep operators for discoverability.
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def validate(self, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            validate_transcripts,
+        )
+
+        return validate_transcripts(self.df, **kw)
+
+    def stats(self, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            conversation_stats,
+        )
+
+        return conversation_stats(self.df, **kw)
+
+    def response_latency(self, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            response_latency,
+        )
+
+        return response_latency(self.df, **kw)
+
+    def tool_stats(self, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import tool_stats
+
+        return tool_stats(self.df, **kw)
+
+    def echo_rate(self, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import echo_rate
+
+        return echo_rate(self.df, **kw)
+
+    def dedup(self, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            dedup_conversations,
+        )
+
+        return dedup_conversations(self.df, **kw)
+
+    def loss_mask(self, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import loss_mask
+
+        return loss_mask(self.df, **kw)
+
+    def sft_export(self, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import sft_export
+
+        return sft_export(self.df, **kw)

@@ -116,3 +116,30 @@ def test_facade_exports():
     for name in ("DataPreprocessor", "FeatureEngineer", "DataAnalyzer",
                  "TargetAnalyzer", "FeatureSelector"):
         assert getattr(fe, name) is not None
+
+
+def test_transcript_analyzer_facade(spark):
+    import datetime as dt
+
+    import feature_engineering_tk_spark as fe
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "user", "hi", None, dt.datetime(2024, 1, 1, 0, 0, 0)),
+            ("a", 1, "assistant", "hello", None, dt.datetime(2024, 1, 1, 0, 0, 5)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    ta = fe.TranscriptAnalyzer(df)
+    v = ta.validate().first()
+    assert v["is_valid"]
+    s = ta.stats().first()
+    assert s["n_turns"] == 2
+    lat = {r["turn_idx"]: r["latency_s"] for r in ta.response_latency().collect()}
+    assert lat[1] == 5.0
+    masked = ta.loss_mask().collect()
+    assert {r["loss_weight"] for r in masked} == {0.0, 1.0}
+    assert ta.dedup().count() == 1
+    import json
+    assert json.loads(ta.sft_export().first()["json_line"])["conv_id"] == "a"
