@@ -127,34 +127,39 @@ def conversation_stats(
     ts: str = "ts",
     tool: str = "tool",
 ) -> DataFrame:
-    """One-shuffle per-conversation profile.
+    """One-shuffle per-conversation profile — and no window: the sum
+    of consecutive turn-order gaps telescopes to (last − first) by
+    ``turn_idx``, so ``mean_gap_s`` comes from ``min_by``/``max_by``
+    inside the same ``groupBy`` (a plain hash aggregation; the lag
+    formulation would add a per-partition sort for nothing).
 
-    ``duration_s`` and ``mean_gap_s`` are integer-µs sums divided
-    once at the end (fixed order: ``µs → /n → /1e6``), so they are
-    bit-identical on any engine.  ``assistant_char_share`` is an
-    integer-char ratio, one division.
+    ``duration_s`` and ``mean_gap_s`` are integer-µs differences
+    divided once at the end (fixed order: ``µs → /n → /1e6``), so
+    they are bit-identical on any engine.  ``assistant_char_share``
+    is an integer-char ratio, one division.  ``turn_idx`` must be
+    unique within a conversation (the table contract).
     """
-    w = _conv_window(conv_id, turn_idx)
     us = epoch_micros(F.col(ts))
-    gap = us - F.lag(us).over(w)
     rows = df.select(
         F.col(conv_id),
         F.col(role).alias("_r"),
         F.col(tool).alias("_tool"),
+        F.col(turn_idx).alias("_i"),
         F.length(F.col(text)).cast("bigint").alias("_chars"),
         us.alias("_us"),
-        gap.alias("_gap"),
     )
-    n_gaps = F.sum(F.col("_gap").isNotNull().cast("bigint"))
+    n_turns = F.count(F.lit(1))
+    # telescoping: sum of (us_k - us_{k-1}) over turn order
+    gap_sum = F.max_by("_us", "_i") - F.min_by("_us", "_i")
     return rows.groupBy(conv_id).agg(
-        F.count(F.lit(1)).alias("n_turns"),
+        n_turns.alias("n_turns"),
         F.sum((F.col("_r") == "user").cast("bigint")).alias("n_user"),
         F.sum((F.col("_r") == "assistant").cast("bigint")).alias("n_assistant"),
         F.sum(F.col("_tool").isNotNull().cast("bigint")).alias("n_tool_calls"),
         ((F.max("_us") - F.min("_us")) / F.lit(1e6)).alias("duration_s"),
         F.when(
-            n_gaps > 0,
-            (F.sum("_gap").cast("double") / n_gaps) / F.lit(1e6),
+            n_turns > 1,
+            (gap_sum.cast("double") / (n_turns - 1)) / F.lit(1e6),
         ).alias("mean_gap_s"),
         (
             F.sum(F.when(F.col("_r") == "assistant", F.col("_chars")).otherwise(F.lit(0)))
