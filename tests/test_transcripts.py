@@ -446,3 +446,60 @@ class TestStreamingTranscripts:
         exp = sorted(r["json_line"]
                      for r in sft_export(spark.read.parquet(src)).collect())
         assert got == exp
+
+
+class TestLatencyEchoProperty:
+    """response_latency and echo_rate vs brute-force simulators on
+    arbitrary role/text/clock sequences."""
+
+    def test_random_conversations_match_simulators(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        word = st.sampled_from(["alpha", "beta", "gamma", "delta", ""])
+        turn = st.tuples(
+            st.sampled_from(["user", "assistant", "tool"]),
+            st.lists(word, min_size=0, max_size=4).map(" ".join),
+            st.integers(min_value=0, max_value=50),
+        )
+
+        @settings(max_examples=12, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                         HealthCheck.too_slow])
+        @given(turns=st.lists(turn, min_size=1, max_size=10))
+        def run(turns):
+            rows = [("c", i, r, t, None, s) for i, (r, t, s) in enumerate(turns)]
+            df = _tr(spark, rows)
+
+            # simulator: latency
+            exp_lat = {}
+            last_user = None
+            for i, (r, _t, s) in enumerate(turns):
+                exp_lat[i] = float(s - last_user) if (
+                    r == "assistant" and last_user is not None) else None
+                if r == "user":
+                    last_user = s
+            got_lat = {r["turn_idx"]: r["latency_s"]
+                       for r in response_latency(df).collect()}
+            assert got_lat == exp_lat
+
+            # simulator: echo rate (distinct whitespace tokens)
+            exp_echo = {}
+            last_user_toks = None
+            for i, (r, t, _s) in enumerate(turns):
+                toks = set(x for x in t.split() if x)
+                if r == "assistant" and last_user_toks is not None and toks:
+                    exp_echo[i] = len(toks & last_user_toks) / len(toks)
+                else:
+                    exp_echo[i] = None
+                if r == "user":
+                    last_user_toks = set(x for x in t.split() if x)
+            got_echo = {r["turn_idx"]: r["echo_rate"]
+                        for r in echo_rate(df).collect()}
+            for i in exp_echo:
+                if exp_echo[i] is None:
+                    assert got_echo[i] is None, (i, turns)
+                else:
+                    assert got_echo[i] == pytest.approx(exp_echo[i]), (i, turns)
+
+        run()
