@@ -2434,6 +2434,17 @@ def q_hits(spark, sf_dir):
     return hits(edges, weight="weight", n_iter=4)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source n-gram overlap matrix (operators/dedup.py
+    source_overlap): both sides reduce to distinct (source, 8-byte
+    hash) before the bounded-fan-out hash self-join — corpus text
+    never shuffles. md5 hash mode for the oracle replay."""
+    from feature_engineering_tk_spark.operators.dedup import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_overlap(docs, shingle_n=3, hash_mode="md5")
+
+
 def q_label_prop(spark, sf_dir):
     """Label propagation (operators/graph.py): every 7th host seeds
     label node%3; 5 clamped-seed rounds over the symmetrized host
@@ -2931,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "label_prop": q_label_prop,
+        "source_overlap": q_source_overlap,
         "transcript_validate": q_transcript_validate,
         "conversation_stats": q_conversation_stats,
         "response_latency": q_response_latency,
@@ -4458,6 +4470,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_prop": _labelprop_ctes(5) + """
             SELECT node, lab AS label FROM l5
+        """,
+        "source_overlap": f"""
+            WITH src AS (SELECT source,
+                                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+                           FROM documents),
+            tk AS (SELECT source, string_split(norm, ' ') AS toks FROM src),
+            sh AS (SELECT source,
+                          list_transform(range(0, greatest(len(toks) - 2, 1)),
+                                         i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) AS shingles
+                   FROM tk),
+            g AS (SELECT DISTINCT source AS s, {_h60_sql("u.sg")} AS h
+                    FROM (SELECT source, unnest(shingles) AS sg FROM sh) u),
+            tot AS (SELECT s, count(*) AS n FROM g GROUP BY s),
+            sharedt AS (SELECT a.s AS source_a, b.s AS source_b,
+                               CAST(count(*) AS BIGINT) AS shared_ngrams
+                          FROM g a JOIN g b ON a.h = b.h AND a.s < b.s
+                         GROUP BY a.s, b.s)
+            SELECT source_a, source_b, shared_ngrams,
+                   CAST(shared_ngrams AS DOUBLE) / ta.n AS frac_a,
+                   CAST(shared_ngrams AS DOUBLE) / tb.n AS frac_b
+              FROM sharedt
+              JOIN tot ta ON ta.s = source_a
+              JOIN tot tb ON tb.s = source_b
         """,
         "hits": _hits_ctes(4) + """
             SELECT a4.node, a4.a AS authority_fp, h4.h AS hub_fp,

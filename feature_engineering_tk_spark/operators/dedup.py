@@ -799,3 +799,64 @@ def fuzzy_dedup(
         .distinct()
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    shingle_n: int = 5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Pairwise n-gram overlap between corpus sources — the dataset-
+    governance matrix ("how much of source A also appears in source
+    B") used to catch mirrored crawls and benchmark bleed before
+    mixing sources into a training set.
+
+    Returns one row per unordered source pair (a < b):
+    ``shared_ngrams`` (distinct n-gram hashes in both), ``frac_a`` /
+    ``frac_b`` (share of each side's distinct n-grams that is
+    shared).
+
+    Scale shape: each side reduces to DISTINCT (source, 8-byte hash)
+    pairs before any join — the corpus text never crosses a shuffle;
+    the self-join key is the hash, whose fan-out is bounded by the
+    number of sources; per-source totals partial-aggregate map-side.
+    """
+    grams = (
+        df.select(
+            F.col(source_col).alias("_src"),
+            F.explode(_shingles(F.col(text_col), shingle_n)).alias("_g"),
+        )
+        .select("_src", _token_hash(F.col("_g"), hash_mode).alias("_h"))
+        .distinct()
+        .persist()
+    )
+    totals = grams.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    shared = (
+        grams.join(
+            grams.select(F.col("_src").alias("_src_b"), "_h"),
+            "_h",
+        )
+        .where(F.col("_src") < F.col("_src_b"))
+        .groupBy(F.col("_src").alias("source_a"), F.col("_src_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    out = (
+        shared.join(
+            totals.select(F.col("_src").alias("source_a"), F.col("_n").alias("_na")),
+            "source_a",
+        )
+        .join(
+            totals.select(F.col("_src").alias("source_b"), F.col("_n").alias("_nb")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_ngrams",
+            (F.col("shared_ngrams").cast("double") / F.col("_na")).alias("frac_a"),
+            (F.col("shared_ngrams").cast("double") / F.col("_nb")).alias("frac_b"),
+        )
+    )
+    return out

@@ -354,3 +354,33 @@ class TestFuzzyPairs:
         df = spark.createDataFrame([(1, "ab"), (2, "ac")], "doc_id long, text string")
         plan = fuzzy_pairs(df)._jdf.queryExecution().executedPlan().toString()
         assert "levenshtein" in plan and "BatchEvalPython" not in plan
+
+
+class TestSourceOverlap:
+    def test_pairwise_fractions(self, spark):
+        from feature_engineering_tk_spark.operators.dedup import source_overlap
+
+        # srcA: "a b c d" -> 3-grams {a b c, b c d}
+        # srcB: "a b c"   -> {a b c}; shared with A = 1
+        # srcC: "x y z"   -> {x y z}; shares nothing
+        df = spark.createDataFrame(
+            [("A", "a b c d"), ("B", "a b c"), ("C", "x y z")],
+            "source string, text string",
+        )
+        out = {(r["source_a"], r["source_b"]): r
+               for r in source_overlap(df, shingle_n=3).collect()}
+        ab = out[("A", "B")]
+        assert ab["shared_ngrams"] == 1
+        assert ab["frac_a"] == pytest.approx(1 / 2)
+        assert ab["frac_b"] == pytest.approx(1.0)
+        assert ("A", "C") not in out and ("B", "C") not in out
+
+    def test_duplicate_docs_count_distinct_grams_once(self, spark):
+        from feature_engineering_tk_spark.operators.dedup import source_overlap
+
+        df = spark.createDataFrame(
+            [("A", "a b c"), ("A", "a b c"), ("B", "a b c")],
+            "source string, text string",
+        )
+        r = source_overlap(df, shingle_n=3).first()
+        assert r["shared_ngrams"] == 1 and r["frac_a"] == 1.0
