@@ -308,3 +308,92 @@ def generate_summary_report(df: DataFrame, target: str, width: int = 40) -> str:
             lines.append(f"  [{m['priority']}] {m['model']} — {m['reason']}")
     lines.append("=" * (width + 24))
     return "\n".join(lines)
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    lang_col: str | None = None,
+    source_col: str | None = None,
+    short_doc_tokens: int = 5,
+    top_k: int = 10,
+) -> dict[str, Any]:
+    """Dataset-card summary for a document corpus: size, token/char
+    distribution, short/empty rates, exact-duplicate rate, and top
+    language/source shares — the numbers a training-data release doc
+    leads with.
+
+    Cost: one full-corpus aggregation job for every scalar (token
+    counts, char counts, rates, distinct text hashes — all partial-
+    aggregatable, computed in a single ``agg``), plus one tiny
+    ``groupBy`` per requested categorical facet. No collect beyond
+    aggregate-sized rows.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.size(
+        F.filter(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                 lambda x: x != "")
+    ).cast("bigint")
+    chars = F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("bigint")
+    base = df.select(
+        toks.alias("_t"),
+        chars.alias("_c"),
+        F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).alias("_h"),
+    )
+    row = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").alias("total_tokens"),
+        F.sum("_c").alias("total_chars"),
+        F.avg("_t").alias("mean_tokens"),
+        F.max("_t").alias("max_tokens"),
+        F.sum((F.col("_t") == 0).cast("bigint")).alias("n_empty"),
+        F.sum((F.col("_t") < short_doc_tokens).cast("bigint")).alias("n_short"),
+        F.countDistinct("_h").alias("n_distinct_texts"),
+    ).first()
+    n = row["n_docs"]
+    out: dict[str, Any] = {
+        "n_docs": int(n),
+        "total_tokens": int(row["total_tokens"] or 0),
+        "total_chars": int(row["total_chars"] or 0),
+        "mean_tokens": float(row["mean_tokens"]) if n else None,
+        "max_tokens": int(row["max_tokens"] or 0),
+        "empty_rate": (row["n_empty"] / n) if n else None,
+        "short_rate": (row["n_short"] / n) if n else None,
+        "exact_dup_rate": (1.0 - row["n_distinct_texts"] / n) if n else None,
+    }
+    for key, col in (("languages", lang_col), ("sources", source_col)):
+        if col:
+            rows = (
+                df.groupBy(col)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), F.col(col).asc())
+                .limit(top_k)
+                .collect()
+            )
+            out[key] = [
+                {"value": r[col], "n": int(r["n"]), "share": r["n"] / n}
+                for r in rows
+            ]
+    return out
+
+
+def corpus_report_markdown(report: dict[str, Any]) -> str:
+    """Render a corpus_report dict as the markdown dataset-card
+    skeleton."""
+    lines = ["# Corpus report", ""]
+    for k in ("n_docs", "total_tokens", "total_chars", "mean_tokens",
+              "max_tokens", "empty_rate", "short_rate", "exact_dup_rate"):
+        v = report.get(k)
+        if isinstance(v, float):
+            v = round(v, 6)
+        lines.append(f"- **{k}**: {v}")
+    for facet in ("languages", "sources"):
+        if facet in report:
+            lines += ["", f"## Top {facet}", ""]
+            for e in report[facet]:
+                lines.append(
+                    f"- {e['value']}: {e['n']} ({round(e['share'] * 100, 2)}%)"
+                )
+    return "\n".join(lines) + "\n"

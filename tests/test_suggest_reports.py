@@ -219,3 +219,40 @@ def test_generate_summary_report_ascii(spark):
     assert "imbalance ratio" in text
     assert "f1" in text and "***" in text  # strong effect flagged
     assert "Model recommendations:" in text
+
+
+class TestCorpusReport:
+    def test_scalars_and_facets(self, spark):
+        from feature_engineering_tk_spark.analysis.reports import (
+            corpus_report,
+            corpus_report_markdown,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, "one two three four five six", "en", "web"),
+                (1, "one two three four five six", "en", "web"),   # exact dup
+                (2, "tiny", "en", "books"),
+                (3, "", "de", "web"),
+                (4, None, "de", "web"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        r = corpus_report(df, lang_col="lang", source_col="source")
+        assert r["n_docs"] == 5
+        assert r["total_tokens"] == 6 + 6 + 1
+        assert r["empty_rate"] == pytest.approx(2 / 5)
+        assert r["short_rate"] == pytest.approx(3 / 5)   # tiny + 2 empties
+        # 5 docs, distinct texts: {six-word, tiny, ""} (None coalesced to "")
+        assert r["exact_dup_rate"] == pytest.approx(1 - 3 / 5)
+        langs = {e["value"]: e["n"] for e in r["languages"]}
+        assert langs == {"en": 3, "de": 2}
+        md = corpus_report_markdown(r)
+        assert "n_docs" in md and "## Top languages" in md
+
+    def test_empty_corpus(self, spark):
+        from feature_engineering_tk_spark.analysis.reports import corpus_report
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        r = corpus_report(df)
+        assert r["n_docs"] == 0 and r["mean_tokens"] is None
