@@ -2434,6 +2434,20 @@ def q_hits(spark, sf_dir):
     return hits(edges, weight="weight", n_iter=4)
 
 
+def q_mean_pool(spark, sf_dir):
+    """Per-group embedding mean-pool (functions/embeddings.py
+    mean_pool): (groups × dim) partial-sum shuffle, vectors never
+    shuffled whole. Output exploded to (grp, pos, mean) rows, rounded
+    to 9 so map-side partial-sum order can't flip a ulp."""
+    from feature_engineering_tk_spark.functions.embeddings import mean_pool
+
+    e = _t(spark, sf_dir, "embeddings")
+    pooled = mean_pool(e.withColumn("grp", F.col("vec_id") % 10), "grp")
+    return pooled.select(
+        "grp", F.posexplode("mean_vec").alias("pos", "m")
+    ).select("grp", "pos", F.round("m", 9).alias("mean_val"))
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source n-gram overlap matrix (operators/dedup.py
     source_overlap): both sides reduce to distinct (source, 8-byte
@@ -2943,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "label_prop": q_label_prop,
         "source_overlap": q_source_overlap,
+        "mean_pool": q_mean_pool,
         "transcript_validate": q_transcript_validate,
         "conversation_stats": q_conversation_stats,
         "response_latency": q_response_latency,
@@ -4470,6 +4485,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_prop": _labelprop_ctes(5) + """
             SELECT node, lab AS label FROM l5
+        """,
+        "mean_pool": """
+            WITH ex AS (
+              SELECT vec_id % 10 AS grp,
+                     unnest(range(0, len(embedding))) AS pos,
+                     unnest(embedding) AS v
+                FROM embeddings
+            )
+            SELECT grp, CAST(pos AS INT) AS pos,
+                   round(avg(CAST(v AS DOUBLE)), 9) AS mean_val
+              FROM ex GROUP BY grp, pos
         """,
         "source_overlap": f"""
             WITH src AS (SELECT source,

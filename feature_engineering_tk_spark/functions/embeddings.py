@@ -133,3 +133,35 @@ def pca_project(
         )
 
     return df.withColumns({f"{prefix}{idx}": score(c) for idx, c in enumerate(components)})
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out: str = "mean_vec",
+) -> DataFrame:
+    """Element-wise mean of embedding vectors per group — turn
+    embeddings → conversation embedding, doc embeddings → cluster
+    centroid (the standard pooling before conversation-level
+    SemDeDup / ANN).
+
+    Scale shape: ``posexplode`` → ``groupBy(group, position)`` with
+    map-side partial sums, so the shuffle carries (groups × dim)
+    partials rather than vectors; the dim-sized per-group lists are
+    reassembled in a second (groups × dim)-row aggregation.  NULL
+    vectors are skipped (posexplode emits nothing); all vectors in a
+    group must share one dimensionality.
+    """
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("_p", "_v")
+    )
+    means = exploded.groupBy(group_col, "_p").agg(
+        F.avg(F.col("_v").cast("double")).alias("_m")
+    )
+    return means.groupBy(group_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("_p"), F.col("_m")))),
+            lambda x: x["_m"],
+        ).alias(out)
+    )

@@ -95,3 +95,33 @@ class TestAnnRecall:
         ids = spark.createDataFrame([(i,) for i in range(5)], "vec_id long")
         r = ann_recall(ids, ids).first()
         assert r["recall"] == 1.0
+
+
+class TestMeanPool:
+    def test_elementwise_group_means(self, spark):
+        from feature_engineering_tk_spark.functions.embeddings import mean_pool
+
+        df = spark.createDataFrame(
+            [("a", [1.0, 2.0]), ("a", [3.0, 6.0]), ("b", [10.0, 20.0])],
+            "g string, embedding array<double>",
+        )
+        out = {r["g"]: r["mean_vec"] for r in mean_pool(df, "g").collect()}
+        assert out["a"] == [2.0, 4.0]
+        assert out["b"] == [10.0, 20.0]
+
+    def test_null_vectors_skipped(self, spark):
+        from feature_engineering_tk_spark.functions.embeddings import mean_pool
+
+        df = spark.createDataFrame(
+            [("a", [4.0, 8.0]), ("a", None)],
+            "g string, embedding array<double>",
+        )
+        out = mean_pool(df, "g").first()
+        assert out["mean_vec"] == [4.0, 8.0]
+
+    def test_positions_stay_ordered(self, spark):
+        from feature_engineering_tk_spark.functions.embeddings import mean_pool
+
+        vec = [float(i) for i in range(16)]
+        df = spark.createDataFrame([("a", vec)], "g string, embedding array<double>")
+        assert mean_pool(df, "g").first()["mean_vec"] == vec
