@@ -2600,6 +2600,16 @@ def q_sft_export(spark, sf_dir):
     return sft_export(_transcript_view(spark, sf_dir))
 
 
+def q_detect_loops(spark, sf_dir):
+    """Agent-loop detection (operators/transcripts.py detect_loops):
+    gaps-and-islands run lengths of identical (role, text) turns over
+    one conv_id sort; repeats are natural in the event-derived view
+    (text = event_type)."""
+    from feature_engineering_tk_spark.operators.transcripts import detect_loops
+
+    return detect_loops(_transcript_view(spark, sf_dir))
+
+
 def q_conversation_dedup(spark, sf_dir):
     """Sequence-level conversation dedup (operators/transcripts.py):
     fingerprint = hash of the ordered (role, text) turn sequence;
@@ -2967,6 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_roundtrip": q_tool_roundtrip,
         "tool_stats": q_tool_stats,
         "sft_export": q_sft_export,
+        "detect_loops": q_detect_loops,
         "ann_recall": q_ann_recall,
         "resample_daily": q_resample_daily,
         "k_anonymity": q_k_anonymity,
@@ -4660,6 +4671,34 @@ def oracle_sql() -> dict[str, str]:
                                  || '"}}', ',' ORDER BY turn_idx)
                    || ']}}' AS json_line
               FROM transcript GROUP BY conv_id
+        """,
+        "detect_loops": _TRANSCRIPT_CTE + """
+            , m AS (
+              SELECT conv_id, turn_idx,
+                     role || chr(31) || text AS k,
+                     CASE WHEN lag(role || chr(31) || text)
+                            OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                            IS DISTINCT FROM role || chr(31) || text
+                          THEN 1 ELSE 0 END AS nw
+                FROM transcript
+            ), r AS (
+              SELECT conv_id, k,
+                     sum(nw) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS run
+                FROM m
+            ), runs AS (
+              SELECT conv_id, run, count(*) AS len FROM r GROUP BY conv_id, run
+            )
+            SELECT t.conv_id,
+                   count(*) AS n_turns,
+                   CAST(count(*) - count(DISTINCT role || chr(31) || text)
+                        AS BIGINT) AS n_repeated_turns,
+                   (SELECT max(len) FROM runs WHERE runs.conv_id = t.conv_id)
+                     AS max_consecutive_repeats,
+                   (SELECT max(len) FROM runs WHERE runs.conv_id = t.conv_id)
+                     >= 3 AS has_loop
+              FROM transcript t GROUP BY t.conv_id
         """,
         "tool_roundtrip": _TRANSCRIPT_CTE + """
             SELECT conv_id, turn_idx, role,

@@ -440,3 +440,50 @@ def sft_export(
             F.lit("]}"),
         ).alias(out)
     )
+
+
+def detect_loops(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    min_repeats: int = 3,
+) -> DataFrame:
+    """Agent-loop detection: per conversation, the longest run of
+    consecutive identical ``(role, text)`` turns and the number of
+    turns that repeat an earlier turn verbatim.  Stuck agents show up
+    as runs (the same tool call or apology emitted over and over);
+    ``has_loop`` flags runs of at least ``min_repeats``.
+
+    Gaps-and-islands over one ``partitionBy(conv_id)`` sort: a lag
+    comparison marks run starts, a cumulative sum numbers the runs,
+    and the reduction reuses the same conversation partitioning.
+    """
+    w = _conv_window(conv_id, turn_idx)
+    h = F.xxhash64(F.concat_ws("\x1f", F.col(role), F.col(text)))
+    marked = df.select(
+        F.col(conv_id),
+        F.col(turn_idx),
+        h.alias("_h"),
+        F.coalesce((h != F.lag(h).over(w)).cast("int"), F.lit(1)).alias("_new"),
+    ).withColumn("_run", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    runs = marked.groupBy(conv_id, "_run").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    per_run = runs.groupBy(conv_id).agg(
+        F.max("_len").alias("max_consecutive_repeats"),
+    )
+    per_conv = marked.groupBy(conv_id).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.count(F.lit(1)) - F.countDistinct("_h")).alias("n_repeated_turns"),
+    )
+    return per_conv.join(per_run, conv_id).select(
+        conv_id,
+        "n_turns",
+        "n_repeated_turns",
+        "max_consecutive_repeats",
+        (F.col("max_consecutive_repeats") >= F.lit(int(min_repeats))).alias(
+            "has_loop"
+        ),
+    )

@@ -503,3 +503,56 @@ class TestLatencyEchoProperty:
                     assert got_echo[i] == pytest.approx(exp_echo[i]), (i, turns)
 
         run()
+
+
+class TestDetectLoops:
+    def test_run_lengths_and_flag(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import detect_loops
+
+        df = _tr(spark, [
+            ("a", 0, "assistant", "retry", "calc", 0),
+            ("a", 1, "assistant", "retry", "calc", 1),
+            ("a", 2, "assistant", "retry", "calc", 2),   # run of 3
+            ("a", 3, "assistant", "done", None, 3),
+            ("b", 0, "user", "q", None, 0),
+            ("b", 1, "assistant", "r", None, 1),
+        ])
+        out = {r["conv_id"]: r for r in detect_loops(df).collect()}
+        assert out["a"]["max_consecutive_repeats"] == 3
+        assert out["a"]["has_loop"]
+        assert out["a"]["n_repeated_turns"] == 2   # 4 turns, 2 distinct
+        assert out["b"]["max_consecutive_repeats"] == 1
+        assert not out["b"]["has_loop"]
+        assert out["b"]["n_repeated_turns"] == 0
+
+    def test_nonconsecutive_repeat_counts_but_no_run(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import detect_loops
+
+        df = _tr(spark, [
+            ("a", 0, "user", "x", None, 0),
+            ("a", 1, "assistant", "y", None, 1),
+            ("a", 2, "user", "x", None, 2),    # verbatim repeat, not a run
+        ])
+        r = detect_loops(df).first()
+        assert r["n_repeated_turns"] == 1
+        assert r["max_consecutive_repeats"] == 1 and not r["has_loop"]
+
+    def test_role_distinguishes_identical_text(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import detect_loops
+
+        df = _tr(spark, [
+            ("a", 0, "user", "ok", None, 0),
+            ("a", 1, "assistant", "ok", None, 1),   # same text, other role
+        ])
+        r = detect_loops(df).first()
+        assert r["max_consecutive_repeats"] == 1 and r["n_repeated_turns"] == 0
+
+    def test_min_repeats_threshold(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import detect_loops
+
+        df = _tr(spark, [
+            ("a", 0, "tool", "t", "calc", 0),
+            ("a", 1, "tool", "t", "calc", 1),
+        ])
+        assert not detect_loops(df).first()["has_loop"]
+        assert detect_loops(df, min_repeats=2).first()["has_loop"]
