@@ -624,6 +624,18 @@ class TranscriptAnalyzer:
 
         return loss_mask(self.df, **kw)
 
+    def detect_loops(self, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import detect_loops
+
+        return detect_loops(self.df, **kw)
+
+    def tool_roundtrip(self, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            tool_roundtrip,
+        )
+
+        return tool_roundtrip(self.df, **kw)
+
     def sft_export(self, **kw):
         from feature_engineering_tk_spark.operators.transcripts import sft_export
 
