@@ -3253,7 +3253,12 @@ def _json_esc_sql(e: str) -> str:
     out = f"replace({out}, chr(34), chr(92)||chr(34))"
     out = f"replace({out}, chr(10), chr(92)||'n')"
     out = f"replace({out}, chr(13), chr(92)||'r')"
-    return f"replace({out}, chr(9), chr(92)||'t')"
+    out = f"replace({out}, chr(9), chr(92)||'t')"
+    # strip remaining C0 control chars (JSON forbids them raw)
+    return (
+        f"regexp_replace({out}, "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')"
+    )
 
 
 def _dot_sql(a: str, b: str) -> str:

@@ -390,15 +390,19 @@ def tool_stats(
 
 
 def _json_escape(c: Column) -> Column:
-    """Minimal JSON string escaping (backslash, quote, newline, tab,
-    carriage return) via literal replaces — identical byte-for-byte
-    on any engine, unlike engine-native ``to_json`` implementations
-    which differ in key ordering and unicode escaping."""
+    """JSON string escaping via literal replaces (backslash, quote,
+    newline, tab, carriage return) — identical byte-for-byte on any
+    engine, unlike engine-native ``to_json`` implementations which
+    differ in key ordering and unicode escaping.  Remaining C0
+    control characters (which JSON forbids raw and real corpora
+    shouldn't contain) are STRIPPED so the output line is always
+    valid JSON."""
     out = F.replace(c, F.lit("\\"), F.lit("\\\\"))
     out = F.replace(out, F.lit('"'), F.lit('\\"'))
     out = F.replace(out, F.lit("\n"), F.lit("\\n"))
     out = F.replace(out, F.lit("\r"), F.lit("\\r"))
-    return F.replace(out, F.lit("\t"), F.lit("\\t"))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    return F.regexp_replace(out, "[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
 
 
 def sft_export(

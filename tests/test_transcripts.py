@@ -556,3 +556,34 @@ class TestDetectLoops:
         ])
         assert not detect_loops(df).first()["has_loop"]
         assert detect_loops(df, min_repeats=2).first()["has_loop"]
+
+
+class TestSftExportProperty:
+    def test_arbitrary_text_round_trips(self, spark):
+        import json
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from feature_engineering_tk_spark.operators.transcripts import sft_export
+
+        text = st.text(
+            alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FF),
+            max_size=30,
+        )
+
+        @settings(max_examples=15, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                         HealthCheck.too_slow])
+        @given(texts=st.lists(text, min_size=1, max_size=4))
+        def run(texts):
+            rows = [("c", i, "user", t, None, i) for i, t in enumerate(texts)]
+            line = sft_export(_tr(spark, rows)).first()["json_line"]
+            doc = json.loads(line)          # must always be valid JSON
+            expected = [
+                "".join(ch for ch in t if ord(ch) >= 0x20 or ch in "\n\r\t")
+                for t in texts
+            ]
+            assert [m["content"] for m in doc["messages"]] == expected
+
+        run()
