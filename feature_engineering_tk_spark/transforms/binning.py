@@ -49,7 +49,13 @@ class QuantileBinner(FittedStateMixin):
             exact_quantiles,
         )
 
-        probs = [i / self.bins for i in range(self.bins + 1)]
+        # pd.qcut builds probabilities with np.linspace(0, 1, q+1),
+        # whose interior points differ from i/q by one ulp (0.2*3 =
+        # 0.6000000000000001 ≠ 3/5) — on tied data that ulp moves the
+        # interpolated edge and relabels whole bins. Replicate it.
+        import numpy as np
+
+        probs = np.linspace(0.0, 1.0, self.bins + 1).tolist()
         if self.exact:
             # distributed sort-select: exact, no single-reducer buffer
             qs = exact_quantiles(df, column, probs)
