@@ -587,3 +587,40 @@ class TestSftExportProperty:
             assert [m["content"] for m in doc["messages"]] == expected
 
         run()
+
+
+class TestDedupProperty:
+    def test_fingerprint_partition_matches_sequence_partition(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        # small alphabets force collisions between conversations
+        turn = st.tuples(st.sampled_from(["user", "assistant"]),
+                         st.sampled_from(["a", "b"]))
+        conv = st.lists(turn, min_size=1, max_size=3)
+
+        @settings(max_examples=12, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                         HealthCheck.too_slow])
+        @given(convs=st.lists(conv, min_size=2, max_size=6))
+        def run(convs):
+            rows = []
+            for ci, turns in enumerate(convs):
+                for i, (r, t) in enumerate(turns):
+                    rows.append((f"c{ci}", i, r, t, None, i))
+            out = {r["conv_id"]: r
+                   for r in dedup_conversations(_tr(spark, rows)).collect()}
+            # brute force: group by the exact (role, text) sequence
+            seqs = {f"c{ci}": tuple(turns) for ci, turns in enumerate(convs)}
+            for a in seqs:
+                for b in seqs:
+                    same_seq = seqs[a] == seqs[b]
+                    same_fp = out[a]["conv_fp"] == out[b]["conv_fp"]
+                    assert same_seq == same_fp, (a, b, seqs[a], seqs[b])
+            # winner is the lexicographically smallest conv_id per group
+            for cid, r in out.items():
+                group = sorted(c for c in seqs if seqs[c] == seqs[cid])
+                assert r["kept_conv_id"] == group[0]
+                assert r["is_duplicate"] == (cid != group[0])
+
+        run()
