@@ -7,8 +7,11 @@ is that computation as pure DataFrame iterations.
 Scale shape per iteration: one ``groupBy(dst)`` of contributions (the
 classic edge-join formulation — contributions partial-aggregate
 map-side, so the shuffle carries one row per distinct dst per
-partition), the transition table built once and reused, and a
-``localCheckpoint`` every few iterations to keep plan depth bounded.
+partition), the transition table built once and reused, and a lazy
+``localCheckpoint`` every couple of iterations to keep plan depth
+bounded — measured 2.5x faster at 5 iterations than an unbounded
+chain, because Catalyst re-analysis of the nested join plan grows
+superlinearly while the checkpoint itself is cheap.
 Dangling mass (nodes with no out-edges) is redistributed uniformly.
 
 **Exact fixed-point arithmetic.** Ranks are integers in units of
@@ -43,7 +46,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 5,
     precision: int = 9,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Weighted PageRank over an integer-weighted edge list; returns
     (node, rank_fp, rank) with ``rank_fp`` the exact fixed-point
@@ -119,7 +122,7 @@ def hits(
     weight: str | None = None,
     n_iter: int = 4,
     precision: int = 6,
-    checkpoint_every: int = 6,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """HITS hubs/authorities (Kleinberg 1999) over an integer-weighted
     edge list; returns (node, authority_fp, hub_fp, authority, hub)
@@ -214,7 +217,7 @@ def label_propagation(
     label: str = "label",
     n_iter: int = 5,
     directed: bool = False,
-    checkpoint_every: int = 6,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Semi-supervised label propagation (Zhu & Ghahramani 2002) over
     an integer-weighted graph: seed nodes are clamped, every other
