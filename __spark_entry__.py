@@ -204,10 +204,12 @@ def q_group_broadcast_agg(spark, sf_dir):
 
 
 def q_top_revenue_orders(spark, sf_dir):
-    """3-table join: broadcast the customer dim only; orders is
-    fact-scale, so its join onto lineitem is left to AQE (shuffle join
-    with runtime broadcast/skew conversion) — an explicit broadcast of
-    orders would OOM executors at 100× scale."""
+    """3-table join with NO compile-time broadcast hints: customer is
+    corpus-scale (~15M rows at SF100), so committing a BroadcastExchange
+    in the plan would pin an OOM risk a 100× scale-up can't undo. AQE
+    runtime-broadcasts it at toy SF (post-filter size under the
+    threshold) and demotes to shuffle join at scale — same treatment as
+    regional_revenue's customer/orders joins."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -216,7 +218,7 @@ def q_top_revenue_orders(spark, sf_dir):
         * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(4,2)"))
     )
     big = li.join(
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("o_orderkey", "o_orderdate"),
         li.l_orderkey == F.col("o_orderkey"),
@@ -1746,14 +1748,16 @@ def q_corpus_cleanse(spark, sf_dir):
 
 
 def q_small_quantity_revenue(spark, sf_dir):
-    """TPC-H Q17 shape: per-part average quantity (tiny aggregate,
-    broadcast back) gates the fact scan — the correlated-subquery
-    pattern expressed as agg + broadcast join, no per-row subquery
-    execution."""
+    """TPC-H Q17 shape: per-part average quantity gates the fact scan —
+    the correlated-subquery pattern expressed as agg + join, no per-row
+    subquery execution. NO compile-time broadcast hint: the aggregate is
+    keyed on l_partkey (part-key cardinality — corpus-scale at SF100),
+    so AQE runtime-broadcasts at toy SF and keeps the partkey shuffle
+    join at scale, where both sides are already partitioned on the key."""
     li = _t(spark, sf_dir, "lineitem")
     part_avg = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
     out = (
-        li.join(F.broadcast(part_avg), "l_partkey")
+        li.join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / F.lit(7.0))
@@ -2459,6 +2463,20 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(docs, shingle_n=3, hash_mode="md5")
 
 
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card facet table (analysis/reports.py
+    corpus_report_facet_table): the distributed core of corpus_report —
+    one full-corpus scalar agg (tokens, empty/short/dup rates) broadcast
+    onto the top-k source facets. Ratios are explicit sum/count
+    divisions rounded to 9 dp for cross-engine replay."""
+    from feature_engineering_tk_spark.analysis.reports import corpus_report_facet_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_report_facet_table(
+        docs, text_col="text", facet_col="source", short_doc_tokens=5, top_k=10
+    )
+
+
 def q_label_prop(spark, sf_dir):
     """Label propagation (operators/graph.py): every 7th host seeds
     label node%3; 5 clamped-seed rounds over the symmetrized host
@@ -3002,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_bin": q_edge_bin,
         "whitespace_clean": q_whitespace_clean,
         "missing_select": q_missing_select,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -6130,6 +6149,35 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     d.update(d_static)
+    d["corpus_report"] = """
+        WITH base AS (
+          SELECT source AS facet,
+                 CAST(len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS t,
+                 coalesce(text, '') AS x
+            FROM documents
+        ),
+        scal AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(t) AS BIGINT) AS total_tokens,
+                 round(CAST(sum(t) AS DOUBLE) / count(*), 9) AS mean_tokens,
+                 round(CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9) AS empty_rate,
+                 round(CAST(sum(CASE WHEN t < 5 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9) AS short_rate,
+                 round(1.0 - CAST(count(DISTINCT x) AS DOUBLE) / count(*), 9) AS exact_dup_rate
+            FROM base
+        ),
+        fac AS (
+          SELECT facet, CAST(count(*) AS BIGINT) AS n_facet
+            FROM base GROUP BY facet
+           ORDER BY n_facet DESC, facet ASC
+           LIMIT 10
+        )
+        SELECT facet, n_facet,
+               round(CAST(n_facet AS DOUBLE) / n_docs, 9) AS share,
+               n_docs, total_tokens, mean_tokens, empty_rate, short_rate,
+               exact_dup_rate
+          FROM fac CROSS JOIN scal
+    """
     # composed oracle: recall@10 of the LSH result vs the exact top-10,
     # reusing both verified pipelines as CTE bodies (nested WITH)
     d["ann_recall"] = f"""

@@ -113,10 +113,19 @@ def psi_table(
     return scored.crossJoin(F.broadcast(total)).drop("_t")
 
 
-def _two_sided_cumulative(df: DataFrame, value: str, flag: str) -> DataFrame:
+def _two_sided_cumulative(
+    df: DataFrame, value: str, flag: str, checkpoint: bool = True
+) -> DataFrame:
     """Distinct-value table with range-partitioned prefix sums of both
     slices' counts: (v, ca, cb, cum_a, cum_b). Same pid-offset pattern
-    as stats._average_ranks — no unpartitioned window anywhere."""
+    as stats._average_ranks — no unpartitioned window anywhere.
+
+    The shuffled count table is persisted only for the duration of this
+    call (try/finally, as in ``stats._average_ranks``): the result is
+    eagerly localCheckpoint-ed, then the cache is dropped — repeated
+    calls in a long session leave no cached blocks behind.
+    ``checkpoint=False`` keeps the lazy plan (used by the plan audit to
+    inspect the window shape)."""
     sess = df.sparkSession
     vc = df.groupBy(F.col(value).alias("_v")).agg(
         F.sum((F.col(flag) == "a").cast("bigint")).alias("_ca"),
@@ -125,27 +134,34 @@ def _two_sided_cumulative(df: DataFrame, value: str, flag: str) -> DataFrame:
     nparts = max(sess.sparkContext.defaultParallelism, 2)
     vc = vc.repartitionByRange(nparts, "_v").sortWithinPartitions("_v")
     vc = vc.withColumn("_pid", F.spark_partition_id()).persist()
-    part_tot = {
-        r["_pid"]: (r["ta"], r["tb"])
-        for r in vc.groupBy("_pid")
-        .agg(F.sum("_ca").alias("ta"), F.sum("_cb").alias("tb"))
-        .collect()
-    }
-    offs, acc_a, acc_b = {}, 0, 0
-    for pid in sorted(part_tot):
-        offs[pid] = (acc_a, acc_b)
-        acc_a += part_tot[pid][0]
-        acc_b += part_tot[pid][1]
-    off_a = F.create_map(*[x for k, v in offs.items() for x in (F.lit(k), F.lit(v[0]))])
-    off_b = F.create_map(*[x for k, v in offs.items() for x in (F.lit(k), F.lit(v[1]))])
-    w = Window.partitionBy("_pid").orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    return vc.select(
-        "_v",
-        "_ca",
-        "_cb",
-        (F.sum("_ca").over(w) + off_a[F.col("_pid")]).alias("_cum_a"),
-        (F.sum("_cb").over(w) + off_b[F.col("_pid")]).alias("_cum_b"),
-    )
+    try:
+        part_tot = {
+            r["_pid"]: (r["ta"], r["tb"])
+            for r in vc.groupBy("_pid")
+            .agg(F.sum("_ca").alias("ta"), F.sum("_cb").alias("tb"))
+            .collect()
+        }
+        offs, acc_a, acc_b = {}, 0, 0
+        for pid in sorted(part_tot):
+            offs[pid] = (acc_a, acc_b)
+            acc_a += part_tot[pid][0]
+            acc_b += part_tot[pid][1]
+        off_a = F.create_map(*[x for k, v in offs.items() for x in (F.lit(k), F.lit(v[0]))])
+        off_b = F.create_map(*[x for k, v in offs.items() for x in (F.lit(k), F.lit(v[1]))])
+        w = Window.partitionBy("_pid").orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = vc.select(
+            "_v",
+            "_ca",
+            "_cb",
+            (F.sum("_ca").over(w) + off_a[F.col("_pid")]).alias("_cum_a"),
+            (F.sum("_cb").over(w) + off_b[F.col("_pid")]).alias("_cum_b"),
+        )
+        if checkpoint:
+            cum = cum.localCheckpoint(eager=True)  # cut lineage off the persisted shuffle
+        return cum
+    finally:
+        if checkpoint:
+            vc.unpersist()
 
 
 def ks_statistic_df(a: DataFrame, b: DataFrame, column: str) -> DataFrame:
@@ -160,6 +176,15 @@ def ks_statistic_df(a: DataFrame, b: DataFrame, column: str) -> DataFrame:
         F.max("_cum_a").alias("n1"),
         F.max("_cum_b").alias("n2"),
     )
+    sizes = agg.first()
+    if not sizes or not sizes["n1"] or not sizes["n2"]:
+        from feature_engineering_tk_spark.exceptions import InsufficientDataError
+
+        n1 = 0 if not sizes else int(sizes["n1"] or 0)
+        n2 = 0 if not sizes else int(sizes["n2"] or 0)
+        raise InsufficientDataError(
+            f"ks_statistic_df({column!r})", required=1, actual=min(n1, n2)
+        )
     d = cum.crossJoin(F.broadcast(agg)).agg(
         F.max(
             F.abs(

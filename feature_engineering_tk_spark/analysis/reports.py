@@ -3,8 +3,8 @@
 - quick_analysis          data_analysis.py:559-706  — one-shot EDA
 - generate_full_report    target_analyzer/reporting.py:28-115
 - export_report           target_analyzer/reporting.py:117-142
-  (markdown + JSON writers; HTML dropped — visualization is out of
-  engine scope, SURVEY.md §2.18)
+  (markdown + JSON + HTML writers — `report_to_html` below; the plot
+  layer itself lives in analysis/viz.py, SURVEY.md §2.18)
 
 All heavy passes are distributed aggregations; the report assembles
 collected scalars on the driver, mirroring the reference's flow where
@@ -377,6 +377,65 @@ def corpus_report(
                 for r in rows
             ]
     return out
+
+
+def corpus_report_facet_table(
+    df: DataFrame,
+    text_col: str = "text",
+    facet_col: str = "source",
+    short_doc_tokens: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """The distributed core of :func:`corpus_report` as ONE oracled
+    table: the top-k facet rows (by count, facet-value tiebreak) joined
+    with the corpus scalars — (facet, n_facet, share, n_docs,
+    total_tokens, mean_tokens, empty_rate, short_rate, exact_dup_rate).
+
+    Scale shape: one partial-aggregatable full-corpus ``agg`` for the
+    scalars, one tiny ``groupBy(facet)``, then a broadcast of the
+    1-row scalar table onto ≤ top_k rows. Ratios are computed as
+    explicit sum/count divisions rounded to 9 dp so any engine replays
+    them bit-for-bit. Duplicate detection counts distinct text values
+    (not hashes) so the oracle needs no hash-function parity.
+    """
+    from pyspark.sql import functions as F
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.size(
+        F.filter(F.split(F.trim(txt), r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    base = df.select(F.col(facet_col).alias("facet"), toks.alias("_t"), txt.alias("_x"))
+    scalars = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").alias("total_tokens"),
+        F.sum((F.col("_t") == 0).cast("bigint")).alias("_n_empty"),
+        F.sum((F.col("_t") < short_doc_tokens).cast("bigint")).alias("_n_short"),
+        F.countDistinct("_x").alias("_n_distinct"),
+    ).select(
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 9).alias("mean_tokens"),
+        F.round(F.col("_n_empty") / F.col("n_docs"), 9).alias("empty_rate"),
+        F.round(F.col("_n_short") / F.col("n_docs"), 9).alias("short_rate"),
+        F.round(1.0 - F.col("_n_distinct") / F.col("n_docs"), 9).alias("exact_dup_rate"),
+    )
+    facets = (
+        base.groupBy("facet")
+        .agg(F.count(F.lit(1)).alias("n_facet"))
+        .orderBy(F.col("n_facet").desc(), F.col("facet").asc())
+        .limit(top_k)
+    )
+    return facets.crossJoin(F.broadcast(scalars)).select(
+        "facet",
+        "n_facet",
+        F.round(F.col("n_facet") / F.col("n_docs"), 9).alias("share"),
+        "n_docs",
+        "total_tokens",
+        "mean_tokens",
+        "empty_rate",
+        "short_rate",
+        "exact_dup_rate",
+    )
 
 
 def corpus_report_markdown(report: dict[str, Any]) -> str:

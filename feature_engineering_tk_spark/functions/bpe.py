@@ -62,14 +62,20 @@ def _initial_symbols(word: Column) -> Column:
 
 def _adjacent_pairs(syms: Column) -> Column:
     """All adjacent (a, b) symbol pairs — overlapping occurrences
-    included, exactly like the classic get_stats."""
-    return F.transform(
-        F.sequence(F.lit(0), F.size(syms) - 2),
-        lambda i: F.struct(
-            F.element_at(syms, i + 1).alias("a"),
-            F.element_at(syms, i + 2).alias("b"),
+    included, exactly like the classic get_stats. Fully-merged
+    single-symbol words yield an empty pair list (``sequence(0, -1)``
+    would otherwise produce the DESCENDING [0, -1] and index out of
+    bounds — hit once merges run long enough to collapse whole words)."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda i: F.struct(
+                F.element_at(syms, i + 1).alias("a"),
+                F.element_at(syms, i + 2).alias("b"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 
 
 def _apply_merge(syms: Column, lhs: str, rhs: str) -> Column:
@@ -94,6 +100,9 @@ def learn_bpe(
     column: str = "text",
     num_merges: int = 8,
     checkpoint_every: int = 16,
+    max_batch: int = 16,
+    exact: bool = True,
+    stats: dict | None = None,
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``num_merges`` BPE merges over ``df[column]``.
 
@@ -103,11 +112,46 @@ def learn_bpe(
     merges (reusable by :func:`bpe_token_counts` without re-applying
     the merge chain).
 
-    Each iteration is one vocab-table aggregate job (pair count +
-    argmax) and one driver collect of a single row.  The fold chain
-    stacks lazily on the persisted vocab; every ``checkpoint_every``
-    merges the table is localCheckpoint-ed so plan depth stays bounded
-    when training real vocabularies (10k+ merges).
+    **Batched merge learning** (``max_batch`` > 1): each iteration runs
+    ONE vocab-table pair-count job, collects the top ``max_batch + 1``
+    ranked rows, and applies a conflict-free batch of merges in a
+    single fold chain — provably the IDENTICAL merge sequence the
+    one-at-a-time loop (``max_batch=1``) produces:
+
+    - the batch is the maximal ranked prefix whose pairs are pairwise
+      symbol-disjoint (disjoint pairs cannot change each other's
+      counts);
+    - every pair whose count CHANGES when (a, b) → ab is applied —
+      decreased neighbours of a/b and new pairs involving ab — has
+      post-merge weight bounded by the pre-merge weight of some pair
+      sharing a symbol with (a, b): each occurrence of (x, ab) was an
+      occurrence of (x, a), each (ab, y) was (b, y), each (ab, ab) was
+      (b, a).  So batch members after the first are kept only if their
+      weight is STRICTLY greater than the first conflicting row's
+      weight (and the first uncollected row's) — by induction each is
+      still the unique argmax when its turn comes.
+
+    Measured honestly: the strict cut is what exactness COSTS — top
+    character pairs share letters, so exact batches average ~1.5-2
+    merges/job on natural text (the first conflicting pair's weight
+    caps everything below it; nothing ranked under a skipped pair can
+    be proven to stay the argmax).
+
+    ``exact=False`` is the 10k-merge scale path: classic approximate
+    batch BPE — apply EVERY pairwise-disjoint pair among the top
+    ``max_batch`` (skipping conflicts instead of stopping at the
+    first), one count job per ~max_batch/2 merges (5-20× fewer driver
+    round-trips).  The merge LIST remains a valid, reproducible
+    tokenizer (``segment_words`` replays it verbatim) but the order
+    may deviate from the strict sequential argmax where applied
+    merges would have re-ranked later pairs; ``pair_weight`` records
+    the count at batch-selection time.
+
+    ``stats``, if given, receives ``{"count_jobs": ..., "n_merges":
+    ...}`` so callers can assert the jobs-per-merge ratio.  The fold
+    chain stacks lazily on the persisted vocab; every
+    ``checkpoint_every`` merges the table is localCheckpoint-ed so
+    plan depth stays bounded.
     """
     vocab = (
         word_frequency_table(df, column)
@@ -115,30 +159,89 @@ def learn_bpe(
         .persist()
     )
     merges: list[dict] = []
-    for rank in range(num_merges):
-        best = (
+    count_jobs = 0
+    last_ckpt = 0
+    while len(merges) < num_merges:
+        top = (
             vocab.select(F.col("cnt"), F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("w"))
             .orderBy(F.col("w").desc(), "a", "b")
-            .limit(1)
+            .limit(max_batch + 1)
             .collect()
         )
-        if not best:
+        count_jobs += 1
+        if not top:
             break
-        a, b, w = best[0]["a"], best[0]["b"], int(best[0]["w"])
-        merges.append(
-            {
-                "merge_rank": rank,
-                "lhs": a,
-                "rhs": b,
-                "merged": a + b,
-                "pair_weight": w,
-            }
-        )
-        vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), a, b))
-        if (rank + 1) % checkpoint_every == 0:
+        candidates, boundary_w = top[:max_batch], None
+        if len(top) > max_batch:
+            boundary_w = int(top[max_batch]["w"])
+        # Maximal ranked prefix of pairwise symbol-disjoint pairs whose
+        # merged strings are all FRESH (collide with no existing
+        # multi-char symbol — prior merges or </w> — nor with anything
+        # used/created earlier in the batch).  Freshness matters: if
+        # a+b already exists as a symbol, applying (a, b) can BOOST
+        # pre-existing (x, ab) pairs by up to old(x, a), pushing
+        # interference past the single-cut bound below.  Multi-char
+        # symbols only ever arise from merges or the </w> marker, so
+        # the driver knows the full collision set without a job.
+        known_multi = {END_OF_WORD} | {m["merged"] for m in merges}
+        batch: list = []
+        used: set[str] = set()
+        cut_w = boundary_w
+        if exact and candidates[0]["a"] + candidates[0]["b"] in known_multi:
+            # r1's merged symbol pre-exists: its application boosts
+            # (x, ab) pairs beyond what any cut can bound — do exactly
+            # the sequential singleton step this iteration.
+            safe = [candidates[0]]
+        else:
+            taken = set(known_multi)
+            for r in candidates:
+                merged_r = r["a"] + r["b"]
+                if batch:
+                    if {r["a"], r["b"]} & used:
+                        if exact:
+                            cut_w = int(r["w"])
+                            break
+                        continue  # approximate: skip, keep scanning
+                    if exact and merged_r in taken:
+                        cut_w = int(r["w"])
+                        break
+                batch.append(r)
+                used |= {r["a"], r["b"]}
+                taken.add(merged_r)
+            if exact:
+                # members after the first survive only if STRICTLY
+                # heavier than every excluded row (first conflict /
+                # first uncollected): all interference from applying
+                # earlier batch members — decreased neighbours,
+                # fresh-pair creations — is bounded by cut_w, so each
+                # survivor is still the unique argmax at its
+                # sequential turn.
+                safe = [batch[0]] + [
+                    r for r in batch[1:] if cut_w is None or int(r["w"]) > cut_w
+                ]
+            else:
+                safe = batch
+        safe = safe[: num_merges - len(merges)]
+        for r in safe:
+            a, b, w = r["a"], r["b"], int(r["w"])
+            merges.append(
+                {
+                    "merge_rank": len(merges),
+                    "lhs": a,
+                    "rhs": b,
+                    "merged": a + b,
+                    "pair_weight": w,
+                }
+            )
+            vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+        if len(merges) - last_ckpt >= checkpoint_every:
             vocab = vocab.localCheckpoint(eager=False)
+            last_ckpt = len(merges)
+    if stats is not None:
+        stats["count_jobs"] = count_jobs
+        stats["n_merges"] = len(merges)
     return merges, vocab
 
 

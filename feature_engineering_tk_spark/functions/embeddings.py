@@ -60,7 +60,11 @@ def covariance_stats(df: DataFrame, vec_col: str = "embedding"):
     """Collect the moments table → (n, mean vector, sample covariance
     matrix) as numpy on the driver (d² doubles, aggregate-sized)."""
     rows = embedding_moments(df, vec_col).collect()
-    n = next(r["s"] for r in rows if r["i"] == -2)
+    n = next((r["s"] for r in rows if r["i"] == -2), 0)
+    if n < 2:
+        from feature_engineering_tk_spark.exceptions import InsufficientDataError
+
+        raise InsufficientDataError("covariance_stats", required=2, actual=int(n))
     d = max(r["j"] for r in rows) + 1
     sx = np.zeros(d)
     sxy = np.zeros((d, d))

@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from feature_engineering_tk_spark.plans.caching import pin
+
 # small English function-word list for the n-gram/stopword heuristics
 STOPWORDS = [
     "the", "a", "of", "to", "and", "in", "is", "it", "for", "on",
@@ -300,8 +302,9 @@ def bigram_lm_score(
     # does not dedupe common subtrees — without persist() each consumer
     # would re-tokenize the whole corpus. Persisting pins tokenization
     # at exactly 2 corpus passes: one into this groupBy, one for
-    # scoring. MEMORY_AND_DISK + LRU keeps long sessions safe.
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
+    # scoring. Pinned via the session registry (plans/caching.py) so a
+    # long-lived session can release it with release_pinned().
+    c12 = pin(bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = c12.agg(F.countDistinct("w2").cast("double").alias("_v"))
     model = (
@@ -400,11 +403,11 @@ def importance_weights(
     # model and its own total — Σc equals the corpus feature count, so
     # no separate corpus-wide count pass); persist() pins each corpus
     # at one tokenization for counting (+ one raw pass for scoring).
-    raw_counts = (
-        raw_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw")).persist()
+    raw_counts = pin(
+        raw_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
     )
-    tgt_counts = (
-        tgt_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt")).persist()
+    tgt_counts = pin(
+        tgt_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
     )
     raw_tot = raw_counts.agg(
         F.coalesce(F.sum("c_raw"), F.lit(0)).cast("double").alias("_t_raw")
@@ -682,8 +685,10 @@ def collocations(
         df.where(c.isNotNull())
         .select(F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "").alias("_t"))
         .where(F.size("_t") > 0)
-        .persist()  # Catalyst does not dedupe common subtrees: pin tokenization
     )
+    # Catalyst does not dedupe common subtrees: pin tokenization once
+    # (registered for release_pinned() in long-lived sessions).
+    toks = pin(toks)
     uni = (
         toks.select(F.explode("_t").alias("w"))
         .groupBy("w")

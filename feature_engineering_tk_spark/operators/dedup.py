@@ -31,6 +31,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from feature_engineering_tk_spark.plans.caching import pin
+
 # 31-bit Mersenne prime: keeps a*x + b within int64 under ANSI mode
 _MERSENNE_P = (1 << 31) - 1
 
@@ -134,7 +136,8 @@ def minhash_lsh_candidates(
     of s members emits s(s-1)/2 pairs, so one 10-million-doc
     boilerplate cluster would explode into 5·10¹³ candidates no AQE
     skew split can absorb. ``max_bucket_size`` is the backstop: buckets
-    over the cap emit only ADJACENT-id pairs (sorted chain, s-1 pairs)
+    over the cap emit only a spanning chain (salted two-level chain,
+    s-1 pairs, no single-task sort — see inline comment)
     instead of all pairs — linear, and a clique of true duplicates
     stays fully connected through the chain, so group-level dedup
     (min-id survivor / connected components) is unchanged. The chain
@@ -157,12 +160,29 @@ def minhash_lsh_candidates(
         sized = buckets.join(counts, "bucket")
         buckets = sized.filter(F.col("_bc") <= max_bucket_size).drop("_bc")
         hot = sized.filter(F.col("_bc") > max_bucket_size).drop("_bc")
-        w = Window.partitionBy("bucket").orderBy(id_col)
-        chain = (
+        # Two-level salted chain: a single Window.partitionBy("bucket")
+        # would land each hot bucket on ONE sort task — the very skew
+        # the cap exists to relieve. Instead each member salts into one
+        # of `n_salts` sub-segments (chained independently, s-g pairs),
+        # and the per-segment min ids are chained across segments
+        # (g-1 pairs, aggregate-sized). Total s-1 edges — a duplicate
+        # clique stays fully connected, max task ≈ s/n_salts rows.
+        n_salts = 32
+        hot = hot.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+        w = Window.partitionBy("bucket", "_salt").orderBy(id_col)
+        within = (
             hot.withColumn("_prev", F.lag(id_col).over(w))
             .filter(F.col("_prev").isNotNull())
             .select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
         )
+        reps = hot.groupBy("bucket", "_salt").agg(F.min(id_col).alias("_rep"))
+        w_rep = Window.partitionBy("bucket").orderBy("_rep")
+        across = (
+            reps.withColumn("_prev", F.lag("_rep").over(w_rep))
+            .filter(F.col("_prev").isNotNull())
+            .select(F.col("_prev").alias("id_a"), F.col("_rep").alias("id_b"))
+        )
+        chain = within.unionByName(across)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -830,8 +850,9 @@ def source_overlap(
         )
         .select("_src", _token_hash(F.col("_g"), hash_mode).alias("_h"))
         .distinct()
-        .persist()
     )
+    # feeds totals + the self-join: pin once, releasable via release_pinned()
+    grams = pin(grams)
     totals = grams.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
     shared = (
         grams.join(

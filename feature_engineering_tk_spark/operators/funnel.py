@@ -108,16 +108,20 @@ def funnel(
 
 def funnel_summary(per_entity: DataFrame, k: int) -> DataFrame:
     """Step-conversion counts: how many entities completed ≥ i steps
-    (the funnel chart), from the per-entity table."""
+    (the funnel chart), from the per-entity table.
+
+    Single pass over the entity table: one partial-aggregatable
+    ``groupBy(steps_completed)`` (≤ k+1 result rows), then the suffix
+    sum is a join between two aggregate-sized tables (k rows × k+1
+    rows) — the entity table is never replicated.
+    """
     spark = per_entity.sparkSession
     grid = spark.range(1, k + 1).select(F.col("id").cast("int").alias("step"))
+    counts = per_entity.groupBy("steps_completed").agg(F.count(F.lit(1)).alias("_n"))
     return (
-        grid.crossJoin(per_entity)
-        .where(F.col("steps_completed") >= F.col("step"))
+        grid.join(counts, counts["steps_completed"] >= grid["step"], "left")
         .groupBy("step")
-        .agg(F.count(F.lit(1)).alias("n_entities"))
-        .join(grid, "step", "right")
-        .select("step", F.coalesce("n_entities", F.lit(0)).alias("n_entities"))
+        .agg(F.coalesce(F.sum("_n"), F.lit(0).cast("bigint")).alias("n_entities"))
     )
 
 

@@ -108,6 +108,7 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     nodes.unpersist()
+    trans.unpersist()
     return ranks.select(
         "node",
         F.col("r").alias("rank_fp"),

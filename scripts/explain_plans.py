@@ -235,13 +235,122 @@ def main() -> None:
         (F.col("user_id") % 40).alias("src"),
         ((F.col("user_id") * 13 + 3) % 40).alias("dst"),
     ).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
-    p = plan_of(pagerank(edges, weight="weight", n_iter=2))
+    # checkpoint_every above n_iter: a lazy localCheckpoint REPLACES
+    # the visible plan with an RDD scan, hiding the aggregates from
+    # this audit (it fired at the default every-2-iters — audit rot
+    # found in round 4)
+    p = plan_of(pagerank(edges, weight="weight", n_iter=2, checkpoint_every=999))
     n_partial = len(re.findall(r"partial_sum", p))
     sections.append(
         (
             "pagerank (2 iters)",
             p,
             [f"partial_sum_sites={n_partial} (want >0 — map-side combine)"],
+        )
+    )
+
+    # 13. drift KS: prefix-sum ECDF — no single-partition exchange, no
+    # global sort window (checkpoint=False keeps the lazy plan visible)
+    from feature_engineering_tk_spark.analysis.drift import _two_sided_cumulative
+
+    both = (
+        ev.select(F.col("value").alias("_x"))
+        .withColumn("_s", F.lit("a"))
+        .unionByName(
+            ev.select((F.col("value") * 2).alias("_x")).withColumn("_s", F.lit("b"))
+        )
+    )
+    p = plan_of(_two_sided_cumulative(both, "_x", "_s", checkpoint=False))
+    n_single = len(re.findall(r"Exchange SinglePartition", p))
+    n_winparts = len(re.findall(r"Window.*partitionBy|\[_pid", p))
+    sections.append(
+        (
+            "drift two-sided cumulative (KS/MWU core)",
+            p,
+            [
+                f"single_partition_exchanges={n_single} (want 0 — no global sort window)",
+                f"pid_partitioned_nodes={n_winparts} (want >0 — range-partitioned prefix sums)",
+            ],
+        )
+    )
+
+    # 14. funnel: ONE entity exchange; summary adds no replicated scan
+    # of the entity table and no cartesian product
+    from feature_engineering_tk_spark.operators.funnel import funnel, funnel_summary
+
+    per_entity = funnel(
+        ev, ["view", "click", "purchase"], entity="user_id", ts="ts"
+    )
+    p = plan_of(funnel_summary(per_entity, 3))
+    # unique node ids — formatted explain prints each node twice
+    n_scans = len(set(re.findall(r"Scan parquet\s*\((\d+)\)", p)))
+    n_cart = len(set(re.findall(r"CartesianProduct\s*\((\d+)\)", p)))
+    sections.append(
+        (
+            "funnel + summary (single-pass)",
+            p,
+            [
+                f"event_table_scans={n_scans} (want 1 — entity table never replicated)",
+                f"cartesian_products={n_cart} (want 0)",
+            ],
+        )
+    )
+
+    # 15. fuzzy_pairs: the only exchange hashes the BLOCK key — edit
+    # distance never crosses blocks
+    from feature_engineering_tk_spark.operators.dedup import fuzzy_pairs
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(fuzzy_pairs(docs_df))
+    # at toy SF the small side broadcasts (no shuffle at all); at scale
+    # the same plan shuffles on _blk. Either way the join must be an
+    # EQUI-join keyed on the block — never a cross/nested-loop product.
+    equi_on_blk = bool(re.search(r"Left keys \[1\]: \[_blk", p))
+    n_products = len(
+        set(re.findall(r"(?:CartesianProduct|BroadcastNestedLoopJoin)\s*\((\d+)\)", p))
+    )
+    other_exchanges = len(
+        [m for m in re.findall(r"hashpartitioning\((\w+)", p) if m != "_blk"]
+    )
+    sections.append(
+        (
+            "fuzzy_pairs (blocked Levenshtein)",
+            p,
+            [
+                f"equi_join_on_block_key={equi_on_blk} (want True — Levenshtein never crosses blocks)",
+                f"cross_products={n_products} (want 0)",
+                f"non_block_exchanges={other_exchanges} (want 0)",
+            ],
+        )
+    )
+
+    # 16. BPE training iteration: pair counting touches ONLY the vocab
+    # lineage — one corpus scan, vocab-sized aggregates after it
+    from feature_engineering_tk_spark.functions.bpe import (
+        _adjacent_pairs,
+        _initial_symbols,
+        word_frequency_table,
+    )
+
+    vocab = word_frequency_table(docs_df, "text").withColumn(
+        "syms", _initial_symbols(F.col("word"))
+    )
+    pair_counts = (
+        vocab.select(F.col("cnt"), F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("w"))
+    )
+    p = plan_of(pair_counts)
+    n_scans = len(set(re.findall(r"Scan parquet\s*\((\d+)\)", p)))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    sections.append(
+        (
+            "bpe pair-count job (per merge batch)",
+            p,
+            [
+                f"corpus_scans={n_scans} (want 1 — merges learned on the vocab table)",
+                f"exchanges={n_ex} (want 2 — word groupBy + pair groupBy, both partial-agg)",
+            ],
         )
     )
 

@@ -47,3 +47,79 @@ def test_resize_updates_metadata(media):
     out = MM.resize_stub(media, (224, 224)).toPandas()
     img = out[out["mime"].str.startswith("image")]
     assert (img["width"] == 224).all() and (img["height"] == 224).all()
+
+
+def _gradient_rgb(h, w):
+    y = np.arange(h, dtype=np.uint8)[:, None, None]
+    x = np.arange(w, dtype=np.uint8)[None, :, None]
+    return np.concatenate(
+        [np.broadcast_to(y * 3 % 256, (h, w, 1)),
+         np.broadcast_to(x * 5 % 256, (h, w, 1)),
+         np.broadcast_to((y + x) * 7 % 256, (h, w, 1))],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_bmp_roundtrip_and_variants():
+    rgb = _gradient_rgb(13, 17)  # odd width exercises row padding
+    assert np.array_equal(MM.decode_bmp(MM.encode_bmp(rgb)), rgb)
+    # top-down (negative height) variant
+    # encode stores rows bottom-up (file rows = image[::-1]); flipping
+    # the height sign marks those stored rows as top-down, so decoding
+    # yields the vertically flipped image
+    b = bytearray(MM.encode_bmp(rgb))
+    h = int.from_bytes(b[22:26], "little")
+    b[22:26] = (-h).to_bytes(4, "little", signed=True)
+    assert np.array_equal(MM.decode_bmp(bytes(b)), rgb[::-1])
+    # 32-bit BGRA variant built by hand
+    h32, w32 = 4, 5
+    bgra = np.zeros((h32, w32, 4), np.uint8)
+    bgra[..., :3] = _gradient_rgb(h32, w32)[..., ::-1]
+    data = bgra[::-1].tobytes()
+    hdr = (b"BM" + (54 + len(data)).to_bytes(4, "little") + b"\x00" * 4
+           + (54).to_bytes(4, "little"))
+    dib = ((40).to_bytes(4, "little") + w32.to_bytes(4, "little", signed=True)
+           + h32.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+           + (32).to_bytes(2, "little") + (0).to_bytes(4, "little")
+           + len(data).to_bytes(4, "little") + (0).to_bytes(4, "little") * 4)
+    assert np.array_equal(MM.decode_bmp(hdr + dib + data), _gradient_rgb(h32, w32))
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"not a bitmap at all........................................")
+
+
+@pytest.fixture(scope="module")
+def bmp_media(spark):
+    rows = []
+    for i in range(6):
+        rgb = _gradient_rgb(8 + i, 10 + i)
+        rows.append((i, "image/bmp", bytearray(MM.encode_bmp(rgb)),
+                     rgb.shape[1], rgb.shape[0], None))
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_real_bmp_features_end_to_end(bmp_media):
+    """decode_stub=False produces REAL pixel statistics through
+    mapInPandas for the vendored BMP format."""
+    out = (
+        MM.extract_media_features(bmp_media, feature_dim=16, decode_stub=False)
+        .toPandas()
+        .sort_values("media_id")
+    )
+    for i, feat in zip(out["media_id"], out["feature"]):
+        rgb = _gradient_rgb(8 + i, 10 + i).astype(np.float64)
+        expect = [10 + i, 8 + i, *rgb.mean(axis=(0, 1)), *rgb.std(axis=(0, 1)),
+                  rgb.min(), rgb.max()]
+        assert np.allclose(np.asarray(feat)[: len(expect)], expect, atol=1e-4)
+        assert np.all(np.asarray(feat)[len(expect):] == 0)
+
+
+def test_real_bmp_resize_end_to_end(bmp_media):
+    out = MM.resize_stub(bmp_media, (6, 4), decode_stub=False).toPandas()
+    for _, r in out.iterrows():
+        resized = MM.decode_bmp(bytes(r["payload"]))
+        assert resized.shape == (4, 6, 3)
+        assert r["width"] == 6 and r["height"] == 4
+        # nearest-neighbour: every pixel exists in the source image
+        src = _gradient_rgb(8 + r["media_id"], 10 + r["media_id"])
+        flat = {tuple(p) for p in src.reshape(-1, 3)}
+        assert all(tuple(p) in flat for p in resized.reshape(-1, 3))
