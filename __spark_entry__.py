@@ -2463,6 +2463,45 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(docs, shingle_n=3, hash_mode="md5")
 
 
+def q_context_truncate(spark, sf_dir):
+    """Context-budget truncation (operators/transcripts.py
+    context_truncate): head turns always kept, then the longest suffix
+    whose whitespace-token total fits the budget — one descending
+    running sum over the conv_id partition, no join."""
+    from feature_engineering_tk_spark.operators.transcripts import context_truncate
+
+    out = context_truncate(_transcript_view(spark, sf_dir), max_tokens=5, keep_first=1)
+    return out.select("conv_id", "turn_idx", "n_tokens", "kept")
+
+
+def q_preference_pairs(spark, sf_dir):
+    """DPO preference-pair construction (operators/transcripts.py
+    preference_pairs): per prompt, argmax/argmin-score responses as
+    struct max/min in ONE partial-aggregatable groupBy; smallest-id
+    tie-break; zero-margin prompts dropped. Prompts derived as
+    user_id % 200 over scored events."""
+    from feature_engineering_tk_spark.operators.transcripts import preference_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    responses = ev.where(F.col("value").isNotNull()).select(
+        (F.col("user_id") % 200).alias("prompt_id"),
+        F.col("event_id").alias("response_id"),
+        F.col("value").alias("score"),
+    )
+    return preference_pairs(responses)
+
+
+def q_length_buckets(spark, sf_dir):
+    """Sequence-length bucketing (functions/text.py length_buckets):
+    smallest power-of-two edge ≥ token count via a literal-array
+    filter (no float log2), one tiny groupBy with padding-waste
+    accounting."""
+    from feature_engineering_tk_spark.functions.text import length_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_buckets(docs)
+
+
 def q_corpus_report(spark, sf_dir):
     """Dataset-card facet table (analysis/reports.py
     corpus_report_facet_table): the distributed core of corpus_report —
@@ -3021,6 +3060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitespace_clean": q_whitespace_clean,
         "missing_select": q_missing_select,
         "corpus_report": q_corpus_report,
+        "context_truncate": q_context_truncate,
+        "preference_pairs": q_preference_pairs,
+        "length_buckets": q_length_buckets,
     }
 
 
@@ -6149,6 +6191,79 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     d.update(d_static)
+    d["context_truncate"] = _TRANSCRIPT_CTE + """
+        , t AS (
+          SELECT conv_id, turn_idx,
+                 CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END AS BIGINT) AS n_tokens
+            FROM transcript
+        ),
+        wsum AS (
+          SELECT conv_id, turn_idx, n_tokens,
+                 sum(CASE WHEN turn_idx < 1 THEN n_tokens ELSE 0 END)
+                   OVER (PARTITION BY conv_id) AS head_tokens,
+                 sum(CASE WHEN turn_idx < 1 THEN 0 ELSE n_tokens END)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx
+            FROM t
+        )
+        SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, n_tokens,
+               (turn_idx < 1 OR sfx + head_tokens <= 5) AS kept
+          FROM wsum
+    """
+    d["preference_pairs"] = """
+        WITH r AS (
+          SELECT user_id % 200 AS prompt_id,
+                 event_id AS response_id,
+                 CAST(value AS DOUBLE) AS score
+            FROM events WHERE value IS NOT NULL
+        ),
+        a AS (
+          SELECT prompt_id, response_id, score,
+                 row_number() OVER (PARTITION BY prompt_id
+                                    ORDER BY score DESC, response_id ASC) AS rc,
+                 row_number() OVER (PARTITION BY prompt_id
+                                    ORDER BY score ASC, response_id ASC) AS rr,
+                 count(*) OVER (PARTITION BY prompt_id) AS n
+            FROM r
+        )
+        SELECT c.prompt_id,
+               CAST(c.response_id AS BIGINT) AS chosen_id,
+               CAST(j.response_id AS BIGINT) AS rejected_id,
+               c.score AS chosen_score,
+               j.score AS rejected_score,
+               c.score - j.score AS margin
+          FROM a c JOIN a j ON c.prompt_id = j.prompt_id
+         WHERE c.rc = 1 AND j.rr = 1 AND c.n >= 2 AND c.score > j.score
+    """
+    d["length_buckets"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        b AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(list_filter([16, 32, 64, 128, 256, 512, 1024,
+                                       2048, 4096, 8192],
+                                      e -> e >= n_tokens)[1], -1) AS bucket
+            FROM t
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(coalesce(sum(CASE WHEN bucket > 0
+                                      THEN bucket - n_tokens END), 0)
+                    AS BIGINT) AS padding_tokens,
+               round(CASE WHEN bucket > 0 THEN
+                 CAST(coalesce(sum(CASE WHEN bucket > 0
+                                        THEN bucket - n_tokens END), 0) AS DOUBLE)
+                 / (bucket * count(*)) END, 9) AS padding_frac
+          FROM b GROUP BY bucket
+    """
     d["corpus_report"] = """
         WITH base AS (
           SELECT source AS facet,

@@ -772,3 +772,65 @@ def readability_scores(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
         ).alias("fk_grade"),
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    edges: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192),
+) -> DataFrame:
+    """Sequence-length bucketing for batch-shape planning: each doc is
+    assigned the smallest bucket edge ≥ its whitespace token count
+    (power-of-two edges by default; docs longer than the last edge get
+    bucket -1 = overflow), then per bucket: doc count, token total,
+    and the padding waste a fixed-shape batch of that bucket size pays
+    — ``sum(bucket - n_tokens)`` and its fraction of the padded total.
+
+    Scale shape: the bucket assignment is a row-local array expression
+    (edges are literals, no float log2 — exact on any engine) and the
+    rollup is one partial-aggregatable ``groupBy(bucket)`` with ≤
+    len(edges)+1 result rows.
+    """
+    if list(edges) != sorted(set(int(e) for e in edges)):
+        raise ValueError("edges must be strictly increasing")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = (
+        F.when(F.trim(t) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .cast("bigint")
+    )
+    edge_arr = F.array(*[F.lit(int(e)).cast("bigint") for e in edges])
+    # F.get is NULL-safe on the empty (overflow) filter result where
+    # element_at would raise
+    bucket = F.coalesce(
+        F.get(F.filter(edge_arr, lambda e: e >= F.col("n_tokens")), 0),
+        F.lit(-1).cast("bigint"),
+    )
+    assigned = df.select(F.col(id_col), toks.alias("n_tokens")).withColumn(
+        "bucket", bucket
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("bucket") > 0, F.col("bucket") - F.col("n_tokens"))
+            ).alias("padding_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            F.coalesce("padding_tokens", F.lit(0).cast("bigint")).alias("padding_tokens"),
+            F.round(
+                F.when(
+                    F.col("bucket") > 0,
+                    F.coalesce("padding_tokens", F.lit(0).cast("bigint"))
+                    / (F.col("bucket") * F.col("n_docs")),
+                ),
+                9,
+            ).alias("padding_frac"),
+        )
+    )

@@ -491,3 +491,87 @@ def detect_loops(
             "has_loop"
         ),
     )
+
+
+def context_truncate(
+    df: DataFrame,
+    max_tokens: int,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    text: str = "text",
+    keep_first: int = 1,
+) -> DataFrame:
+    """Context-budget truncation — the standard chat-training recipe:
+    always keep the first ``keep_first`` turns (system prompt / task
+    setup), then the longest SUFFIX of later turns whose token count
+    plus the head's fits ``max_tokens``.  Returns the input plus
+    ``n_tokens`` and ``kept`` (head turns are kept even when the head
+    alone exceeds the budget — dropping the system prompt silently is
+    the worse failure; filter on ``kept`` to materialize).
+
+    Scale shape: one ``partitionBy(conv_id)`` window family — a
+    DESCENDING-order running token sum marks the affordable suffix,
+    and the head token total rides the same partition as an aggregate
+    window (no join, no second shuffle).  Token counts are whitespace
+    tokens (deterministic, engine-replayable).
+    """
+    toks = F.when(
+        F.trim(F.coalesce(F.col(text), F.lit(""))) == "", F.lit(0)
+    ).otherwise(
+        F.size(F.split(F.trim(F.col(text)), r"\s+"))
+    ).cast("bigint")
+    base = df.withColumn("n_tokens", toks)
+    is_head = F.col(turn_idx) < F.lit(int(keep_first))
+    w_desc = (
+        Window.partitionBy(conv_id)
+        .orderBy(F.col(turn_idx).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(conv_id)
+    head_tokens = F.sum(F.when(is_head, F.col("n_tokens")).otherwise(F.lit(0))).over(w_all)
+    suffix_sum = F.sum(
+        F.when(is_head, F.lit(0)).otherwise(F.col("n_tokens"))
+    ).over(w_desc)
+    kept = is_head | (suffix_sum + head_tokens <= F.lit(int(max_tokens)))
+    return base.withColumn("kept", kept)
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_id: str = "prompt_id",
+    response_id: str = "response_id",
+    score: str = "score",
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: for every prompt with at
+    least two scored responses, emit (prompt_id, chosen_id,
+    rejected_id, chosen_score, rejected_score, margin) where chosen is
+    the max-score response and rejected the min-score one.  Ties are
+    broken deterministically toward the SMALLEST response id on both
+    sides; prompts whose responses all tie (margin 0) are dropped —
+    they carry no preference signal.
+
+    Scale shape: ONE partial-aggregatable ``groupBy(prompt_id)`` — the
+    argmax/argmin ride as struct max/min (order-free reductions), so
+    response text/scores shuffle once as aggregate structs and skewed
+    prompts combine map-side.
+    """
+    s = F.col(score).cast("double")
+    rid = F.col(response_id).cast("bigint")
+    agg = df.groupBy(prompt_id).agg(
+        F.count(F.lit(1)).alias("_n"),
+        # max on (score, -id): highest score, then smallest id
+        F.max(F.struct(s.alias("s"), (-rid).alias("nid"))).alias("_c"),
+        # min on (score, id): lowest score, then smallest id
+        F.min(F.struct(s.alias("s"), rid.alias("pid"))).alias("_r"),
+    )
+    return (
+        agg.where((F.col("_n") >= 2) & (F.col("_c.s") > F.col("_r.s")))
+        .select(
+            F.col(prompt_id),
+            (-F.col("_c.nid")).alias("chosen_id"),
+            F.col("_r.pid").alias("rejected_id"),
+            F.col("_c.s").alias("chosen_score"),
+            F.col("_r.s").alias("rejected_score"),
+            (F.col("_c.s") - F.col("_r.s")).alias("margin"),
+        )
+    )

@@ -624,3 +624,70 @@ class TestDedupProperty:
                 assert r["is_duplicate"] == (cid != group[0])
 
         run()
+
+
+def test_context_truncate_keeps_head_and_longest_suffix(spark):
+    from feature_engineering_tk_spark.operators.transcripts import context_truncate
+
+    rows = [
+        # conv A: head=4 tokens, turns of 3/2/2 tokens, budget 8 →
+        # head + last two turns (4) fit; turn 1 (3 tokens) would make 11
+        ("A", 0, "sys prompt here now"),
+        ("A", 1, "one two three"),
+        ("A", 2, "four five"),
+        ("A", 3, "six seven"),
+        # conv B: head alone (9) exceeds the budget but must stay
+        ("B", 0, "a b c d e f g h i"),
+        ("B", 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["kept"], r["n_tokens"])
+        for r in context_truncate(df, max_tokens=8, keep_first=1).collect()
+    }
+    assert got[("A", 0)] == (True, 4)
+    assert got[("A", 1)] == (False, 3)
+    assert got[("A", 2)] == (True, 2)
+    assert got[("A", 3)] == (True, 2)
+    assert got[("B", 0)] == (True, 9)  # head survives its own overflow
+    assert got[("B", 1)] == (False, 1)
+    # kept turns always form head + contiguous suffix
+    for conv in ("A", "B"):
+        kept_idx = sorted(i for (c, i), (k, _n) in got.items() if c == conv and k)
+        tail = [i for i in kept_idx if i >= 1]
+        assert tail == list(range(min(tail), max(tail) + 1)) if tail else True
+
+
+def test_preference_pairs_tiebreak_and_degenerate_drop(spark):
+    from feature_engineering_tk_spark.operators.transcripts import preference_pairs
+
+    rows = [
+        (1, 10, 0.5), (1, 11, 0.9), (1, 12, 0.9),   # chosen tie → min id 11
+        (2, 20, 0.3), (2, 21, 0.3),                  # all tie → dropped
+        (3, 30, 0.7),                                # singleton → dropped
+        (4, 40, 0.1), (4, 41, 0.8), (4, 42, 0.1),   # rejected tie → min id 40
+    ]
+    df = spark.createDataFrame(rows, "prompt_id long, response_id long, score double")
+    got = {r["prompt_id"]: r.asDict() for r in preference_pairs(df).collect()}
+    assert set(got) == {1, 4}
+    assert got[1]["chosen_id"] == 11 and got[1]["rejected_id"] == 10
+    assert got[4]["chosen_id"] == 41 and got[4]["rejected_id"] == 40
+    assert got[4]["margin"] == pytest.approx(0.7)
+
+
+def test_length_buckets_edges_and_overflow(spark):
+    from feature_engineering_tk_spark.functions.text import length_buckets
+
+    rows = [
+        (0, " ".join(["w"] * 16)),   # exactly at edge 16
+        (1, " ".join(["w"] * 17)),   # → 32
+        (2, ""),                     # 0 tokens → bucket 16
+        (3, " ".join(["w"] * 9000)), # overflow → -1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["bucket"]: r.asDict() for r in length_buckets(df).collect()}
+    assert got[16]["n_docs"] == 2 and got[16]["padding_tokens"] == 16
+    assert got[32]["n_docs"] == 1 and got[32]["padding_tokens"] == 15
+    assert got[-1]["n_docs"] == 1 and got[-1]["padding_tokens"] == 0
+    assert got[-1]["padding_frac"] is None
+    assert got[16]["padding_frac"] == pytest.approx(16 / 32.0)
