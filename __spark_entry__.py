@@ -2880,6 +2880,113 @@ def q_bpe_segment(spark, sf_dir):
     return bpe.bpe_token_counts(docs, vocab)
 
 
+def q_cohen_kappa(spark, sf_dir):
+    """Two-rater chance-corrected agreement (analysis/agreement.py
+    cohen_kappa): label×label confusion matrix via one groupBy(item)
+    pivot, coefficient from exact integer sufficient statistics
+    (po=A/n, pe=P/n², kappa=(A·n−P)/(n²−P)). Annotation table derived
+    from events: item = event_id % 500, rater = user_id % 2, label =
+    event_type."""
+    from feature_engineering_tk_spark.analysis.agreement import cohen_kappa
+
+    ev = _t(spark, sf_dir, "events")
+    ratings = ev.select(
+        (F.col("event_id") % 500).alias("item_id"),
+        (F.col("user_id") % 2).alias("rater_id"),
+        F.col("event_type").alias("label"),
+    )
+    return cohen_kappa(ratings, rater_a=0, rater_b=1)
+
+
+def q_fleiss_kappa(spark, sf_dir):
+    """Multi-rater agreement (analysis/agreement.py fleiss_kappa):
+    items with exactly 5 ratings kept (standard equal-n filter);
+    A=Σ n_il², B=Σ c_l² exact integers, only the final divisions are
+    floats, mirrored verbatim in the oracle. Ratings derived as one
+    row per (item = event_id % 193, rater = user_id % 5) with the MIN
+    event_type as that rater's label, so complete items have exactly
+    5 ratings at any scale factor."""
+    from feature_engineering_tk_spark.analysis.agreement import fleiss_kappa
+
+    ev = _t(spark, sf_dir, "events")
+    ratings = (
+        ev.groupBy(
+            (F.col("event_id") % 193).alias("item_id"),
+            (F.col("user_id") % 5).alias("rater_id"),
+        )
+        .agg(F.min("event_type").alias("label"))
+        .select("item_id", "label")
+    )
+    return fleiss_kappa(ratings, n_raters=5)
+
+
+def _battles(spark, sf_dir):
+    """Synthetic arena battle table over events: two model ids from
+    user_id residues (never equal: 6u ≢ 5 mod 8), winner by value
+    thresholds with a 'draw' band."""
+    ev = _t(spark, sf_dir, "events")
+    ma = F.concat(F.lit("m"), (F.col("user_id") % 8).cast("string"))
+    mb = F.concat(F.lit("m"), ((F.col("user_id") * 7 + 3) % 8).cast("string"))
+    return ev.where(F.col("value").isNotNull()).select(
+        ma.alias("model_a"),
+        mb.alias("model_b"),
+        F.when(F.col("value") >= 10, ma)
+        .when(F.col("value") >= 2, mb)
+        .otherwise(F.lit("draw"))
+        .alias("winner"),
+    )
+
+
+def q_model_winrates(spark, sf_dir):
+    """Arena battle records (operators/evals.py model_winrates): per-
+    model games/wins/winrate via one partial-aggregatable groupBy over
+    the two-way unpivot; draws count as winless games."""
+    from feature_engineering_tk_spark.operators.evals import model_winrates
+
+    return model_winrates(_battles(spark, sf_dir))
+
+
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strengths (operators/evals.py bradley_terry):
+    Hunter-MM fixed point in exact parts-per-10^6 integers (pagerank
+    convention — bit-identical under any summation order), 4
+    iterations, ratings floored at 1 fixed-point part. Oracle is the
+    identical chained-CTE integer iteration."""
+    from feature_engineering_tk_spark.operators.evals import bradley_terry
+
+    return bradley_terry(_battles(spark, sf_dir), n_iter=4)
+
+
+def q_qa_metrics(spark, sf_dir):
+    """SQuAD-style token-F1 / exact-match (functions/text.py
+    qa_metrics): row-local multiset-intersection metrics where every
+    float is ONE division of exact integers (f1 = 2I/(n_pred+n_ref)).
+    Pred/ref derived row-locally from documents: tokens 1-4 vs 3-8."""
+    from feature_engineering_tk_spark.functions.text import qa_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 4), " ").alias("pred"),
+        F.array_join(F.slice(toks, 3, 6), " ").alias("ref"),
+    )
+    return qa_metrics(pairs).select(
+        "doc_id", "n_pred", "n_ref", "n_overlap", "precision", "recall", "f1", "exact_match"
+    )
+
+
+def q_distinct_ngrams(spark, sf_dir):
+    """Distinct-2 generation diversity per source (functions/text.py
+    distinct_ngrams): grams hashed row-locally so the shuffle carries
+    8-byte keys; distinct/total/ratio per source with the ratio one
+    exact integer division."""
+    from feature_engineering_tk_spark.functions.text import distinct_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return distinct_ngrams(docs, "text", n=2, by="source")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3063,6 +3170,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_truncate": q_context_truncate,
         "preference_pairs": q_preference_pairs,
         "length_buckets": q_length_buckets,
+        "cohen_kappa": q_cohen_kappa,
+        "fleiss_kappa": q_fleiss_kappa,
+        "model_winrates": q_model_winrates,
+        "bradley_terry": q_bradley_terry,
+        "qa_metrics": q_qa_metrics,
+        "distinct_ngrams": q_distinct_ngrams,
     }
 
 
@@ -6292,6 +6405,214 @@ def oracle_sql() -> dict[str, str]:
                n_docs, total_tokens, mean_tokens, empty_rate, short_rate,
                exact_dup_rate
           FROM fac CROSS JOIN scal
+    """
+    d["cohen_kappa"] = """
+        WITH src AS (
+          SELECT event_id % 500 AS item, user_id % 2 AS rater,
+                 event_type AS label
+            FROM events
+        ),
+        p AS (
+          SELECT item,
+                 min(CASE WHEN rater = 0 THEN label END) AS la,
+                 min(CASE WHEN rater = 1 THEN label END) AS lb
+            FROM src GROUP BY item
+        ),
+        q AS (SELECT la, lb FROM p WHERE la IS NOT NULL AND lb IS NOT NULL),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS a
+            FROM q
+        ),
+        ca AS (SELECT la AS l, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY la),
+        cb AS (SELECT lb AS l, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY lb),
+        pe AS (
+          SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS p
+            FROM ca JOIN cb USING (l)
+        )
+        SELECT s.n AS n_items,
+               CAST(s.a AS DOUBLE) / s.n AS po,
+               CAST(pe.p AS DOUBLE) / (s.n * s.n) AS pe,
+               CASE WHEN s.n * s.n - pe.p = 0 THEN 0.0
+                    ELSE CAST(s.a * s.n - pe.p AS DOUBLE) / (s.n * s.n - pe.p)
+               END AS kappa
+          FROM s, pe
+    """
+    d["fleiss_kappa"] = """
+        WITH src AS (
+          SELECT event_id % 193 AS item, user_id % 5 AS rater,
+                 min(event_type) AS label
+            FROM events GROUP BY event_id % 193, user_id % 5
+        ),
+        c AS (SELECT item, label, CAST(count(*) AS BIGINT) AS c
+                FROM src GROUP BY item, label),
+        pi AS (SELECT item, sum(c) AS m, sum(c * c) AS s2
+                 FROM c GROUP BY item),
+        kept AS (SELECT item, s2 FROM pi WHERE m = 5),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(coalesce(sum(s2), 0) AS BIGINT) AS a
+            FROM kept
+        ),
+        tl AS (
+          SELECT c.label, CAST(sum(c.c) AS BIGINT) AS cl
+            FROM c JOIN kept USING (item) GROUP BY c.label
+        ),
+        b AS (SELECT CAST(coalesce(sum(cl * cl), 0) AS BIGINT) AS b FROM tl),
+        fin AS (
+          SELECT s.n_items,
+                 CAST(s.a - s.n_items * 5 AS DOUBLE)
+                   / (s.n_items * 5 * 4) AS p_bar,
+                 CAST(b.b AS DOUBLE)
+                   / (s.n_items * 5 * s.n_items * 5) AS p_e
+            FROM s, b
+        )
+        SELECT n_items, p_bar, p_e,
+               CASE WHEN p_e = 1.0 THEN 0.0
+                    ELSE (p_bar - p_e) / (1.0 - p_e) END AS kappa
+          FROM fin
+    """
+    _battles_cte = """
+        WITH battles AS (
+          SELECT 'm' || CAST(user_id % 8 AS VARCHAR) AS model_a,
+                 'm' || CAST((user_id * 7 + 3) % 8 AS VARCHAR) AS model_b,
+                 CASE WHEN value >= 10
+                        THEN 'm' || CAST(user_id % 8 AS VARCHAR)
+                      WHEN value >= 2
+                        THEN 'm' || CAST((user_id * 7 + 3) % 8 AS VARCHAR)
+                      ELSE 'draw' END AS winner
+            FROM events WHERE value IS NOT NULL
+        ),
+        sides AS (
+          SELECT model_a AS model, model_b AS opponent,
+                 CASE WHEN winner = model_a THEN 1 ELSE 0 END AS win
+            FROM battles
+          UNION ALL
+          SELECT model_b, model_a,
+                 CASE WHEN winner = model_b THEN 1 ELSE 0 END
+            FROM battles
+        )"""
+    d["model_winrates"] = _battles_cte + """
+        SELECT model, CAST(count(*) AS BIGINT) AS n_games,
+               CAST(sum(win) AS BIGINT) AS n_wins,
+               CAST(sum(win) AS DOUBLE) / count(*) AS winrate
+          FROM sides GROUP BY model
+    """
+    # Bradley-Terry: the identical exact-integer MM iteration as
+    # operators/evals.py bradley_terry (S = 10^6), chained CTEs.
+    _bt_scale = 10**6
+    _bt = [_battles_cte + f""",
+        rec AS (
+          SELECT model, CAST(count(*) AS BIGINT) AS n_games,
+                 CAST(sum(win) AS BIGINT) AS n_wins
+            FROM sides GROUP BY model
+        ),
+        pairs AS (
+          SELECT model, opponent, CAST(count(*) AS BIGINT) AS nij
+            FROM sides GROUP BY model, opponent
+        ),
+        kk AS (SELECT count(*) AS k FROM rec),
+        r0 AS (
+          SELECT model, CAST({_bt_scale} // kk.k AS BIGINT) AS p
+            FROM rec, kk
+        )"""]
+    for _it in range(4):
+        _bt.append(f""",
+        d{_it} AS (
+          SELECT pr.model,
+                 CAST(sum((pr.nij * CAST({_bt_scale * _bt_scale} AS BIGINT))
+                          // (ri.p + rj.p)) AS BIGINT) AS d
+            FROM pairs pr
+            JOIN r{_it} ri ON pr.model = ri.model
+            JOIN r{_it} rj ON pr.opponent = rj.model
+           GROUP BY pr.model
+        ),
+        w{_it} AS (
+          SELECT rec.model,
+                 CAST((rec.n_wins * CAST({_bt_scale * _bt_scale} AS BIGINT))
+                      // d{_it}.d AS BIGINT) AS pr
+            FROM rec JOIN d{_it} USING (model)
+        ),
+        t{_it} AS (SELECT CAST(sum(pr) AS BIGINT) AS tot FROM w{_it}),
+        r{_it + 1} AS (
+          SELECT model,
+                 CAST(greatest((pr * {_bt_scale}) // tot, 1) AS BIGINT) AS p
+            FROM w{_it}, t{_it}
+        )""")
+    _bt.append(f"""
+        SELECT r4.model, r4.p AS rating_fp,
+               CAST(r4.p AS DOUBLE) / {float(_bt_scale)} AS rating,
+               rec.n_wins, rec.n_games
+          FROM r4 JOIN rec USING (model)
+    """)
+    d["bradley_terry"] = "".join(_bt)
+    d["qa_metrics"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+            FROM documents
+        ),
+        pr AS (
+          SELECT doc_id,
+                 array_to_string(toks[1:4], ' ') AS pred,
+                 array_to_string(toks[3:8], ' ') AS ref
+            FROM base
+        ),
+        tk AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(coalesce(pred, ''))) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(pred)), '\s+')
+                 END AS p,
+                 CASE WHEN trim(lower(coalesce(ref, ''))) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(ref)), '\s+')
+                 END AS r
+            FROM pr
+        ),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(p) AS BIGINT) AS n_pred,
+                 CAST(len(r) AS BIGINT) AS n_ref,
+                 CAST(coalesce(list_sum(list_transform(list_distinct(p),
+                        t -> least(len(list_filter(p, x -> x = t)),
+                                   len(list_filter(r, x -> x = t))))), 0)
+                      AS BIGINT) AS n_overlap,
+                 CASE WHEN p = r THEN 1 ELSE 0 END AS exact_match
+            FROM tk
+        )
+        SELECT doc_id, n_pred, n_ref, n_overlap,
+               CASE WHEN n_pred > 0
+                    THEN CAST(n_overlap AS DOUBLE) / n_pred ELSE 0.0
+               END AS "precision",
+               CASE WHEN n_ref > 0
+                    THEN CAST(n_overlap AS DOUBLE) / n_ref ELSE 0.0
+               END AS recall,
+               CASE WHEN n_pred + n_ref > 0
+                    THEN CAST(2 * n_overlap AS DOUBLE) / (n_pred + n_ref)
+                    ELSE 0.0
+               END AS f1,
+               CAST(exact_match AS INTEGER) AS exact_match
+          FROM m
+    """
+    d["distinct_ngrams"] = r"""
+        WITH t AS (
+          SELECT source,
+                 regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                       '\s+') AS toks
+            FROM documents
+        ),
+        g AS (
+          SELECT source,
+                 unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+1], ' '))) AS gram
+            FROM t WHERE len(toks) >= 2
+        )
+        SELECT source,
+               CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams,
+               CAST(count(*) AS BIGINT) AS total_grams,
+               CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS distinct_ratio
+          FROM g GROUP BY source
     """
     # composed oracle: recall@10 of the LSH result vs the exact top-10,
     # reusing both verified pipelines as CTE bodies (nested WITH)

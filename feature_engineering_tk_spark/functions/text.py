@@ -834,3 +834,118 @@ def length_buckets(
             ).alias("padding_frac"),
         )
     )
+
+
+def qa_metrics(
+    df: DataFrame,
+    pred_col: str = "pred",
+    ref_col: str = "ref",
+) -> DataFrame:
+    """SQuAD-style QA evaluation columns: appends per-row
+    ``n_pred``, ``n_ref``, ``n_overlap``, ``precision``, ``recall``,
+    ``f1``, ``exact_match`` comparing a prediction text against a
+    reference text.
+
+    Tokenization is the engine's whitespace-lowercase convention
+    (blank → empty list).  ``n_overlap`` is the exact MULTISET
+    intersection size — for each distinct prediction token, the
+    smaller of its two occurrence counts — computed as a row-local
+    higher-order array expression (zero shuffle; QA answers are short
+    so the per-row O(distinct·n) filter scan is trivially cheap and
+    stays inside whole-stage codegen).  ``f1 = 2·I/(n_pred+n_ref)``
+    — the harmonic mean collapsed to ONE exact integer division, so
+    every float output is a single division of exact integers
+    (bit-identical on any engine).  Empty prediction or reference →
+    0.0 metrics (``exact_match`` still flags the both-empty case).
+    """
+
+    def _toks(name: str) -> Column:
+        t = F.trim(F.lower(F.coalesce(F.col(name), F.lit(""))))
+        return F.when(t == "", F.array().cast("array<string>")).otherwise(
+            F.split(t, r"\s+")
+        )
+
+    out = df.withColumn("_p", _toks(pred_col)).withColumn("_r", _toks(ref_col))
+    overlap = F.aggregate(
+        F.array_distinct(F.col("_p")),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.least(
+            F.size(F.filter(F.col("_p"), lambda x: x == t)),
+            F.size(F.filter(F.col("_r"), lambda x: x == t)),
+        ).cast("bigint"),
+    )
+    out = (
+        out.withColumn("n_pred", F.size("_p").cast("bigint"))
+        .withColumn("n_ref", F.size("_r").cast("bigint"))
+        .withColumn("n_overlap", overlap)
+    )
+    zero = F.lit(0.0)
+    out = (
+        out.withColumn(
+            "precision",
+            F.when(F.col("n_pred") > 0, F.col("n_overlap") / F.col("n_pred")).otherwise(zero),
+        )
+        .withColumn(
+            "recall",
+            F.when(F.col("n_ref") > 0, F.col("n_overlap") / F.col("n_ref")).otherwise(zero),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("n_pred") + F.col("n_ref") > 0,
+                (F.lit(2).cast("bigint") * F.col("n_overlap"))
+                / (F.col("n_pred") + F.col("n_ref")),
+            ).otherwise(zero),
+        )
+        .withColumn("exact_match", (F.col("_p") == F.col("_r")).cast("int"))
+    )
+    return out.drop("_p", "_r")
+
+
+def distinct_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    by: str | None = None,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Distinct-n generation-diversity metric (Li et al. 2016, "A
+    Diversity-Promoting Objective Function for Neural Conversation
+    Models"): per group (or whole corpus when ``by`` is None), the
+    number of distinct word n-grams, total n-grams, and their ratio.
+
+    Scale shape: n-grams are materialized as a row-local array
+    expression, then immediately hashed (``hash_mode`` as in
+    operators/dedup.py — xxhash64 fast path, md5-60bit portable) so
+    the ONLY shuffle carries 8-byte keys, never gram text; the rollup
+    is groupBy(group, hash) counts → groupBy(group) with map-side
+    partials.  ``distinct_ratio`` is one exact integer division.
+    """
+    from feature_engineering_tk_spark.operators.dedup import _token_hash
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = _tokens_lower(F.coalesce(F.col(text_col), F.lit("")))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    keys = [by] if by else []
+    ex = df.select(*keys, F.explode(grams).alias("_g")).select(
+        *keys, _token_hash(F.col("_g"), hash_mode).alias("_h")
+    )
+    per_hash = ex.groupBy(*keys, "_h").agg(F.count(F.lit(1)).alias("_c"))
+    agg = per_hash.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.sum("_c").alias("total_grams"),
+    )
+    return agg.select(
+        *keys,
+        "distinct_grams",
+        "total_grams",
+        (F.col("distinct_grams") / F.col("total_grams")).alias("distinct_ratio"),
+    )

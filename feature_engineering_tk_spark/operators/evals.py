@@ -1,0 +1,201 @@
+"""Pairwise model-evaluation analytics (arena-style comparisons).
+
+LLM eval pipelines produce battle tables ``(prompt_id, model_a,
+model_b, winner)`` — two models answer the same prompt, a judge picks
+a winner.  This module turns battles into model-level signals:
+
+- ``model_winrates`` — per-model games/wins/winrate plus a per
+  ordered-pair head-to-head table; pure partial-aggregatable
+  ``groupBy`` over a two-way unpivot (each battle contributes one row
+  per side), so battles shuffle once as 3-column rows.
+- ``bradley_terry`` — latent strength scores π_i under the
+  Bradley-Terry model via the classic MM fixed-point
+  ``π_i ← W_i / Σ_j n_ij/(π_i+π_j)`` (Hunter 2004, "MM algorithms
+  for generalized Bradley-Terry models"), the order-free batch
+  version of arena Elo.  Following this engine's iterative-graph
+  convention (operators/graph.py pagerank), the iteration runs in
+  EXACT fixed-point integers (parts-per-10^precision, ``div``
+  floor-division) so results are bit-identical on any engine under
+  any summation/partitioning order, replayable in DuckDB as chained
+  CTEs.  Ratings are floored at 1 fixed-point part so zero-win models
+  stay finite on weakly-connected comparison graphs (documented
+  convention; the MM estimate is otherwise degenerate there).
+
+Scale shape: the directed pair-count table ``(i, j, n_ij)`` is
+models²-bounded and shuffles once at build; each iteration is one
+broadcast join of the model-count-sized ratings table onto the pairs
+plus one map-side-combined ``groupBy(i)`` — no row-data shuffle ever
+recurs.  ``localCheckpoint`` every ``checkpoint_every`` iterations
+bounds Catalyst re-analysis depth exactly as in pagerank.
+
+Overflow audit (int64): terms are ``n_ij·scale²`` with the default
+``scale = 10^6`` — safe to ~9×10^6 battles per pair; raise
+``precision`` only with a correspondingly lower battle bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_engineering_tk_spark.exceptions import InsufficientDataError
+
+
+def _sides(df: DataFrame, model_a: str, model_b: str, winner: str) -> DataFrame:
+    """Two-way unpivot: one (model, opponent, win) row per battle side."""
+    a = df.select(
+        F.col(model_a).alias("model"),
+        F.col(model_b).alias("opponent"),
+        (F.col(winner) == F.col(model_a)).cast("bigint").alias("win"),
+    )
+    b = df.select(
+        F.col(model_b).alias("model"),
+        F.col(model_a).alias("opponent"),
+        (F.col(winner) == F.col(model_b)).cast("bigint").alias("win"),
+    )
+    return a.unionByName(b)
+
+
+def model_winrates(
+    df: DataFrame,
+    model_a: str = "model_a",
+    model_b: str = "model_b",
+    winner: str = "winner",
+) -> DataFrame:
+    """Per-model battle record: ``(model, n_games, n_wins, winrate)``.
+
+    Draws (winner equals neither side) count as games without wins.
+    ``winrate`` is the single exact division n_wins/n_games.
+    """
+    return (
+        _sides(df, model_a, model_b, winner)
+        .groupBy("model")
+        .agg(F.count(F.lit(1)).alias("n_games"), F.sum("win").alias("n_wins"))
+        .select(
+            "model",
+            "n_games",
+            "n_wins",
+            (F.col("n_wins") / F.col("n_games")).alias("winrate"),
+        )
+    )
+
+
+def head_to_head(
+    df: DataFrame,
+    model_a: str = "model_a",
+    model_b: str = "model_b",
+    winner: str = "winner",
+) -> DataFrame:
+    """Ordered-pair head-to-head: ``(model, opponent, n_games, n_wins,
+    winrate)`` — each battle appears under both orientations."""
+    return (
+        _sides(df, model_a, model_b, winner)
+        .groupBy("model", "opponent")
+        .agg(F.count(F.lit(1)).alias("n_games"), F.sum("win").alias("n_wins"))
+        .select(
+            "model",
+            "opponent",
+            "n_games",
+            "n_wins",
+            (F.col("n_wins") / F.col("n_games")).alias("winrate"),
+        )
+    )
+
+
+def bradley_terry(
+    df: DataFrame,
+    model_a: str = "model_a",
+    model_b: str = "model_b",
+    winner: str = "winner",
+    n_iter: int = 8,
+    precision: int = 6,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Bradley-Terry strength scores from a battle table.
+
+    Returns ``(model, rating_fp, rating, n_wins, n_games)`` with
+    ``rating_fp`` the exact fixed-point integer (parts-per-
+    10^precision, ratings normalized to sum ≈ 1 each iteration) and
+    ``rating = rating_fp / 10^precision``.  Draws contribute games
+    but no wins, exactly as in ``model_winrates``.
+
+    MM update in integers (scale S = 10^precision):
+
+    - ``t_ij = (n_ij · S²) div (p_i + p_j)`` summed over directed
+      opponents → ``D_i`` (≈ S² · Σ n_ij/(π_i+π_j) / S)
+    - ``p'_i = (W_i · S²) div D_i``; normalize ``p''_i =
+      max((p'_i · S) div T, 1)`` with ``T = Σ p'``.
+    """
+    sides = _sides(df, model_a, model_b, winner).persist()
+    try:
+        record = (
+            sides.groupBy("model")
+            .agg(F.count(F.lit(1)).alias("n_games"), F.sum("win").alias("n_wins"))
+            .persist()
+        )
+        k = record.count()
+        if k < 2:
+            raise InsufficientDataError("bradley_terry", 2, k)
+        pairs = (
+            sides.groupBy("model", "opponent")
+            .agg(F.count(F.lit(1)).alias("_nij"))
+            .persist()
+        )
+        pairs.count()
+    finally:
+        sides.unpersist()
+
+    scale = 10**precision
+    ratings = record.select("model", F.lit(scale // k).cast("bigint").alias("p"))
+    try:
+        for it in range(n_iter):
+            ri = F.broadcast(ratings.withColumnRenamed("model", "_mi").withColumnRenamed("p", "_pi"))
+            rj = F.broadcast(
+                ratings.withColumnRenamed("model", "_mj").withColumnRenamed("p", "_pj")
+            )
+            denom = (
+                pairs.join(ri, pairs["model"] == ri["_mi"])
+                .join(rj, pairs["opponent"] == rj["_mj"])
+                .select(
+                    "model",
+                    F.expr(f"(_nij * cast({scale * scale} as bigint)) div (_pi + _pj)").alias(
+                        "_t"
+                    ),
+                )
+                .groupBy("model")
+                .agg(F.sum("_t").alias("_d"))
+            )
+            raw = (
+                record.join(denom, "model")
+                .select(
+                    "model",
+                    F.expr(f"(n_wins * cast({scale * scale} as bigint)) div _d").alias("_pr"),
+                )
+            )
+            total = raw.agg(F.sum("_pr").alias("_tot"))
+            ratings = (
+                raw.crossJoin(F.broadcast(total))
+                .select(
+                    "model",
+                    F.greatest(
+                        F.expr(f"(_pr * cast({scale} as bigint)) div _tot"), F.lit(1)
+                    )
+                    .cast("bigint")
+                    .alias("p"),
+                )
+            )
+            if (it + 1) % checkpoint_every == 0:
+                ratings = ratings.localCheckpoint(eager=False)
+        out = ratings.join(record, "model").select(
+            "model",
+            F.col("p").alias("rating_fp"),
+            (F.col("p") / F.lit(float(scale))).alias("rating"),
+            "n_wins",
+            "n_games",
+        )
+        # materialization happens downstream; pinned inputs release here
+        out = out.localCheckpoint(eager=True)
+    finally:
+        record.unpersist()
+        pairs.unpersist()
+    return out

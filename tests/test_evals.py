@@ -1,0 +1,207 @@
+"""Evaluation & agreement family: Cohen/Fleiss kappa, arena winrates,
+Bradley-Terry strengths, QA token-F1, distinct-n diversity."""
+
+import pytest
+
+from feature_engineering_tk_spark.analysis.agreement import cohen_kappa, fleiss_kappa
+from feature_engineering_tk_spark.exceptions import InsufficientDataError
+from feature_engineering_tk_spark.functions.text import distinct_ngrams, qa_metrics
+from feature_engineering_tk_spark.operators.evals import (
+    bradley_terry,
+    head_to_head,
+    model_winrates,
+)
+
+
+# ---------------------------------------------------------------- agreement
+
+
+def _cohen_fixture(spark):
+    rows = []
+    for i in range(10):
+        rows += [(i, 0, "a"), (i, 1, "a")]
+    for i in range(10, 14):
+        rows += [(i, 0, "b"), (i, 1, "b")]
+    for i in range(14, 20):
+        rows += [(i, 0, "a"), (i, 1, "b")]
+    return spark.createDataFrame(rows, "item_id int, rater_id int, label string")
+
+
+def test_cohen_kappa_hand_value(spark):
+    # po = 14/20, pe = (16·10 + 4·10)/400 = 0.5 → kappa = 0.4 exactly
+    row = cohen_kappa(_cohen_fixture(spark)).collect()[0]
+    assert row.n_items == 20
+    assert row.po == 14 / 20
+    assert row.pe == 0.5
+    assert row.kappa == 0.4
+
+
+def test_cohen_kappa_drops_unpaired_items_and_dedupes_min(spark):
+    df = _cohen_fixture(spark).unionByName(
+        # item 99 has only rater 0 → dropped; item 0 gets a duplicate
+        # rater-0 rating 'z' which loses to min('a','z')
+        _cohen_fixture(spark).sparkSession.createDataFrame(
+            [(99, 0, "a"), (0, 0, "z")], "item_id int, rater_id int, label string"
+        )
+    )
+    row = cohen_kappa(df).collect()[0]
+    assert row.n_items == 20 and row.kappa == 0.4
+
+
+def test_cohen_kappa_empty_raises(spark):
+    df = spark.createDataFrame([], "item_id int, rater_id int, label string")
+    with pytest.raises(InsufficientDataError):
+        cohen_kappa(df)
+
+
+def test_fleiss_kappa_hand_value(spark):
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "b"), (3, "b")]
+    df = spark.createDataFrame(rows, "item_id int, label string")
+    row = fleiss_kappa(df, n_raters=2).collect()[0]
+    # A = 4+2+4 = 10, N=3, n=2 → p_bar = (10-6)/6; B = 9+9 → p_e = 0.5
+    assert row.n_items == 3
+    assert row.p_bar == (10 - 6) / 6
+    assert row.p_e == 0.5
+    assert row.kappa == (row.p_bar - 0.5) / 0.5
+
+
+def test_fleiss_kappa_drops_incomplete_items(spark):
+    rows = [(1, "a"), (1, "a"), (2, "a")]  # item 2 has 1 rating ≠ 2
+    df = spark.createDataFrame(rows, "item_id int, label string")
+    row = fleiss_kappa(df, n_raters=2).collect()[0]
+    assert row.n_items == 1
+    assert row.kappa == 0.0  # p_e == 1 degenerate convention
+
+
+def test_fleiss_kappa_guards(spark):
+    df = spark.createDataFrame([(1, "a")], "item_id int, label string")
+    with pytest.raises(InsufficientDataError):
+        fleiss_kappa(df, n_raters=1)
+    with pytest.raises(InsufficientDataError):
+        fleiss_kappa(df, n_raters=3)  # no complete item
+
+
+# ---------------------------------------------------------------- battles
+
+
+def _battles(spark):
+    return spark.createDataFrame(
+        [
+            ("m1", "m2", "m1"),
+            ("m1", "m2", "m1"),
+            ("m1", "m2", "m2"),
+            ("m2", "m3", "m2"),
+            ("m1", "m3", "m1"),
+            ("m3", "m1", "m3"),
+            ("m2", "m3", "draw"),
+        ],
+        "model_a string, model_b string, winner string",
+    )
+
+
+def test_model_winrates_draws_count_as_games(spark):
+    out = {r.model: r for r in model_winrates(_battles(spark)).collect()}
+    assert out["m2"].n_games == 5 and out["m2"].n_wins == 2
+    assert out["m2"].winrate == 2 / 5
+    assert out["m3"].n_games == 4 and out["m3"].n_wins == 1
+
+
+def test_head_to_head_both_orientations(spark):
+    out = {(r.model, r.opponent): r for r in head_to_head(_battles(spark)).collect()}
+    assert out[("m1", "m2")].n_games == 3 and out[("m1", "m2")].n_wins == 2
+    assert out[("m2", "m1")].n_wins == 1
+    assert out[("m2", "m3")].n_games == 2 and out[("m2", "m3")].n_wins == 1
+
+
+def test_bradley_terry_orders_by_strength_and_sums_to_one(spark):
+    out = {r.model: r for r in bradley_terry(_battles(spark), n_iter=8).collect()}
+    assert out["m1"].rating > out["m2"].rating > out["m3"].rating
+    total = sum(r.rating_fp for r in out.values())
+    assert abs(total - 10**6) <= 3  # normalized, floor-division slack
+    assert out["m1"].n_games == 5 and out["m1"].n_wins == 3
+
+
+def test_bradley_terry_deterministic(spark):
+    a = sorted(bradley_terry(_battles(spark), n_iter=5).collect())
+    b = sorted(bradley_terry(_battles(spark), n_iter=5).collect())
+    assert a == b
+
+
+def test_bradley_terry_zero_win_model_floored(spark):
+    df = spark.createDataFrame(
+        [("w", "l", "w"), ("w", "l", "w")], "model_a string, model_b string, winner string"
+    )
+    out = {r.model: r for r in bradley_terry(df, n_iter=3).collect()}
+    assert out["l"].rating_fp >= 1  # floor keeps the iterate finite
+    assert out["w"].rating_fp > out["l"].rating_fp
+
+
+def test_bradley_terry_single_model_raises(spark):
+    df = spark.createDataFrame([], "model_a string, model_b string, winner string")
+    with pytest.raises(InsufficientDataError):
+        bradley_terry(df)
+
+
+# ---------------------------------------------------------------- QA metrics
+
+
+def test_qa_metrics_squad_style(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat", "the cat sat on the mat"),
+            (2, "", "x"),
+            (3, "A b", "a b"),
+            (4, "", ""),
+            (5, "a a b", "a c"),
+        ],
+        "id int, pred string, ref string",
+    )
+    out = {r.id: r for r in qa_metrics(df).collect()}
+    assert out[1].n_overlap == 3 and out[1].precision == 1.0
+    assert out[1].recall == 0.5 and out[1].f1 == 6 / 9
+    assert out[2].f1 == 0.0 and out[2].exact_match == 0
+    assert out[3].exact_match == 1 and out[3].f1 == 1.0  # case-folded
+    assert out[4].exact_match == 1 and out[4].f1 == 0.0  # both empty
+    # multiset: 'a' counted min(2,1)=1, 'b' min(1,0)=0
+    assert out[5].n_overlap == 1 and out[5].f1 == 2 / 5
+
+
+def test_qa_metrics_null_safe(spark):
+    df = spark.createDataFrame([(1, None, "x")], "id int, pred string, ref string")
+    row = qa_metrics(df).collect()[0]
+    assert row.n_pred == 0 and row.f1 == 0.0
+
+
+# ---------------------------------------------------------------- diversity
+
+
+def test_distinct_ngrams_by_group(spark):
+    df = spark.createDataFrame(
+        [("s1", "a b a b"), ("s1", "a b c"), ("s2", "x x x"), ("s2", "y")],
+        "source string, text string",
+    )
+    out = {r.source: r for r in distinct_ngrams(df, n=2, by="source").collect()}
+    # s1 grams: (a b)x2, (b a), (a b), (b c) → 3 distinct / 5 total
+    assert out["s1"].distinct_grams == 3 and out["s1"].total_grams == 5
+    assert out["s1"].distinct_ratio == 3 / 5
+    # s2: 'y' too short for bigrams; 'x x' twice → 1/2
+    assert out["s2"].distinct_grams == 1 and out["s2"].total_grams == 2
+
+
+def test_distinct_ngrams_corpus_level_unigram(spark):
+    df = spark.createDataFrame([("a b",), ("b c",)], "text string")
+    row = distinct_ngrams(df, n=1).collect()[0]
+    assert row.distinct_grams == 3 and row.total_grams == 4
+
+
+def test_distinct_ngrams_md5_mode_matches_xxhash_counts(spark):
+    df = spark.createDataFrame([("a b a",), ("c d",)], "text string")
+    a = distinct_ngrams(df, n=2, hash_mode="xxhash64").collect()[0]
+    b = distinct_ngrams(df, n=2, hash_mode="md5").collect()[0]
+    assert (a.distinct_grams, a.total_grams) == (b.distinct_grams, b.total_grams)
+
+
+def test_distinct_ngrams_invalid_n(spark):
+    df = spark.createDataFrame([("a",)], "text string")
+    with pytest.raises(ValueError):
+        distinct_ngrams(df, n=0)
