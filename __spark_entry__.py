@@ -2987,6 +2987,43 @@ def q_distinct_ngrams(spark, sf_dir):
     return distinct_ngrams(docs, "text", n=2, by="source")
 
 
+def q_tool_args(spark, sf_dir):
+    """Tool-call JSON argument QA (operators/transcripts.py
+    validate_tool_args): row-local from_json validity + key audit,
+    zero shuffle. Args derived from events.props with every 7th blob
+    truncated (a realistic cut-off corruption)."""
+    from feature_engineering_tk_spark.operators.transcripts import validate_tool_args
+
+    ev = _t(spark, sf_dir, "events")
+    args = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    df = ev.select("event_id", args.alias("tool_args"))
+    return validate_tool_args(df, "tool_args", required=("k", "missing")).select(
+        "event_id", "json_ok", "n_keys", "missing_required"
+    )
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary profile (functions/text.py vocab_stats):
+    Heaps-law health scalars — explode → one token groupBy → one
+    scalar agg; ratios are single exact integer divisions."""
+    from feature_engineering_tk_spark.functions.text import vocab_stats
+
+    return vocab_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_zipf_table(spark, sf_dir):
+    """Zipf concentration head (functions/text.py zipf_table): top-20
+    tokens by frequency (deterministic tie-break), exact share and
+    cumulative-share divisions; ranked on the driver from the
+    aggregate-sized top-k so no unpartitioned window exists."""
+    from feature_engineering_tk_spark.functions.text import zipf_table
+
+    return zipf_table(_t(spark, sf_dir, "documents"), k=20)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3176,6 +3213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bradley_terry": q_bradley_terry,
         "qa_metrics": q_qa_metrics,
         "distinct_ngrams": q_distinct_ngrams,
+        "tool_args": q_tool_args,
+        "vocab_stats": q_vocab_stats,
+        "zipf_table": q_zipf_table,
     }
 
 
@@ -6613,6 +6653,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS total_grams,
                CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS distinct_ratio
           FROM g GROUP BY source
+    """
+    d["tool_args"] = """
+        WITH src AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 7 = 0
+                      THEN substring(props, 1, length(props) - 1)
+                      ELSE props END AS args
+            FROM events
+        )
+        SELECT event_id,
+               CASE WHEN json_valid(args) THEN 1 ELSE 0 END AS json_ok,
+               CAST(CASE WHEN json_valid(args)
+                         THEN len(json_keys(args)) ELSE -1
+                    END AS INTEGER) AS n_keys,
+               CAST(CASE WHEN json_valid(args)
+                         THEN len(list_filter(['k', 'missing'],
+                                  q -> NOT list_contains(json_keys(args), q)))
+                         ELSE -1
+                    END AS INTEGER) AS missing_required
+          FROM src
+    """
+    _vocab_cte = r"""
+        WITH tk AS (
+          SELECT CASE WHEN trim(lower(coalesce(text, ''))) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                 END AS toks
+            FROM documents
+        ),
+        ex AS (SELECT unnest(toks) AS token FROM tk),
+        g AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+                FROM ex GROUP BY token)"""
+    d["vocab_stats"] = _vocab_cte + """
+        SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hapax_count,
+               CAST(count(*) AS DOUBLE) / sum(freq) AS type_token_ratio,
+               CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS hapax_share
+          FROM g
+    """
+    d["zipf_table"] = _vocab_cte + """,
+        tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM g),
+        h AS (
+          SELECT token, freq,
+                 row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk
+            FROM g ORDER BY freq DESC, token ASC LIMIT 20
+        )
+        SELECT CAST(rnk AS INTEGER) AS rank, token, freq,
+               CAST(freq AS DOUBLE) / tot.t AS share,
+               CAST(sum(freq) OVER (ORDER BY rnk) AS DOUBLE) / tot.t
+                 AS cum_share
+          FROM h, tot
     """
     # composed oracle: recall@10 of the LSH result vs the exact top-10,
     # reusing both verified pipelines as CTE bodies (nested WITH)

@@ -949,3 +949,64 @@ def distinct_ngrams(
         "total_grams",
         (F.col("distinct_grams") / F.col("total_grams")).alias("distinct_ratio"),
     )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary profile: 1 row of ``(n_tokens, vocab_size,
+    hapax_count, type_token_ratio, hapax_share)``.
+
+    Heaps-law health check for a training corpus — a crawl slice whose
+    hapax share collapses is boilerplate-heavy; one whose type/token
+    ratio explodes is likely encoding garbage.  Scale shape: explode →
+    ONE partial-aggregatable ``groupBy(token)`` → one scalar agg over
+    the vocab-sized count table; both ratios are single exact integer
+    divisions.
+    """
+    toks = _tokens_lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "", F.array().cast("array<string>")).otherwise(toks)
+    counts = df.select(F.explode(toks).alias("_t")).groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return counts.agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("_c") == 1).cast("bigint")).alias("hapax_count"),
+    ).select(
+        "n_tokens",
+        "vocab_size",
+        "hapax_count",
+        (F.col("vocab_size") / F.col("n_tokens")).alias("type_token_ratio"),
+        (F.col("hapax_count") / F.col("vocab_size")).alias("hapax_share"),
+    )
+
+
+def zipf_table(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Top-``k`` token rank/frequency table with exact share columns:
+    ``(rank, token, freq, share, cum_share)`` — the Zipf concentration
+    curve of a corpus (how much of the token mass the head carries).
+
+    Scale shape: one ``groupBy(token)`` count + a distributed
+    TakeOrdered top-k (freq DESC, token ASC deterministic tie-break);
+    the k-row head is collected and ranked on the driver (aggregate-
+    sized, like every fitted-statistic table here), so no
+    unpartitioned window exists in the plan.  ``share`` and
+    ``cum_share`` are single divisions of exact integer sums.
+    """
+    toks = _tokens_lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "", F.array().cast("array<string>")).otherwise(toks)
+    counts = df.select(F.explode(toks).alias("token")).groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    counts = counts.persist()
+    try:
+        total = counts.agg(F.sum("freq")).collect()[0][0] or 0
+        head = counts.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(k).collect()
+    finally:
+        counts.unpersist()
+    rows, cum = [], 0
+    for i, r in enumerate(head, start=1):
+        cum += r["freq"]
+        rows.append((i, r["token"], r["freq"], r["freq"] / total, cum / total))
+    return df.sparkSession.createDataFrame(
+        rows, "rank int, token string, freq bigint, share double, cum_share double"
+    )

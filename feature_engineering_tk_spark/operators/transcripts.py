@@ -575,3 +575,45 @@ def preference_pairs(
             (F.col("_c.s") - F.col("_r.s")).alias("margin"),
         )
     )
+
+
+def validate_tool_args(
+    df: DataFrame,
+    args_col: str = "tool_args",
+    required: tuple[str, ...] = (),
+) -> DataFrame:
+    """Tool-call argument QA: appends ``json_ok`` (the args string
+    parses as a JSON object), ``n_keys`` (top-level key count, -1 when
+    invalid), and ``missing_required`` (how many of ``required`` are
+    absent, -1 when invalid).
+
+    Agent transcripts carry tool arguments as JSON strings; malformed
+    or incomplete calls are the highest-yield filter before SFT export
+    (a truncated arg blob usually means the turn itself was cut).  The
+    whole check is a row-local projection — ``from_json`` to a
+    string map (null on parse failure), ``map_keys`` +
+    ``array_except`` for the required-key audit — zero shuffle,
+    streaming-safe.
+    """
+    parsed = F.from_json(F.col(args_col), "map<string,string>")
+    req = F.array(*[F.lit(k) for k in required])
+    out = df.withColumn("_pj", parsed)
+    out = (
+        out.withColumn("json_ok", F.col("_pj").isNotNull().cast("int"))
+        .withColumn(
+            "n_keys",
+            F.when(F.col("_pj").isNotNull(), F.size(F.map_keys(F.col("_pj"))))
+            .otherwise(F.lit(-1))
+            .cast("int"),
+        )
+        .withColumn(
+            "missing_required",
+            F.when(
+                F.col("_pj").isNotNull(),
+                F.size(F.array_except(req, F.map_keys(F.col("_pj")))),
+            )
+            .otherwise(F.lit(-1))
+            .cast("int"),
+        )
+    )
+    return out.drop("_pj")

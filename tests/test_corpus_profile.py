@@ -1,0 +1,59 @@
+"""Tool-arg JSON QA, vocabulary profile, Zipf concentration table."""
+
+import pytest
+
+from feature_engineering_tk_spark.functions.text import vocab_stats, zipf_table
+from feature_engineering_tk_spark.operators.transcripts import validate_tool_args
+
+
+def test_validate_tool_args_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 1, "x": "y"}'),
+            (2, '{"k": 1'),  # truncated
+            (3, None),
+            (4, "{}"),
+        ],
+        "id int, tool_args string",
+    )
+    out = {r.id: r for r in validate_tool_args(df, required=("k", "z")).collect()}
+    assert out[1].json_ok == 1 and out[1].n_keys == 2 and out[1].missing_required == 1
+    assert out[2].json_ok == 0 and out[2].n_keys == -1 and out[2].missing_required == -1
+    assert out[3].json_ok == 0
+    assert out[4].json_ok == 1 and out[4].n_keys == 0 and out[4].missing_required == 2
+
+
+def test_validate_tool_args_preserves_columns(spark):
+    df = spark.createDataFrame([(1, "{}", "extra")], "id int, tool_args string, o string")
+    row = validate_tool_args(df).collect()[0]
+    assert row.o == "extra" and row.missing_required == 0
+
+
+def test_vocab_stats_hand_values(spark):
+    df = spark.createDataFrame(
+        [("a b a",), ("c B",), ("",), (None,)], "text string"
+    )
+    row = vocab_stats(df).collect()[0]
+    # tokens: a b a c b → n=5; vocab {a,b,c}=3; hapax {c}=1
+    assert row.n_tokens == 5 and row.vocab_size == 3 and row.hapax_count == 1
+    assert row.type_token_ratio == 3 / 5 and row.hapax_share == 1 / 3
+
+
+def test_zipf_table_ranks_and_shares(spark):
+    df = spark.createDataFrame([("a a a b b c",), ("b d",)], "text string")
+    rows = zipf_table(df, k=3).collect()
+    # freqs: a3 b3 c1 d1; tie a/b broken by token asc
+    assert [(r.rank, r.token, r.freq) for r in rows] == [
+        (1, "a", 3),
+        (2, "b", 3),
+        (3, "c", 1),
+    ]
+    assert rows[0].share == 3 / 8
+    assert rows[1].cum_share == 6 / 8
+    assert rows[2].cum_share == 7 / 8
+
+
+def test_zipf_table_k_larger_than_vocab(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    rows = zipf_table(df, k=10).collect()
+    assert len(rows) == 2 and rows[-1].cum_share == 1.0
