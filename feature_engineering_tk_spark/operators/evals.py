@@ -102,6 +102,35 @@ def head_to_head(
     )
 
 
+def _mm_step(pairs: DataFrame, record: DataFrame, ratings: DataFrame, scale: int) -> DataFrame:
+    """One exact-integer Hunter-MM update (exposed for the plan audit):
+    ratings broadcast onto the pairs table twice, one map-side-combined
+    ``groupBy(model)``, scalar total broadcast back."""
+    ri = F.broadcast(ratings.withColumnRenamed("model", "_mi").withColumnRenamed("p", "_pi"))
+    rj = F.broadcast(ratings.withColumnRenamed("model", "_mj").withColumnRenamed("p", "_pj"))
+    denom = (
+        pairs.join(ri, pairs["model"] == ri["_mi"])
+        .join(rj, pairs["opponent"] == rj["_mj"])
+        .select(
+            "model",
+            F.expr(f"(_nij * cast({scale * scale} as bigint)) div (_pi + _pj)").alias("_t"),
+        )
+        .groupBy("model")
+        .agg(F.sum("_t").alias("_d"))
+    )
+    raw = record.join(denom, "model").select(
+        "model",
+        F.expr(f"(n_wins * cast({scale * scale} as bigint)) div _d").alias("_pr"),
+    )
+    total = raw.agg(F.sum("_pr").alias("_tot"))
+    return raw.crossJoin(F.broadcast(total)).select(
+        "model",
+        F.greatest(F.expr(f"(_pr * cast({scale} as bigint)) div _tot"), F.lit(1))
+        .cast("bigint")
+        .alias("p"),
+    )
+
+
 def bradley_terry(
     df: DataFrame,
     model_a: str = "model_a",
@@ -149,41 +178,7 @@ def bradley_terry(
     ratings = record.select("model", F.lit(scale // k).cast("bigint").alias("p"))
     try:
         for it in range(n_iter):
-            ri = F.broadcast(ratings.withColumnRenamed("model", "_mi").withColumnRenamed("p", "_pi"))
-            rj = F.broadcast(
-                ratings.withColumnRenamed("model", "_mj").withColumnRenamed("p", "_pj")
-            )
-            denom = (
-                pairs.join(ri, pairs["model"] == ri["_mi"])
-                .join(rj, pairs["opponent"] == rj["_mj"])
-                .select(
-                    "model",
-                    F.expr(f"(_nij * cast({scale * scale} as bigint)) div (_pi + _pj)").alias(
-                        "_t"
-                    ),
-                )
-                .groupBy("model")
-                .agg(F.sum("_t").alias("_d"))
-            )
-            raw = (
-                record.join(denom, "model")
-                .select(
-                    "model",
-                    F.expr(f"(n_wins * cast({scale * scale} as bigint)) div _d").alias("_pr"),
-                )
-            )
-            total = raw.agg(F.sum("_pr").alias("_tot"))
-            ratings = (
-                raw.crossJoin(F.broadcast(total))
-                .select(
-                    "model",
-                    F.greatest(
-                        F.expr(f"(_pr * cast({scale} as bigint)) div _tot"), F.lit(1)
-                    )
-                    .cast("bigint")
-                    .alias("p"),
-                )
-            )
+            ratings = _mm_step(pairs, record, ratings, scale)
             if (it + 1) % checkpoint_every == 0:
                 ratings = ratings.localCheckpoint(eager=False)
         out = ratings.join(record, "model").select(

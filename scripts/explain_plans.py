@@ -354,6 +354,79 @@ def main() -> None:
         )
     )
 
+    # 17. Bradley-Terry MM iteration: ratings table (model-sized fitted
+    # state) broadcasts onto the pairs table; the only exchange is the
+    # map-side-combined groupBy(model)
+    from feature_engineering_tk_spark.operators.evals import _mm_step, _sides
+
+    battles = ev.select(
+        F.concat(F.lit("m"), (F.col("user_id") % 8).cast("string")).alias("model_a"),
+        F.concat(F.lit("m"), ((F.col("user_id") * 7 + 3) % 8).cast("string")).alias(
+            "model_b"
+        ),
+        F.concat(F.lit("m"), (F.col("user_id") % 8).cast("string")).alias("winner"),
+    )
+    sides = _sides(battles, "model_a", "model_b", "winner")
+    record = sides.groupBy("model").agg(
+        F.count(F.lit(1)).alias("n_games"), F.sum("win").alias("n_wins")
+    )
+    pairs = sides.groupBy("model", "opponent").agg(F.count(F.lit(1)).alias("_nij"))
+    ratings = record.select("model", F.lit(125000).cast("bigint").alias("p"))
+    p = plan_of(_mm_step(pairs, record, ratings, 10**6))
+    n_bhj = len(set(re.findall(r"BroadcastHashJoin[^(\n]*\((\d+)\)", p)))
+    n_smj = len(set(re.findall(r"SortMergeJoin[^(\n]*\((\d+)\)", p)))
+    sections.append(
+        (
+            "bradley_terry MM iteration",
+            p,
+            [
+                f"broadcast_joins={n_bhj} (want >=3 — ratings x2 + scalar total; model-sized fitted state)",
+                f"sort_merge_joins={n_smj} (want 0 — nothing corpus-scale joins)",
+            ],
+        )
+    )
+
+    # 18. distinct_ngrams: grams hash to 8-byte keys BEFORE the first
+    # exchange — the shuffle never carries gram text
+    from feature_engineering_tk_spark.functions.text import distinct_ngrams
+
+    p = plan_of(distinct_ngrams(docs_df, "text", n=2, by="source"))
+    # the first Exchange's input columns must be the 8-byte hash (_h),
+    # never the gram text (_g)
+    ex_inputs = re.findall(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", p)
+    hash_before_exchange = bool(ex_inputs) and all(
+        "_h" in cols and "_g" not in cols for cols in ex_inputs[:1]
+    )
+    n_partial = len(set(re.findall(r"partial_count", p)))
+    sections.append(
+        (
+            "distinct_ngrams (diversity)",
+            p,
+            [
+                f"gram_hashed_before_exchange={hash_before_exchange} (want True — 8-byte shuffle keys)",
+                f"map_side_partial_agg={n_partial >= 1} (want True)",
+            ],
+        )
+    )
+
+    # 19. qa_metrics: pure row-local projection — ZERO exchanges
+    from feature_engineering_tk_spark.functions.text import qa_metrics
+
+    qa_in = docs_df.select(
+        "doc_id",
+        F.col("text").alias("pred"),
+        F.reverse(F.col("text")).alias("ref"),
+    )
+    p = plan_of(qa_metrics(qa_in))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    sections.append(
+        (
+            "qa_metrics (token-F1)",
+            p,
+            [f"exchanges={n_ex} (want 0 — row-local multiset intersection)"],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
