@@ -2987,6 +2987,28 @@ def q_distinct_ngrams(spark, sf_dir):
     return distinct_ngrams(docs, "text", n=2, by="source")
 
 
+def q_phrase_scan(spark, sf_dir):
+    """Blocklist / refusal-phrase scan (functions/cleaning.py
+    phrase_scan): case-folded substring flags, hit count, and the
+    first matching phrase in severity order — plain instr, no regex,
+    zero shuffle."""
+    from feature_engineering_tk_spark.functions.cleaning import phrase_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_scan(
+        docs.select("doc_id", "text"), phrases=("slow", "error fast", "null")
+    ).select("doc_id", "phrase_hits", "phrase_first", "has_phrase")
+
+
+def q_mix_balance(spark, sf_dir):
+    """Corpus-composition balance (operators/sampling.py mix_balance):
+    HHI / Simpson diversity / top-source share from integer sufficient
+    statistics in one partial-agg groupBy + scalar agg."""
+    from feature_engineering_tk_spark.operators.sampling import mix_balance
+
+    return mix_balance(_t(spark, sf_dir, "documents"), by="source")
+
+
 def q_tool_args(spark, sf_dir):
     """Tool-call JSON argument QA (operators/transcripts.py
     validate_tool_args): row-local from_json validity + key audit,
@@ -3216,6 +3238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_args": q_tool_args,
         "vocab_stats": q_vocab_stats,
         "zipf_table": q_zipf_table,
+        "phrase_scan": q_phrase_scan,
+        "mix_balance": q_mix_balance,
     }
 
 
@@ -6685,15 +6709,61 @@ def oracle_sql() -> dict[str, str]:
         ex AS (SELECT unnest(toks) AS token FROM tk),
         g AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
                 FROM ex GROUP BY token)"""
-    d["vocab_stats"] = _vocab_cte + """
-        SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
-               CAST(count(*) AS BIGINT) AS vocab_size,
-               CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS hapax_count,
-               CAST(count(*) AS DOUBLE) / sum(freq) AS type_token_ratio,
-               CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*) AS hapax_share
-          FROM g
+    d["vocab_stats"] = _vocab_cte + """,
+        s AS (
+          SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS vocab_size,
+                 CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax_count,
+                 CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS doubleton_count
+            FROM g
+        )
+        SELECT n_tokens, vocab_size, hapax_count, doubleton_count,
+               CAST(vocab_size AS DOUBLE) / n_tokens AS type_token_ratio,
+               CAST(hapax_count AS DOUBLE) / vocab_size AS hapax_share,
+               vocab_size + CASE WHEN doubleton_count > 0
+                    THEN CAST(hapax_count * hapax_count AS DOUBLE)
+                         / (2 * doubleton_count)
+                    ELSE 0.0 END AS chao1
+          FROM s
+    """
+    d["phrase_scan"] = """
+        WITH t AS (
+          SELECT doc_id, lower(coalesce(text, '')) AS tl FROM documents
+        )
+        SELECT doc_id,
+               CAST((CASE WHEN strpos(tl, 'slow') > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN strpos(tl, 'error fast') > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN strpos(tl, 'null') > 0 THEN 1 ELSE 0 END)
+                    AS INTEGER) AS phrase_hits,
+               CASE WHEN strpos(tl, 'slow') > 0 THEN 'slow'
+                    WHEN strpos(tl, 'error fast') > 0 THEN 'error fast'
+                    WHEN strpos(tl, 'null') > 0 THEN 'null'
+               END AS phrase_first,
+               CASE WHEN strpos(tl, 'slow') > 0
+                      OR strpos(tl, 'error fast') > 0
+                      OR strpos(tl, 'null') > 0
+                    THEN 1 ELSE 0 END AS has_phrase
+          FROM t
+    """
+    d["mix_balance"] = """
+        WITH g AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY source
+        ),
+        s AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(c * c) AS BIGINT) AS ss,
+                 CAST(max(c) AS BIGINT) AS top
+            FROM g
+        )
+        SELECT n_rows, n_groups,
+               CAST(ss AS DOUBLE) / (n_rows * n_rows) AS hhi,
+               1.0 - CAST(ss AS DOUBLE) / (n_rows * n_rows) AS simpson,
+               CAST(top AS DOUBLE) / n_rows AS top_share
+          FROM s
     """
     d["zipf_table"] = _vocab_cte + """,
         tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM g),

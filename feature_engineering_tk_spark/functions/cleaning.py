@@ -370,3 +370,37 @@ def filter_by_domain(
     lit_arr = F.array(*[F.lit(str(d).lower()) for d in blocklist])
     is_blocked = F.arrays_overlap(chain, lit_arr)
     return df.filter(is_blocked if keep else ~is_blocked)
+
+
+def phrase_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    phrases: tuple[str, ...] = (),
+    out_prefix: str = "phrase",
+) -> DataFrame:
+    """Blocklist / refusal-phrase scan: appends ``{prefix}_hits`` (how
+    many of ``phrases`` occur as case-folded substrings),
+    ``{prefix}_first`` (the earliest phrase in LIST order that occurs,
+    NULL when none — list order is the caller's severity ranking), and
+    ``has_{prefix}`` (0/1).
+
+    The standard pre-SFT filter for model-generated refusals ("i
+    cannot", "as an ai") and for compliance blocklists.  Plain
+    substring matching (``instr``), NOT regex — alternation-free by
+    construction, identical semantics on any engine, and codegen-
+    friendly at 100 TB (one pass per phrase over the row, zero
+    shuffle, streaming-safe).
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    flags = [F.instr(t, p.lower()) > 0 for p in phrases]
+    n_hits = sum(f.cast("int") for f in flags)
+    first = None
+    for p, f in zip(reversed(phrases), reversed(flags)):
+        first = F.when(f, F.lit(p)) if first is None else F.when(f, F.lit(p)).otherwise(first)
+    return (
+        df.withColumn(f"{out_prefix}_hits", n_hits.cast("int"))
+        .withColumn(f"{out_prefix}_first", first)
+        .withColumn(f"has_{out_prefix}", (n_hits > 0).cast("int"))
+    )

@@ -953,14 +953,18 @@ def distinct_ngrams(
 
 def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary profile: 1 row of ``(n_tokens, vocab_size,
-    hapax_count, type_token_ratio, hapax_share)``.
+    hapax_count, doubleton_count, type_token_ratio, hapax_share,
+    chao1)``.
 
     Heaps-law health check for a training corpus — a crawl slice whose
     hapax share collapses is boilerplate-heavy; one whose type/token
-    ratio explodes is likely encoding garbage.  Scale shape: explode →
-    ONE partial-aggregatable ``groupBy(token)`` → one scalar agg over
-    the vocab-sized count table; both ratios are single exact integer
-    divisions.
+    ratio explodes is likely encoding garbage.  ``chao1`` (Chao 1984)
+    estimates the UNSEEN vocabulary from singletons/doubletons:
+    ``V + h1²/(2·h2)`` — how much more vocabulary another crawl of the
+    same source would surface.  Scale shape: explode → ONE partial-
+    aggregatable ``groupBy(token)`` → one scalar agg over the
+    vocab-sized count table; every float is one exact integer
+    division (chao1 falls back to V when no doubletons exist).
     """
     toks = _tokens_lower(F.coalesce(F.col(text_col), F.lit("")))
     toks = F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "", F.array().cast("array<string>")).otherwise(toks)
@@ -971,12 +975,22 @@ def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum("_c").alias("n_tokens"),
         F.count(F.lit(1)).alias("vocab_size"),
         F.sum((F.col("_c") == 1).cast("bigint")).alias("hapax_count"),
+        F.sum((F.col("_c") == 2).cast("bigint")).alias("doubleton_count"),
     ).select(
         "n_tokens",
         "vocab_size",
         "hapax_count",
+        "doubleton_count",
         (F.col("vocab_size") / F.col("n_tokens")).alias("type_token_ratio"),
         (F.col("hapax_count") / F.col("vocab_size")).alias("hapax_share"),
+        (
+            F.col("vocab_size")
+            + F.when(
+                F.col("doubleton_count") > 0,
+                (F.col("hapax_count") * F.col("hapax_count"))
+                / (F.lit(2).cast("bigint") * F.col("doubleton_count")),
+            ).otherwise(F.lit(0.0))
+        ).alias("chao1"),
     )
 
 

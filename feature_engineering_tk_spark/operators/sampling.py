@@ -167,3 +167,30 @@ def importance_resample(
         .orderBy(F.desc("gumbel_key"), *id_cols)
         .limit(k)
     )
+
+
+def mix_balance(df: DataFrame, by: str = "source") -> DataFrame:
+    """Corpus-composition balance scalars: 1 row of ``(n_rows,
+    n_groups, hhi, simpson, top_share)`` over the ``by`` facet.
+
+    The dataset-mixing dashboard number: HHI = Σ share² (concentration
+    — 1/n_groups when perfectly balanced, →1 when one source
+    dominates), Simpson diversity = 1 − HHI, and the largest single
+    group's share.  All three derive from integer sufficient
+    statistics (Σc², max c, N) in ONE partial-aggregatable
+    ``groupBy(by)`` + a scalar agg, so every float is a single exact
+    division — bit-identical on any engine.
+    """
+    g = df.groupBy(by).agg(F.count(F.lit(1)).alias("_c"))
+    return g.agg(
+        F.sum("_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
+        F.max("_c").alias("_top"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        (F.col("_ss") / (F.col("n_rows") * F.col("n_rows"))).alias("hhi"),
+        (F.lit(1.0) - F.col("_ss") / (F.col("n_rows") * F.col("n_rows"))).alias("simpson"),
+        (F.col("_top") / F.col("n_rows")).alias("top_share"),
+    )

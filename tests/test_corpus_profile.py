@@ -57,3 +57,58 @@ def test_zipf_table_k_larger_than_vocab(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     rows = zipf_table(df, k=10).collect()
     assert len(rows) == 2 and rows[-1].cum_share == 1.0
+
+
+def test_vocab_stats_chao1(spark):
+    # freqs: a3 b2 c1 d1 → h1=2, h2=1 → chao1 = 4 + 4/2 = 6.0
+    df = spark.createDataFrame([("a a a b b c d",)], "text string")
+    row = vocab_stats(df).collect()[0]
+    assert row.doubleton_count == 1 and row.chao1 == 6.0
+
+
+def test_vocab_stats_chao1_no_doubletons(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    row = vocab_stats(df).collect()[0]
+    assert row.chao1 == 2.0  # falls back to observed vocab
+
+
+def test_phrase_scan_order_and_counts(spark):
+    from feature_engineering_tk_spark.functions.cleaning import phrase_scan
+
+    df = spark.createDataFrame(
+        [(1, "I CANNOT help with that"), (2, "sure thing"), (3, None),
+         (4, "as an ai i cannot lie")],
+        "id int, text string",
+    )
+    out = {
+        r.id: r
+        for r in phrase_scan(df, phrases=("as an ai", "i cannot")).collect()
+    }
+    assert out[1].phrase_hits == 1 and out[1].phrase_first == "i cannot"
+    assert out[2].has_phrase == 0 and out[2].phrase_first is None
+    assert out[3].phrase_hits == 0
+    # both match: first = earliest in LIST order (severity), not position
+    assert out[4].phrase_hits == 2 and out[4].phrase_first == "as an ai"
+
+
+def test_phrase_scan_empty_phrases_raises(spark):
+    import pytest as _pt
+
+    from feature_engineering_tk_spark.functions.cleaning import phrase_scan
+
+    df = spark.createDataFrame([("x",)], "text string")
+    with _pt.raises(ValueError):
+        phrase_scan(df, phrases=())
+
+
+def test_mix_balance_hand_values(spark):
+    from feature_engineering_tk_spark.operators.sampling import mix_balance
+
+    df = spark.createDataFrame(
+        [("s1",)] * 3 + [("s2",)] * 1, "source string"
+    )
+    row = mix_balance(df).collect()[0]
+    # shares 3/4, 1/4 → hhi = (9+1)/16
+    assert row.n_rows == 4 and row.n_groups == 2
+    assert row.hhi == 10 / 16 and row.simpson == 1.0 - 10 / 16
+    assert row.top_share == 3 / 4
