@@ -3009,6 +3009,19 @@ def q_mix_balance(spark, sf_dir):
     return mix_balance(_t(spark, sf_dir, "documents"), by="source")
 
 
+def q_token_budget(spark, sf_dir):
+    """Token-budget downsampling (operators/sampling.py
+    token_budget_sample): per source, hash-ordered prefix whose
+    cumulative token count fits 500 tokens — one window shuffle on
+    the source key, md5 portable-hash order for the oracle replay."""
+    from feature_engineering_tk_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, by="source", budget=500, hash_mode="md5"
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 def q_tool_args(spark, sf_dir):
     """Tool-call JSON argument QA (operators/transcripts.py
     validate_tool_args): row-local from_json validity + key audit,
@@ -3240,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_table": q_zipf_table,
         "phrase_scan": q_phrase_scan,
         "mix_balance": q_mix_balance,
+        "token_budget": q_token_budget,
     }
 
 
@@ -6746,6 +6760,27 @@ def oracle_sql() -> dict[str, str]:
                       OR strpos(tl, 'null') > 0
                     THEN 1 ELSE 0 END AS has_phrase
           FROM t
+    """
+    d["token_budget"] = f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END AS BIGINT) AS n_tokens,
+                 {_h60_sql("CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                   AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+          FROM c WHERE cum_tokens <= 500
     """
     d["mix_balance"] = """
         WITH g AS (

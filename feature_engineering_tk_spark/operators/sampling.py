@@ -22,7 +22,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000
@@ -194,3 +194,44 @@ def mix_balance(df: DataFrame, by: str = "source") -> DataFrame:
         (F.lit(1.0) - F.col("_ss") / (F.col("n_rows") * F.col("n_rows"))).alias("simpson"),
         (F.col("_top") / F.col("n_rows")).alias("top_share"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    id_col: str = "doc_id",
+    budget: int = 10_000,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic token-budget downsampling: within each ``by``
+    group, order documents by a hash of their id (a stable uniform
+    shuffle — re-runs pick the identical subset, no RNG state) and
+    keep the longest prefix whose CUMULATIVE whitespace-token count
+    stays within ``budget``.  The mixing primitive behind "cap every
+    source at N tokens" recipes (e.g. The Pile's per-set epochs):
+    ``weighted_mix`` picks row fractions, this caps token mass.
+
+    Appends ``n_tokens`` and ``cum_tokens`` to the kept rows.
+
+    Scale shape: ONE window ``partitionBy(by).orderBy(hash, id)`` —
+    the only shuffle is the group key, the running sum is a single
+    pass, and the filter is row-local afterwards.  Groups are
+    source-sized; a skewed giant source is exactly what AQE skew
+    handling splits downstream, and the hash order means the kept
+    prefix is an unbiased sample of the source.
+    """
+    from feature_engineering_tk_spark.functions.text import token_count
+    from feature_engineering_tk_spark.operators.dedup import _token_hash
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    w = (
+        Window.partitionBy(by)
+        .orderBy(_token_hash(F.col(id_col).cast("string"), hash_mode), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", token_count(F.col(text_col))).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    return out.where(F.col("cum_tokens") <= budget)

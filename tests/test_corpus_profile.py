@@ -112,3 +112,34 @@ def test_mix_balance_hand_values(spark):
     assert row.n_rows == 4 and row.n_groups == 2
     assert row.hhi == 10 / 16 and row.simpson == 1.0 - 10 / 16
     assert row.top_share == 3 / 4
+
+
+def test_token_budget_sample_prefix_and_determinism(spark):
+    from feature_engineering_tk_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "s1", "w " * (i + 1)) for i in range(10)]
+        + [(100, "s2", "a b c")],
+        "doc_id int, source string, text string",
+    )
+    out = token_budget_sample(df, by="source", budget=12).collect()
+    a = sorted((r.doc_id, r.cum_tokens) for r in out)
+    # every kept row respects the budget; s2 (3 tokens) always kept
+    assert all(c <= 12 for _, c in a)
+    assert (100, 3) in a
+    b = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_sample(df, by="source", budget=12).collect()
+    )
+    assert a == b  # hash order → fully deterministic
+
+
+def test_token_budget_zero_keeps_nothing(spark):
+    from feature_engineering_tk_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame([(1, "s", "x y")], "doc_id int, source string, text string")
+    assert token_budget_sample(df, budget=0).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        token_budget_sample(df, budget=-1)
