@@ -3009,6 +3009,38 @@ def q_mix_balance(spark, sf_dir):
     return mix_balance(_t(spark, sf_dir, "documents"), by="source")
 
 
+def q_pass_at_k(spark, sf_dir):
+    """Unbiased pass@k estimator (operators/evals.py pass_at_k):
+    1 − Π(n−c−i)/(n−i), a fixed-length sequential fold over exact
+    integer terms — bit-identical to DuckDB list_reduce. Problems =
+    event_id % 97, sample correct when value ≥ 8, k = 5."""
+    from feature_engineering_tk_spark.operators.evals import pass_at_k
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    samples = ev.select(
+        (F.col("event_id") % 97).alias("problem_id"),
+        (F.col("value") >= 8).alias("correct"),
+    )
+    return pass_at_k(samples, k=5)
+
+
+def q_majority_vote(spark, sf_dir):
+    """Self-consistency scoring (operators/evals.py majority_vote):
+    modal answer per problem via struct-min argmax (lexically-smallest
+    tie-break), vote share one exact division. Problems =
+    event_id % 131, answers = event_type."""
+    from feature_engineering_tk_spark.operators.evals import majority_vote
+
+    ev = _t(spark, sf_dir, "events")
+    pid = F.col("event_id") % 131
+    samples = ev.select(
+        pid.alias("problem_id"),
+        F.col("event_type").alias("answer"),
+        F.when(pid % 2 == 0, F.lit("click")).otherwise(F.lit("view")).alias("reference"),
+    )
+    return majority_vote(samples)
+
+
 def q_token_budget(spark, sf_dir):
     """Token-budget downsampling (operators/sampling.py
     token_budget_sample): per source, hash-ordered prefix whose
@@ -3254,6 +3286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_scan": q_phrase_scan,
         "mix_balance": q_mix_balance,
         "token_budget": q_token_budget,
+        "pass_at_k": q_pass_at_k,
+        "majority_vote": q_majority_vote,
     }
 
 
@@ -6760,6 +6794,55 @@ def oracle_sql() -> dict[str, str]:
                       OR strpos(tl, 'null') > 0
                     THEN 1 ELSE 0 END AS has_phrase
           FROM t
+    """
+    d["pass_at_k"] = """
+        WITH s AS (
+          SELECT event_id % 97 AS problem_id,
+                 CASE WHEN value >= 8 THEN 1 ELSE 0 END AS ok
+            FROM events WHERE value IS NOT NULL
+        ),
+        a AS (
+          SELECT problem_id, CAST(count(*) AS BIGINT) AS n_samples,
+                 CAST(sum(ok) AS BIGINT) AS n_correct
+            FROM s GROUP BY problem_id
+        )
+        SELECT problem_id, n_samples, n_correct,
+               1.0 - (CASE WHEN n_samples - n_correct < 5 THEN 0.0
+                      ELSE list_reduce(
+                             list_prepend(CAST(1.0 AS DOUBLE),
+                               list_transform(generate_series(0, 4),
+                                 i -> CAST(n_samples - n_correct - i AS DOUBLE)
+                                      / (n_samples - i))),
+                             (acc, x) -> acc * x)
+                      END) AS pass_at_k
+          FROM a WHERE n_samples >= 5
+    """
+    d["majority_vote"] = """
+        WITH s AS (
+          SELECT event_id % 131 AS problem_id, event_type AS answer,
+                 CASE WHEN (event_id % 131) % 2 = 0 THEN 'click'
+                      ELSE 'view' END AS ref
+            FROM events
+        ),
+        c AS (
+          SELECT problem_id, answer, CAST(count(*) AS BIGINT) AS c,
+                 min(ref) AS r
+            FROM s GROUP BY problem_id, answer
+        ),
+        t AS (
+          SELECT problem_id, CAST(sum(c) AS BIGINT) AS n, min(r) AS r
+            FROM c GROUP BY problem_id
+        ),
+        m AS (
+          SELECT problem_id, answer, c,
+                 row_number() OVER (PARTITION BY problem_id
+                                    ORDER BY c DESC, answer ASC) AS rn
+            FROM c
+        )
+        SELECT t.problem_id, t.n AS n_samples, m.answer AS modal_answer,
+               m.c AS modal_count, CAST(m.c AS DOUBLE) / t.n AS vote_share,
+               CASE WHEN m.answer = t.r THEN 1 ELSE 0 END AS is_correct
+          FROM t JOIN m ON t.problem_id = m.problem_id AND m.rn = 1
     """
     d["token_budget"] = f"""
         WITH t AS (

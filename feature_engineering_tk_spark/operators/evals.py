@@ -194,3 +194,80 @@ def bradley_terry(
         record.unpersist()
         pairs.unpersist()
     return out
+
+
+def pass_at_k(
+    df: DataFrame,
+    problem: str = "problem_id",
+    correct: str = "correct",
+    k: int = 1,
+) -> DataFrame:
+    """Unbiased pass@k estimator (Chen et al. 2021, "Evaluating Large
+    Language Models Trained on Code", eq. 1): per problem with n
+    samples and c correct, ``pass@k = 1 − C(n−c,k)/C(n,k)`` computed
+    as the telescoped product ``Π_{i<k} (n−c−i)/(n−i)`` — a FIXED-
+    LENGTH sequential fold over exact integer terms, so the float
+    result is bit-identical on any engine (the combinatorial form
+    would overflow int64 at realistic n).  Problems with fewer than k
+    samples are dropped (the estimator is undefined there).
+
+    Returns ``(problem, n_samples, n_correct, pass_at_k)``.
+
+    Scale shape: ONE partial-aggregatable ``groupBy(problem)``; the
+    fold is a row-local expression over a k-length literal sequence.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    agg = df.groupBy(problem).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.col(correct).cast("bigint")).alias("n_correct"),
+    )
+    n, c = F.col("n_samples"), F.col("n_correct")
+    ratio = F.when(n - c < k, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(1.0),
+            lambda acc, i: acc * ((n - c - i) / (n - i)),
+        )
+    )
+    return agg.where(n >= k).select(
+        problem, "n_samples", "n_correct", (F.lit(1.0) - ratio).alias("pass_at_k")
+    )
+
+
+def majority_vote(
+    df: DataFrame,
+    problem: str = "problem_id",
+    answer: str = "answer",
+    reference: str = "reference",
+) -> DataFrame:
+    """Self-consistency scoring (Wang et al. 2023): per problem, the
+    modal answer across samples (ties broken toward the LEXICALLY
+    SMALLEST answer — deterministic), its vote share, and whether it
+    matches the per-problem reference.
+
+    Returns ``(problem, n_samples, modal_answer, modal_count,
+    vote_share, is_correct)``; ``vote_share`` is one exact integer
+    division.
+
+    Scale shape: ``groupBy(problem, answer)`` counts then
+    ``groupBy(problem)`` argmax as a struct min — both partial-
+    aggregatable; answers shuffle once.
+    """
+    counts = df.groupBy(problem, answer).agg(
+        F.count(F.lit(1)).alias("_c"), F.min(reference).alias("_ref")
+    )
+    top = counts.groupBy(problem).agg(
+        F.sum("_c").alias("n_samples"),
+        # min on (-count, answer): highest count, then smallest answer
+        F.min(F.struct((-F.col("_c")).alias("nc"), F.col(answer).alias("a"))).alias("_m"),
+        F.min("_ref").alias("_r"),
+    )
+    return top.select(
+        problem,
+        "n_samples",
+        F.col("_m.a").alias("modal_answer"),
+        (-F.col("_m.nc")).alias("modal_count"),
+        ((-F.col("_m.nc")) / F.col("n_samples")).alias("vote_share"),
+        (F.col("_m.a") == F.col("_r")).cast("int").alias("is_correct"),
+    )

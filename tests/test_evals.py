@@ -205,3 +205,51 @@ def test_distinct_ngrams_invalid_n(spark):
     df = spark.createDataFrame([("a",)], "text string")
     with pytest.raises(ValueError):
         distinct_ngrams(df, n=0)
+
+
+# ---------------------------------------------------------------- pass@k
+
+
+def test_pass_at_k_hand_values(spark):
+    from feature_engineering_tk_spark.operators.evals import pass_at_k
+
+    rows = [("p1", c) for c in [1, 0, 0, 0]] + [("p2", 0), ("p2", 0)] + [("p3", 1)]
+    df = spark.createDataFrame(rows, "problem_id string, correct int")
+    out = {r.problem_id: r for r in pass_at_k(df, k=2).collect()}
+    # p1: n=4 c=1 → 1 - (3/4)(2/3) = 0.5 ; p2: n=2 c=0 → 0
+    assert out["p1"].pass_at_k == 0.5
+    assert out["p2"].pass_at_k == 0.0
+    assert "p3" not in out  # n=1 < k dropped
+
+
+def test_pass_at_k_all_correct_and_k1(spark):
+    from feature_engineering_tk_spark.operators.evals import pass_at_k
+
+    df = spark.createDataFrame(
+        [("p", True), ("p", True), ("q", False), ("q", True)],
+        "problem_id string, correct boolean",
+    )
+    out = {r.problem_id: r for r in pass_at_k(df, k=1).collect()}
+    assert out["p"].pass_at_k == 1.0  # n-c < k branch
+    assert out["q"].pass_at_k == 0.5  # 1 - (1/2)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pass_at_k(df, k=0)
+
+
+# ---------------------------------------------------------------- majority
+
+
+def test_majority_vote_modal_and_ties(spark):
+    from feature_engineering_tk_spark.operators.evals import majority_vote
+
+    rows = [
+        ("p1", "a", "a"), ("p1", "a", "a"), ("p1", "b", "a"),
+        ("p2", "x", "y"), ("p2", "y", "y"),  # tie → lexically smallest 'x'
+    ]
+    df = spark.createDataFrame(rows, "problem_id string, answer string, reference string")
+    out = {r.problem_id: r for r in majority_vote(df).collect()}
+    assert out["p1"].modal_answer == "a" and out["p1"].modal_count == 2
+    assert out["p1"].vote_share == 2 / 3 and out["p1"].is_correct == 1
+    assert out["p2"].modal_answer == "x" and out["p2"].is_correct == 0
