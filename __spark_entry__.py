@@ -3009,6 +3009,22 @@ def q_mix_balance(spark, sf_dir):
     return mix_balance(_t(spark, sf_dir, "documents"), by="source")
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space benchmark decontamination (functions/
+    similarity.py embedding_decontaminate): bench side broadcast,
+    similarities partition-local, partial-agg max collapses N×m to N
+    before the only exchange. Train = vec_id % 5 != 0, bench = the
+    rest, threshold 0.35 on 6-dp-rounded cosine."""
+    from feature_engineering_tk_spark.functions.similarity import (
+        embedding_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 5 != 0)
+    bench = emb.where(F.col("vec_id") % 5 == 0)
+    return embedding_decontaminate(train, bench, threshold=0.35)
+
+
 def q_pass_at_k(spark, sf_dir):
     """Unbiased pass@k estimator (operators/evals.py pass_at_k):
     1 − Π(n−c−i)/(n−i), a fixed-length sequential fold over exact
@@ -3286,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_scan": q_phrase_scan,
         "mix_balance": q_mix_balance,
         "token_budget": q_token_budget,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "pass_at_k": q_pass_at_k,
         "majority_vote": q_majority_vote,
     }
@@ -6794,6 +6811,37 @@ def oracle_sql() -> dict[str, str]:
                       OR strpos(tl, 'null') > 0
                     THEN 1 ELSE 0 END AS has_phrase
           FROM t
+    """
+    d["semantic_decontaminate"] = """
+        WITH tr AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 != 0
+        ),
+        be AS (
+          SELECT vec_id AS bid, embedding AS bvec
+            FROM embeddings WHERE vec_id % 5 = 0
+        ),
+        s AS (
+          SELECT tr.vec_id, be.bid,
+                 round(
+                   list_sum(list_transform(list_zip(tr.embedding, be.bvec),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(tr.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(be.bvec,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   6) AS sim
+            FROM tr, be
+        ),
+        m AS (
+          SELECT vec_id, sim, bid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, bid DESC) AS rn
+            FROM s
+        )
+        SELECT vec_id, sim AS max_bench_sim,
+               CAST(bid AS BIGINT) AS matched_bench_id,
+               CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END AS contaminated
+          FROM m WHERE rn = 1
     """
     d["pass_at_k"] = """
         WITH s AS (

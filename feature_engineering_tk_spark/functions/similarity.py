@@ -329,3 +329,52 @@ def ann_recall(
         "n_hits",
         (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
     )
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Semantic benchmark decontamination: for every training vector,
+    the maximum cosine similarity against ANY benchmark vector, the
+    benchmark id attaining it, and a ``contaminated`` flag at
+    ``threshold`` — the embedding-space complement of the 13-gram
+    ``decontaminate`` (same governance contract, catches paraphrased
+    leakage n-grams miss; cf. the embedding-based contamination audits
+    in Yang et al. 2023, "Rethinking Benchmark and Contamination").
+
+    Scale shape: benchmark suites are small (10³-10⁴ rows), so the
+    bench side BROADCASTS and the cross product never shuffles —
+    similarities are computed partition-locally and the partial-
+    aggregated ``groupBy(train id)`` max collapses N×m rows back to N
+    BEFORE the only exchange.  Similarities are the engine's
+    sequential-fold dot products rounded to ``round_dp`` (the
+    similarity family's cross-engine replay convention); ties at the
+    max break toward the LARGEST benchmark id (struct-max semantics,
+    mirrored by the oracle).
+    """
+    b = F.broadcast(
+        bench.select(F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec"))
+    )
+    t = train.select(F.col(id_col), F.col(vec_col).alias("_tvec"))
+    sim = F.round(
+        dot(F.col("_tvec"), F.col("_bvec"))
+        / (l2_norm(F.col("_tvec")) * l2_norm(F.col("_bvec"))),
+        round_dp,
+    )
+    best = (
+        t.crossJoin(b)
+        .select(id_col, F.struct(sim.alias("s"), F.col("_bid").alias("b")).alias("_sb"))
+        .groupBy(id_col)
+        .agg(F.max("_sb").alias("_m"))
+    )
+    return best.select(
+        id_col,
+        F.col("_m.s").alias("max_bench_sim"),
+        F.col("_m.b").alias("matched_bench_id"),
+        (F.col("_m.s") >= threshold).cast("int").alias("contaminated"),
+    )

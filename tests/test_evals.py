@@ -253,3 +253,40 @@ def test_majority_vote_modal_and_ties(spark):
     assert out["p1"].modal_answer == "a" and out["p1"].modal_count == 2
     assert out["p1"].vote_share == 2 / 3 and out["p1"].is_correct == 1
     assert out["p2"].modal_answer == "x" and out["p2"].is_correct == 0
+
+
+# ------------------------------------------------------- decontamination
+
+
+def test_embedding_decontaminate_flags_planted_dup(spark):
+    from feature_engineering_tk_spark.functions.similarity import (
+        embedding_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.6, 0.8, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0]), (101, [0.0, 0.0, 5.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in embedding_decontaminate(train, bench, threshold=0.9).collect()}
+    # vec 1 is colinear with bench 100 → sim 1.0, contaminated
+    assert out[1].max_bench_sim == 1.0 and out[1].contaminated == 1
+    assert out[1].matched_bench_id == 100
+    assert out[2].max_bench_sim == 0.0 and out[2].contaminated == 0
+    assert out[3].max_bench_sim == 0.6 and out[3].contaminated == 0
+
+
+def test_embedding_decontaminate_tie_breaks_to_largest_bench_id(spark):
+    from feature_engineering_tk_spark.functions.similarity import (
+        embedding_decontaminate,
+    )
+
+    train = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id int, embedding array<float>")
+    bench = spark.createDataFrame(
+        [(7, [3.0, 0.0]), (9, [5.0, 0.0])], "vec_id int, embedding array<float>"
+    )
+    row = embedding_decontaminate(train, bench).collect()[0]
+    assert row.matched_bench_id == 9  # both sim 1.0 → largest bid
