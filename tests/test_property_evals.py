@@ -1,0 +1,129 @@
+"""Property-based parity for the eval family: each operator checked
+against an independent pure-Python brute-force simulator on arbitrary
+generated tables (the repo's hypothesis convention — few examples,
+edge discovery over volume)."""
+
+import math
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+words = st.text(alphabet="abcx ", min_size=0, max_size=24)
+
+
+@given(pairs=st.lists(st.tuples(words, words), min_size=1, max_size=12))
+@SET
+def test_qa_metrics_matches_bruteforce(spark, pairs):
+    from feature_engineering_tk_spark.functions.text import qa_metrics
+
+    df = spark.createDataFrame(
+        [(i, p, r) for i, (p, r) in enumerate(pairs)], "id int, pred string, ref string"
+    )
+    got = {r.id: r for r in qa_metrics(df).collect()}
+    for i, (p, r) in enumerate(pairs):
+        pt, rt = p.lower().split(), r.lower().split()
+        inter = sum((Counter(pt) & Counter(rt)).values())
+        assert got[i].n_overlap == inter
+        assert got[i].n_pred == len(pt) and got[i].n_ref == len(rt)
+        exp_f1 = (2 * inter) / (len(pt) + len(rt)) if pt or rt else 0.0
+        assert got[i].f1 == exp_f1
+        assert got[i].exact_match == int(pt == rt)
+
+
+@given(
+    samples=st.lists(
+        st.tuples(st.integers(0, 3), st.booleans()), min_size=1, max_size=40
+    ),
+    k=st.integers(1, 4),
+)
+@SET
+def test_pass_at_k_matches_comb_formula(spark, samples, k):
+    from feature_engineering_tk_spark.operators.evals import pass_at_k
+
+    df = spark.createDataFrame(samples, "problem_id int, correct boolean")
+    got = {r.problem_id: r.pass_at_k for r in pass_at_k(df, k=k).collect()}
+    by_p: dict = {}
+    for p, c in samples:
+        n, cc = by_p.get(p, (0, 0))
+        by_p[p] = (n + 1, cc + int(c))
+    for p, (n, c) in by_p.items():
+        if n < k:
+            assert p not in got
+            continue
+        exact = 1.0 - math.comb(n - c, k) / math.comb(n, k) if n - c >= k else 1.0
+        # engine uses the telescoped float product; agree to float slack
+        assert abs(got[p] - exact) < 1e-12
+
+
+@given(
+    votes=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_majority_vote_matches_counter(spark, votes):
+    from feature_engineering_tk_spark.operators.evals import majority_vote
+
+    df = spark.createDataFrame(
+        [(p, a, "b") for p, a in votes], "problem_id int, answer string, reference string"
+    )
+    got = {r.problem_id: r for r in majority_vote(df).collect()}
+    by_p: dict = {}
+    for p, a in votes:
+        by_p.setdefault(p, []).append(a)
+    for p, ans in by_p.items():
+        c = Counter(ans)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[p].modal_answer == best[0]
+        assert got[p].modal_count == best[1]
+        assert got[p].n_samples == len(ans)
+        assert got[p].is_correct == int(best[0] == "b")
+
+
+@given(
+    ratings=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 1), st.sampled_from(["x", "y", "z"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_cohen_kappa_matches_bruteforce(spark, ratings):
+    from feature_engineering_tk_spark.analysis.agreement import cohen_kappa
+    from feature_engineering_tk_spark.exceptions import InsufficientDataError
+
+    df = spark.createDataFrame(ratings, "item_id int, rater_id int, label string")
+    # brute force: min label per (item, rater), paired items only
+    per: dict = {}
+    for i, r, l in ratings:
+        key = (i, r)
+        per[key] = min(per[key], l) if key in per else l
+    items = sorted({i for i, _ in per})
+    paired = [
+        (per[(i, 0)], per[(i, 1)])
+        for i in items
+        if (i, 0) in per and (i, 1) in per
+    ]
+    if not paired:
+        import pytest as _pt
+
+        with _pt.raises(InsufficientDataError):
+            cohen_kappa(df)
+        return
+    n = len(paired)
+    agree = sum(a == b for a, b in paired)
+    ca, cb = Counter(a for a, _ in paired), Counter(b for _, b in paired)
+    pe_num = sum(ca[l] * cb.get(l, 0) for l in ca)
+    row = cohen_kappa(df).collect()[0]
+    assert row.n_items == n and row.po == agree / n
+    den = n * n - pe_num
+    assert row.kappa == (0.0 if den == 0 else (agree * n - pe_num) / den)
