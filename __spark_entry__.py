@@ -3107,6 +3107,129 @@ def q_zipf_table(spark, sf_dir):
     return zipf_table(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_best_of_n(spark, sf_dir):
+    """Rejection-sampling selection (operators/evals.py best_of_n):
+    per-problem reward argmax as a struct max (ties → greatest sample
+    id), mean one exact division — ONE partial-agg groupBy. Problems
+    = event_id % 89, sample = event_id, reward = value."""
+    from feature_engineering_tk_spark.operators.evals import best_of_n
+
+    ev = _t(spark, sf_dir, "events")
+    samples = ev.select(
+        (F.col("event_id") % 89).alias("problem_id"),
+        F.col("event_id").alias("sample_id"),
+        F.col("value").alias("reward"),
+    )
+    out = best_of_n(samples)
+    return out.select(
+        "problem_id",
+        "n_samples",
+        "best_sample",
+        "best_reward",
+        F.round("mean_reward", 6).alias("mean_reward"),
+        F.round("reward_range", 6).alias("reward_range"),
+    )
+
+
+def q_refusal_rate(spark, sf_dir):
+    """Per-model refusal-rate gauge (operators/evals.py refusal_rate,
+    composing functions/cleaning.py phrase_scan): row-local case-folded
+    substring flags, one partial-agg groupBy — text never shuffles.
+    Models = user_id % 5; replies refuse when value < 2, NULL-value
+    replies get NULL text (scanned as '')."""
+    from feature_engineering_tk_spark.operators.evals import refusal_rate
+
+    ev = _t(spark, sf_dir, "events")
+    replies = ev.select(
+        F.concat(F.lit("m"), (F.col("user_id") % 5).cast("string")).alias("model"),
+        F.when(F.col("value") < 2, F.lit("Sorry, I cannot do that."))
+        .when(F.col("value").isNotNull(), F.col("event_type"))
+        .alias("text"),
+    )
+    return refusal_rate(replies)
+
+
+def q_discounted_return(spark, sf_dir):
+    """Leakage-free discounted reward trace (operators/transcripts.py
+    discounted_return): G_i = 0.9·G_{i-1} + r_i over turn order — one
+    conv groupBy, JVM fold, posexplode back; the identical sequential
+    float recurrence as the DuckDB list_reduce replay (seeded 0.0), so
+    values are bit-exact with no rounding. Reward = text length."""
+    from feature_engineering_tk_spark.operators.transcripts import discounted_return
+
+    tv = _transcript_view(spark, sf_dir).withColumn(
+        "reward", F.length("text").cast("double")
+    )
+    return discounted_return(tv, reward="reward", gamma=0.9)
+
+
+def q_prefix_sharing(spark, sf_dir):
+    """Shared-prefix audit (operators/transcripts.py prefix_sharing):
+    conversations grouped by md5 of their first-2-turn texts; saved
+    tokens = (n_convs−1)·prefix_tokens. Head filters before any
+    shuffle; two partial-agg groupBys."""
+    from feature_engineering_tk_spark.operators.transcripts import prefix_sharing
+
+    return prefix_sharing(_transcript_view(spark, sf_dir), k=2)
+
+
+def q_branch_points(spark, sf_dir):
+    """Conversation-fork detection (operators/transcripts.py
+    branch_points): running-prefix md5 per turn (one conv window),
+    groupBy(prefix) with two exact distincts sharing one expand;
+    forks = prefixes shared by ≥2 convs with ≥2 distinct next turns."""
+    from feature_engineering_tk_spark.operators.transcripts import branch_points
+
+    return branch_points(_transcript_view(spark, sf_dir))
+
+
+def q_memorization_scan(spark, sf_dir):
+    """Verbatim-memorization audit (operators/dedup.py
+    memorization_scan): longest contiguous run of corpus-shared token
+    3-grams per generated doc — hash join on 8-byte keys, then
+    gaps-and-islands per doc. Generated = doc_id % 3 == 0, corpus =
+    the rest."""
+    from feature_engineering_tk_spark.operators.dedup import memorization_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    gen = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    return memorization_scan(gen, corpus, shingle_n=3)
+
+
+def q_tool_transitions(spark, sf_dir):
+    """Tool-call Markov table (operators/transcripts.py
+    tool_transitions): one conv lag + one partial-agg groupBy(src,
+    dst); per-source totals broadcast back onto the tools²-bounded
+    edge table. Calls synthesized from events (every event a call,
+    tool = event_type) so all 5 tools appear."""
+    from feature_engineering_tk_spark.operators.transcripts import tool_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    calls = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.col("event_type").alias("tool"),
+    )
+    return tool_transitions(calls)
+
+
+def q_compression_ratio(spark, sf_dir):
+    """zlib compressibility signal (functions/cleaning.py
+    compression_ratio): Arrow-batched pandas UDF over UTF-8 bytes,
+    zero shuffle. Compressed length is a zlib library constant, not
+    engine algebra — no SQL oracle; the driver records the rows-only
+    check and pytest pins fixture values."""
+    from feature_engineering_tk_spark.functions.cleaning import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return compression_ratio(docs).select(
+        "doc_id", "compressed_bytes", "raw_bytes", F.round("compression_ratio", 6).alias("compression_ratio")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3305,6 +3428,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "pass_at_k": q_pass_at_k,
         "majority_vote": q_majority_vote,
+        "best_of_n": q_best_of_n,
+        "refusal_rate": q_refusal_rate,
+        "discounted_return": q_discounted_return,
+        "prefix_sharing": q_prefix_sharing,
+        "branch_points": q_branch_points,
+        "memorization_scan": q_memorization_scan,
+        "tool_transitions": q_tool_transitions,
+        "compression_ratio": q_compression_ratio,
     }
 
 
@@ -6958,5 +7089,168 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT count(*) FROM approx a
                        JOIN exact e USING (vec_id)) AS DOUBLE)
                  / (SELECT count(*) FROM exact) AS recall
+    """
+    d["best_of_n"] = """
+        WITH s AS (
+          SELECT event_id % 89 AS problem_id, event_id AS sample_id,
+                 value AS reward
+            FROM events WHERE value IS NOT NULL
+        ),
+        a AS (
+          SELECT problem_id, CAST(count(*) AS BIGINT) AS n_samples,
+                 sum(reward) AS sr, min(reward) AS lo, max(reward) AS hi
+            FROM s GROUP BY problem_id
+        ),
+        w AS (
+          SELECT problem_id, sample_id, reward,
+                 row_number() OVER (PARTITION BY problem_id
+                                    ORDER BY reward DESC, sample_id DESC)
+                   AS rn
+            FROM s
+        )
+        SELECT a.problem_id, a.n_samples, w.sample_id AS best_sample,
+               w.reward AS best_reward,
+               round(a.sr / a.n_samples, 6) AS mean_reward,
+               round(a.hi - a.lo, 6) AS reward_range
+          FROM a JOIN w ON a.problem_id = w.problem_id AND w.rn = 1
+    """
+    # the OR-chain replays evals.REFUSAL_PHRASES in list order
+    _refusal_flag = " OR ".join(
+        f"strpos(lower(coalesce(text, '')), '{p.replace(chr(39), chr(39) * 2)}') > 0"
+        for p in (
+            "i cannot", "i can't", "i am unable", "i'm unable",
+            "as an ai", "i'm sorry, but", "i am sorry, but", "i won't",
+        )
+    )
+    d["refusal_rate"] = f"""
+        WITH r AS (
+          SELECT 'm' || CAST(user_id % 5 AS VARCHAR) AS model,
+                 CASE WHEN value < 2 THEN 'Sorry, I cannot do that.'
+                      WHEN value IS NOT NULL THEN event_type END AS text
+            FROM events
+        )
+        SELECT model, CAST(count(*) AS BIGINT) AS n_replies,
+               CAST(sum(CASE WHEN {_refusal_flag} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_refusals,
+               CAST(sum(CASE WHEN {_refusal_flag} THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS refusal_rate
+          FROM r GROUP BY model
+    """
+    d["discounted_return"] = _TRANSCRIPT_CTE + """,
+        r AS (
+          SELECT conv_id, turn_idx,
+                 CAST(length(text) AS DOUBLE) AS reward
+            FROM transcript
+        ),
+        p AS (
+          SELECT conv_id, turn_idx,
+                 list(reward) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS pre
+            FROM r
+        )
+        SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pre),
+                           (acc, x) -> acc * 0.9 + x) AS discounted_return
+          FROM p
+    """
+    d["prefix_sharing"] = _TRANSCRIPT_CTE + """,
+        head AS (
+          SELECT conv_id, turn_idx, text,
+                 CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END AS BIGINT) AS toks
+            FROM transcript WHERE turn_idx < 2
+        ),
+        pc AS (
+          SELECT conv_id,
+                 md5(coalesce(string_agg(text, chr(31) ORDER BY turn_idx),
+                              '')) AS prefix_hash,
+                 CAST(sum(toks) AS BIGINT) AS tok
+            FROM head GROUP BY conv_id
+        )
+        SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_convs,
+               min(tok) AS prefix_tokens, min(conv_id) AS example_conv,
+               CAST((count(*) - 1) * min(tok) AS BIGINT) AS saved_tokens
+          FROM pc GROUP BY prefix_hash
+    """
+    d["branch_points"] = _TRANSCRIPT_CTE + """,
+        m AS (
+          SELECT conv_id, CAST(turn_idx AS BIGINT) AS depth, text AS nxt,
+                 md5(coalesce(
+                   string_agg(text, chr(31)) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   '')) AS prefix_hash
+            FROM transcript
+        ),
+        g AS (
+          SELECT prefix_hash, min(depth) AS depth,
+                 CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                 CAST(count(DISTINCT nxt) AS BIGINT) AS n_branches
+            FROM m GROUP BY prefix_hash
+        )
+        SELECT depth, prefix_hash, n_convs, n_branches
+          FROM g WHERE n_convs >= 2 AND n_branches >= 2
+    """
+    d["memorization_scan"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                                  '\\s+', ' ', 'g')),
+                              ' ') AS toks
+            FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(range(0, greatest(len(toks) - 2, 1))) AS pos,
+                 unnest(list_transform(range(0, greatest(len(toks) - 2, 1)),
+                                       i -> array_to_string(toks[i+1:i+3],
+                                                            ' '))) AS gram
+            FROM tok
+        ),
+        gen AS (SELECT doc_id, pos, gram FROM g WHERE doc_id % 3 = 0),
+        corp AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 <> 0),
+        pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                 FROM gen GROUP BY doc_id),
+        mt AS (SELECT gen.doc_id, gen.pos FROM gen JOIN corp USING (gram)),
+        isl AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS grp
+                  FROM mt),
+        runs AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS l
+                   FROM isl GROUP BY doc_id, grp),
+        pm AS (SELECT doc_id, CAST(sum(l) AS BIGINT) AS n_matched,
+                      CAST(max(l) AS BIGINT) AS longest_run
+                 FROM runs GROUP BY doc_id)
+        SELECT pd.doc_id, pd.n_grams,
+               coalesce(pm.n_matched, 0) AS n_matched,
+               coalesce(pm.longest_run, 0) AS longest_run,
+               CAST(CASE WHEN pm.longest_run IS NOT NULL
+                         THEN pm.longest_run + 2 ELSE 0 END
+                    AS BIGINT) AS longest_overlap_tokens
+          FROM pd LEFT JOIN pm ON pd.doc_id = pm.doc_id
+    """
+    d["tool_transitions"] = """
+        WITH calls AS (
+          SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 event_type AS tool
+            FROM events
+        ),
+        e AS (
+          SELECT coalesce(lag(tool) OVER (PARTITION BY conv_id ORDER BY rn),
+                          '<start>') AS src_tool,
+                 tool AS dst_tool
+            FROM calls
+        ),
+        c AS (SELECT src_tool, dst_tool,
+                     CAST(count(*) AS BIGINT) AS n_transitions
+                FROM e GROUP BY src_tool, dst_tool),
+        t AS (SELECT src_tool, sum(n_transitions) AS tot
+                FROM c GROUP BY src_tool)
+        SELECT c.src_tool, c.dst_tool, c.n_transitions,
+               CAST(c.n_transitions AS DOUBLE) / t.tot AS p_transition
+          FROM c JOIN t USING (src_tool)
     """
     return d

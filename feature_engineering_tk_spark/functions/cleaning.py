@@ -404,3 +404,63 @@ def phrase_scan(
         .withColumn(f"{out_prefix}_first", first)
         .withColumn(f"has_{out_prefix}", (n_hits > 0).cast("int"))
     )
+
+
+_zlib_udf_cache: dict = {}
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+    out: str = "compression_ratio",
+) -> DataFrame:
+    """zlib compressibility quality signal: appends
+    ``compressed_bytes``, ``raw_bytes``, and their ratio — the
+    CCNet/Gopher-family heuristic where a very LOW ratio marks
+    machine-generated or template/boilerplate text (compresses too
+    well) and a ratio near 1 marks high-entropy noise (base64 blobs,
+    minified code).  Filter on both tails.
+
+    NULL/empty text gets ratio NULL (0/0 has no meaning).
+
+    Scale shape: zlib has no JVM expression, so this is an
+    Arrow-batched pandas UDF over UTF-8 bytes — the documented
+    vectorized boundary (never per-row Python); zero shuffle,
+    streaming-safe.  Determinism: zlib output length at a fixed
+    ``level`` is stable for a given zlib version, and the ratio is
+    one exact integer division — but because compressed length is a
+    LIBRARY constant rather than engine algebra, this operator is
+    verified by pytest fixtures, not a SQL oracle.
+    """
+    key = int(level)
+    if key not in _zlib_udf_cache:
+        import zlib
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("struct<compressed_bytes:bigint,raw_bytes:bigint>")
+        def _comp(s: pd.Series) -> pd.DataFrame:
+            raw = s.map(lambda x: None if x is None else len(x.encode("utf-8")))
+            comp = s.map(
+                lambda x: None
+                if x is None
+                else len(zlib.compress(x.encode("utf-8"), key))
+            )
+            return pd.DataFrame({"compressed_bytes": comp, "raw_bytes": raw})
+
+        _zlib_udf_cache[key] = _comp
+    st = _zlib_udf_cache[key](F.col(text_col))
+    base = df.withColumn("_cz", st)
+    return (
+        base.withColumn("compressed_bytes", F.col("_cz.compressed_bytes"))
+        .withColumn("raw_bytes", F.col("_cz.raw_bytes"))
+        .withColumn(
+            out,
+            F.when(
+                F.col("_cz.raw_bytes") > 0,
+                F.col("_cz.compressed_bytes") / F.col("_cz.raw_bytes"),
+            ),
+        )
+        .drop("_cz")
+    )

@@ -881,3 +881,79 @@ def source_overlap(
         )
     )
     return out
+
+
+def memorization_scan(
+    gen: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Verbatim-memorization audit (Carlini et al. 2021/2023 extraction
+    methodology, batch form): for each GENERATED document, the longest
+    CONTIGUOUS run of token ``shingle_n``-grams that also appear
+    anywhere in the training ``corpus``.  A long run means the model
+    reproduced a training span verbatim — the per-doc signal is
+
+    - ``n_grams`` — total n-gram positions in the generation,
+    - ``n_matched`` — positions whose n-gram exists in the corpus,
+    - ``longest_run`` — longest consecutive matched-position run,
+    - ``longest_overlap_tokens`` — that run in tokens
+      (``longest_run + shingle_n - 1``; 0 when nothing matched).
+
+    Differs from ``ngram_contamination`` (ANY shared n-gram → flag):
+    this measures the contiguous SPAN length, the quantity the
+    memorization literature reports, via the gaps-and-islands trick on
+    matched positions.
+
+    Scale shape: both sides reduce to n-gram hashes before the join —
+    generated docs explode to (doc, pos, 8-byte hash) rows, the corpus
+    to a DISTINCT hash table; the join shuffles hashes only (or
+    broadcasts, when the corpus-side distinct set is small).  The
+    islands pass windows ``partitionBy(doc)`` over matched positions
+    only — generation-length bounded.
+    """
+    toks_pos = gen.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                _shingles(F.coalesce(F.col(text_col), F.lit("")), shingle_n),
+                lambda s: _token_hash(s, hash_mode),
+            )
+        ).alias("_pos", "_h"),
+    )
+    per_doc = toks_pos.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    c_sh = (
+        corpus.select(
+            F.explode(
+                F.transform(
+                    _shingles(F.col(text_col), shingle_n),
+                    lambda s: _token_hash(s, hash_mode),
+                )
+            ).alias("_h")
+        )
+        .distinct()
+    )
+    matched = toks_pos.join(c_sh, "_h").select(id_col, "_pos")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    isl = matched.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
+    runs = isl.groupBy(id_col, "_grp").agg(F.count(F.lit(1)).alias("_len"))
+    per_match = runs.groupBy(id_col).agg(
+        F.sum("_len").alias("n_matched"), F.max("_len").alias("longest_run")
+    )
+    out = per_doc.join(per_match, id_col, "left")
+    return out.select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        F.coalesce(F.col("longest_run"), F.lit(0)).alias("longest_run"),
+        F.when(
+            F.col("longest_run").isNotNull(),
+            F.col("longest_run") + F.lit(shingle_n - 1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("longest_overlap_tokens"),
+    )

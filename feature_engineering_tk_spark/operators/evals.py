@@ -271,3 +271,96 @@ def majority_vote(
         ((-F.col("_m.nc")) / F.col("n_samples")).alias("vote_share"),
         (F.col("_m.a") == F.col("_r")).cast("int").alias("is_correct"),
     )
+
+
+def best_of_n(
+    df: DataFrame,
+    problem: str = "problem_id",
+    sample: str = "sample_id",
+    reward: str = "reward",
+) -> DataFrame:
+    """Rejection-sampling / best-of-n selection (the batch form of
+    BoN inference and the data-construction step of RFT, Yuan et al.
+    2023 "Scaling Relationship on Learning Mathematical Reasoning"):
+    per problem, the sample with the HIGHEST reward wins; reward ties
+    break toward the GREATEST sample id (struct-max — deterministic
+    under any partitioning).
+
+    Returns ``(problem, n_samples, best_sample, best_reward,
+    mean_reward, reward_range)``; ``mean_reward`` is one exact
+    division of a sum by a count.
+
+    Scale shape: ONE partial-aggregatable ``groupBy(problem)`` — the
+    argmax is a struct max, never a window or a self-join; samples
+    shuffle once as 3-column rows.  NULL rewards are dropped (they
+    carry no preference signal).
+
+    Reference parity: the reference toolkit's ``create_aggregations``
+    idxmax-style group argmax (feature_engineering_tk
+    ``feature_tools.py``) — here the tie rule is pinned instead of
+    pandas' first-occurrence order, which has no distributed meaning.
+    """
+    live = df.where(F.col(reward).isNotNull())
+    agg = live.groupBy(problem).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.max(F.struct(F.col(reward).alias("r"), F.col(sample).alias("s"))).alias("_m"),
+        F.sum(reward).alias("_sum"),
+        F.min(reward).alias("_lo"),
+        F.max(reward).alias("_hi"),
+    )
+    return agg.select(
+        problem,
+        "n_samples",
+        F.col("_m.s").alias("best_sample"),
+        F.col("_m.r").alias("best_reward"),
+        (F.col("_sum") / F.col("n_samples")).alias("mean_reward"),
+        (F.col("_hi") - F.col("_lo")).alias("reward_range"),
+    )
+
+
+#: Case-folded substrings that mark a refusal/deflection reply.  The
+#: standard public heuristic set (the "as an AI language model" family
+#: used by e.g. the OpenAssistant and LMSYS cleaning scripts).
+REFUSAL_PHRASES: tuple[str, ...] = (
+    "i cannot",
+    "i can't",
+    "i am unable",
+    "i'm unable",
+    "as an ai",
+    "i'm sorry, but",
+    "i am sorry, but",
+    "i won't",
+)
+
+
+def refusal_rate(
+    df: DataFrame,
+    text: str = "text",
+    by: str = "model",
+    phrases: tuple[str, ...] = REFUSAL_PHRASES,
+) -> DataFrame:
+    """Per-group refusal-rate gauge: share of replies whose text
+    contains any of ``phrases`` (case-folded substring match — the
+    row-local flag is ``functions/cleaning.py phrase_scan``, reused
+    verbatim).  Returns ``(by, n_replies, n_refusals, refusal_rate)``
+    with the rate one exact integer division.
+
+    Scale shape: the flag is a row-local expression; ONE partial-
+    aggregatable ``groupBy`` — text never shuffles.
+    """
+    from feature_engineering_tk_spark.functions.cleaning import phrase_scan
+
+    scanned = phrase_scan(df, text_col=text, phrases=phrases, out_prefix="_refusal")
+    return (
+        scanned.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_replies"),
+            F.sum(F.col("has__refusal").cast("bigint")).alias("n_refusals"),
+        )
+        .select(
+            by,
+            "n_replies",
+            "n_refusals",
+            (F.col("n_refusals") / F.col("n_replies")).alias("refusal_rate"),
+        )
+    )

@@ -617,3 +617,233 @@ def validate_tool_args(
         )
     )
     return out.drop("_pj")
+
+
+def discounted_return(
+    df: DataFrame,
+    reward: str = "reward",
+    gamma: float = 0.9,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    out: str = "discounted_return",
+    allow_future: bool = False,
+) -> DataFrame:
+    """Per-turn discounted reward trace over the conversation.
+
+    Default (leakage-free) direction is PAST: the eligibility-trace
+    recurrence ``G_i = gamma * G_{i-1} + r_i`` over turn order — the
+    credit signal a point-in-time feature may legally carry (reference
+    parity: feature_engineering_tk's expanding/ewm-style features, here
+    pinned to the exact sequential recurrence).  ``allow_future=True``
+    flips to the RL return ``G_i = r_i + gamma * G_{i+1}`` (reads
+    future turns — same opt-in contract as ``with_lead``).
+
+    Returns ``(conv_id, turn_idx, out)``.
+
+    Determinism: the fold is the SAME sequential float recurrence on
+    any engine (init 0.0, then ``acc*gamma + r`` in turn order), so
+    values are bit-identical to a DuckDB ``list_reduce`` replay — no
+    ``pow(gamma, -j)`` rescaling trick, which overflows for long
+    conversations and breaks bit-parity.
+
+    Scale shape: ONE ``groupBy(conv_id)`` shuffle (map-side partial
+    ``collect_list``); the recurrence is a JVM ``aggregate`` fold over
+    the conversation's time-sorted rewards, then one ``posexplode``
+    back to rows.  Per-conversation state is turn-count bounded — the
+    same boundedness assumption the rest of this family makes.
+    """
+    g = float(gamma)
+    if not (0.0 <= g <= 1.0):
+        raise ValueError("gamma must be in [0, 1]")
+    ev = df.select(
+        F.col(conv_id),
+        F.struct(
+            F.col(turn_idx).cast("bigint").alias("t"),
+            F.col(reward).cast("double").alias("r"),
+        ).alias("_e"),
+    )
+    grouped = ev.groupBy(conv_id).agg(F.array_sort(F.collect_list("_e")).alias("_evs"))
+    evs = F.col("_evs") if not allow_future else F.reverse(F.col("_evs"))
+    traces = F.aggregate(
+        evs,
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                # try_element_at: NULL on the first step (empty acc)
+                # instead of an ANSI out-of-bounds error; 0.0 + r_0 is
+                # an exact float identity, so the fold is bit-identical
+                # to a list_reduce seeded with 0.0
+                F.coalesce(F.try_element_at(acc, F.lit(-1)) * F.lit(g), F.lit(0.0))
+                + x["r"]
+            ),
+        ),
+    )
+    rows = grouped.select(
+        F.col(conv_id),
+        F.posexplode(
+            F.arrays_zip(
+                F.transform(evs, lambda e: e["t"]).alias("t"),
+                traces.alias("g"),
+            )
+        ).alias("_i", "_z"),
+    )
+    return rows.select(
+        F.col(conv_id),
+        F.col("_z.t").cast("int").alias(turn_idx),
+        F.col("_z.g").alias(out),
+    )
+
+
+def prefix_sharing(
+    df: DataFrame,
+    k: int = 1,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    text: str = "text",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Shared-prefix groups across conversations: conversations whose
+    first ``k`` turns are textually identical (system prompts, task
+    templates) grouped by a prefix fingerprint — the batch audit
+    behind KV-cache prefix reuse and system-prompt dedup in serving /
+    training-cost accounting.
+
+    Returns one row per prefix group: ``(prefix_hash, n_convs,
+    prefix_tokens, example_conv, saved_tokens)`` where
+    ``saved_tokens = (n_convs - 1) * prefix_tokens`` — whitespace
+    tokens the corpus re-states beyond the first copy.
+
+    ``hash_mode='md5'`` keeps the fingerprint engine-replayable (the
+    oracle recomputes it in SQL); at corpus scale pass ``'xxhash64'``
+    for an 8-byte shuffle key instead of a 32-char string.  NULL texts
+    are skipped (collect_list drops them — the SQL ``string_agg``
+    convention).
+
+    Scale shape: turns filter to ``turn_idx < k`` BEFORE any shuffle,
+    then two partial-aggregatable ``groupBy``s (conv, then prefix
+    hash); full texts never shuffle — only the k-turn head does.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    head = df.where(F.col(turn_idx) < F.lit(int(k)))
+    toks = F.when(
+        F.trim(F.coalesce(F.col(text), F.lit(""))) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text)), r"\s+"))).cast("bigint")
+    per_conv = head.groupBy(conv_id).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(turn_idx).alias("i"), F.col(text).alias("x")))
+                ),
+                lambda e: e["x"],
+            ),
+            "\x1f",
+        ).alias("_p"),
+        F.sum(toks).alias("_tok"),
+    )
+    fp = F.md5(F.col("_p")) if hash_mode == "md5" else F.xxhash64(F.col("_p")).cast("string")
+    groups = per_conv.groupBy(fp.alias("prefix_hash")).agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("_tok").alias("prefix_tokens"),
+        F.min(conv_id).alias("example_conv"),
+    )
+    return groups.select(
+        "prefix_hash",
+        "n_convs",
+        "prefix_tokens",
+        "example_conv",
+        ((F.col("n_convs") - 1) * F.col("prefix_tokens")).alias("saved_tokens"),
+    )
+
+
+def branch_points(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    text: str = "text",
+    min_convs: int = 2,
+) -> DataFrame:
+    """Conversation-fork detection: prefixes shared verbatim by at
+    least ``min_convs`` conversations whose NEXT turn then diverges —
+    regeneration/retry forks in chat logs, branching rollouts in agent
+    trees.  One row per fork: ``(depth, prefix_hash, n_convs,
+    n_branches)`` where ``depth`` is the shared-prefix length in turns
+    and ``n_branches`` the number of distinct continuations.
+
+    The prefix key at turn ``i`` is ``md5`` of the ``\\x1f``-joined
+    texts of turns ``< i`` (empty string at depth 0, so conversation
+    STARTS are comparable too); NULL texts are skipped on both engines
+    (collect_list / string_agg convention).
+
+    Scale shape: one ``partitionBy(conv_id)`` window builds the
+    running prefix (per-row prefix strings are O(conversation) — the
+    family's bounded-conversation assumption), then one
+    ``groupBy(prefix_hash)``.  The two exact distinct counts share a
+    single grouping via Spark's expand (2× aggregate rows, never 2×
+    scans).
+    """
+    w = (
+        Window.partitionBy(conv_id)
+        .orderBy(turn_idx)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    parent = F.md5(F.array_join(F.collect_list(text).over(w), "\x1f"))
+    marked = df.select(
+        F.col(conv_id),
+        F.col(turn_idx).cast("bigint").alias("_depth"),
+        F.col(text).alias("_next"),
+        parent.alias("prefix_hash"),
+    )
+    stats = marked.groupBy("prefix_hash").agg(
+        F.min("_depth").alias("depth"),
+        F.count_distinct(F.col(conv_id)).alias("n_convs"),
+        F.count_distinct(F.col("_next")).alias("n_branches"),
+    )
+    return stats.where(
+        (F.col("n_convs") >= F.lit(int(min_convs))) & (F.col("n_branches") >= 2)
+    ).select("depth", "prefix_hash", "n_convs", "n_branches")
+
+
+def tool_transitions(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    tool: str = "tool",
+    tool_role: str = "tool",
+) -> DataFrame:
+    """First-order tool-call transition table — the Markov profile of
+    an agent's tool usage: for every ordered pair of consecutive tool
+    CALLS within a conversation, ``(src_tool, dst_tool, n_transitions,
+    p_transition)`` where ``p`` conditions on the source tool (one
+    exact integer division).  Conversation starts contribute a
+    ``<start>`` source row, so absorbing/entry behavior is visible;
+    transitions never cross conversations.
+
+    Loop diagnosis (A→A mass), tool-chain mining (dominant A→B edges),
+    and policy drift between model versions (compare two transition
+    tables) all read off this one table.
+
+    Scale shape: filter to tool turns FIRST, then one
+    ``partitionBy(conv_id)`` lag and one partial-aggregatable
+    ``groupBy(src, dst)``; the per-source total is a window over the
+    (tools × tools)-bounded aggregate table — a join-back would
+    recompute the whole upstream subtree on both branches.
+    """
+    calls = df.where((F.col(role) == tool_role) & F.col(tool).isNotNull())
+    w = _conv_window(conv_id, turn_idx)
+    edges = calls.select(
+        F.coalesce(F.lag(tool).over(w), F.lit("<start>")).alias("src_tool"),
+        F.col(tool).alias("dst_tool"),
+    )
+    counts = edges.groupBy("src_tool", "dst_tool").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = F.sum("n_transitions").over(Window.partitionBy("src_tool"))
+    return counts.select(
+        "src_tool",
+        "dst_tool",
+        "n_transitions",
+        (F.col("n_transitions") / tot).alias("p_transition"),
+    )

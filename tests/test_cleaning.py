@@ -286,3 +286,32 @@ def test_normalize_unicode_forms(spark):
     assert nfkc[3] == "fine 2"                  # NFKC folds ligature + superscript
     with pytest.raises(ValueError):
         normalize_unicode(df, "text", form="NFX")
+
+
+# --------------------------------------------------- compression ratio
+
+
+def test_compression_ratio_tails(spark):
+    from feature_engineering_tk_spark.functions.cleaning import compression_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 200),
+            (2, "the quick brown fox jumps over one lazy dog near a river bend"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert rows[1].raw_bytes == 1000
+    # boilerplate compresses far better than natural text
+    assert rows[1].compression_ratio < rows[2].compression_ratio
+    assert rows[1].compression_ratio < 0.1
+    assert rows[3].compression_ratio is None and rows[3].raw_bytes is None
+    # empty text: 0 raw bytes → ratio NULL, compressed header still counted
+    assert rows[4].raw_bytes == 0 and rows[4].compression_ratio is None
+    import zlib
+
+    sentence = "the quick brown fox jumps over one lazy dog near a river bend"
+    assert rows[2].compressed_bytes == len(zlib.compress(sentence.encode(), 6))

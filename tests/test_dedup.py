@@ -384,3 +384,48 @@ class TestSourceOverlap:
         )
         r = source_overlap(df, shingle_n=3).first()
         assert r["shared_ngrams"] == 1 and r["frac_a"] == 1.0
+
+
+# ---------------------------------------------------- memorization scan
+
+
+def test_memorization_scan_longest_run(spark):
+    from feature_engineering_tk_spark.operators.dedup import memorization_scan
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id bigint, text string"
+    )
+    gen = spark.createDataFrame(
+        [
+            (1, "lazy the quick brown cat"),
+            (2, "nothing shared here at all"),
+            (3, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in memorization_scan(gen, corpus, shingle_n=2).collect()}
+    # doc 1 grams: [lazy the, the quick, quick brown, brown cat] —
+    # positions 1,2 match the corpus → run of 2 grams = 3 tokens
+    assert rows[1].n_grams == 4
+    assert rows[1].n_matched == 2
+    assert rows[1].longest_run == 2
+    assert rows[1].longest_overlap_tokens == 3
+    assert rows[2].n_matched == 0 and rows[2].longest_overlap_tokens == 0
+    # NULL text still reported (coalesced to ''), nothing matched
+    assert rows[3].n_matched == 0
+
+
+def test_memorization_scan_non_contiguous_runs_split(spark):
+    from feature_engineering_tk_spark.operators.dedup import memorization_scan
+
+    corpus = spark.createDataFrame(
+        [(100, "a b"), (101, "d e")], "doc_id bigint, text string"
+    )
+    gen = spark.createDataFrame(
+        [(1, "a b x d e")], "doc_id bigint, text string"
+    )
+    r = memorization_scan(gen, corpus, shingle_n=2).collect()[0]
+    # grams: [a b, b x, x d, d e] → matches at 0 and 3 — two runs of 1
+    assert r.n_matched == 2
+    assert r.longest_run == 1
+    assert r.longest_overlap_tokens == 2

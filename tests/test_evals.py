@@ -290,3 +290,56 @@ def test_embedding_decontaminate_tie_breaks_to_largest_bench_id(spark):
     )
     row = embedding_decontaminate(train, bench).collect()[0]
     assert row.matched_bench_id == 9  # both sim 1.0 → largest bid
+
+
+# ---------------------------------------------------------------- best-of-n
+
+
+def test_best_of_n_hand_values(spark):
+    from feature_engineering_tk_spark.operators.evals import best_of_n
+
+    df = spark.createDataFrame(
+        [
+            ("p1", "s1", 1.0),
+            ("p1", "s2", 3.0),
+            ("p1", "s3", 3.0),
+            ("p1", "s4", None),
+            ("p2", "s9", -1.0),
+        ],
+        "problem_id string, sample_id string, reward double",
+    )
+    rows = {r.problem_id: r for r in best_of_n(df).collect()}
+    p1 = rows["p1"]
+    assert p1.n_samples == 3  # NULL reward dropped
+    assert p1.best_sample == "s3"  # tie on 3.0 → greatest sample id
+    assert p1.best_reward == 3.0
+    assert p1.mean_reward == 7.0 / 3.0
+    assert p1.reward_range == 2.0
+    p2 = rows["p2"]
+    assert (p2.n_samples, p2.best_sample, p2.reward_range) == (1, "s9", 0.0)
+
+
+def test_refusal_rate_case_folded_counts(spark):
+    from feature_engineering_tk_spark.operators.evals import refusal_rate
+
+    df = spark.createDataFrame(
+        [
+            ("m1", "I CANNOT comply with that"),
+            ("m1", "sure thing"),
+            ("m1", None),
+            ("m2", "As an AI, I must decline"),
+        ],
+        "model string, text string",
+    )
+    rows = {r.model: r for r in refusal_rate(df).collect()}
+    assert rows["m1"].n_replies == 3 and rows["m1"].n_refusals == 1
+    assert rows["m1"].refusal_rate == 1 / 3
+    assert rows["m2"].n_refusals == 1 and rows["m2"].refusal_rate == 1.0
+
+
+def test_refusal_rate_rejects_empty_phrases(spark):
+    from feature_engineering_tk_spark.operators.evals import refusal_rate
+
+    df = spark.createDataFrame([("m", "x")], "model string, text string")
+    with pytest.raises(ValueError):
+        refusal_rate(df, phrases=())

@@ -691,3 +691,139 @@ def test_length_buckets_edges_and_overflow(spark):
     assert got[-1]["n_docs"] == 1 and got[-1]["padding_tokens"] == 0
     assert got[-1]["padding_frac"] is None
     assert got[16]["padding_frac"] == pytest.approx(16 / 32.0)
+
+
+# ------------------------------------------------------ discounted return
+
+
+def _reward_fixture(spark):
+    # deliberately unsorted turn order: the operator must sort
+    return spark.createDataFrame(
+        [("c1", 2, 4.0), ("c1", 0, 1.0), ("c1", 1, 2.0), ("c2", 0, 5.0)],
+        "conv_id string, turn_idx int, reward double",
+    )
+
+
+def test_discounted_return_past_recurrence(spark):
+    from feature_engineering_tk_spark.operators.transcripts import discounted_return
+
+    out = discounted_return(_reward_fixture(spark), gamma=0.5)
+    got = {(r.conv_id, r.turn_idx): r.discounted_return for r in out.collect()}
+    # G = [1, 0.5·1+2, 0.5·2.5+4] — exact binary values
+    assert got[("c1", 0)] == 1.0
+    assert got[("c1", 1)] == 2.5
+    assert got[("c1", 2)] == 5.25
+    assert got[("c2", 0)] == 5.0
+
+
+def test_discounted_return_future_direction_opt_in(spark):
+    from feature_engineering_tk_spark.operators.transcripts import discounted_return
+
+    out = discounted_return(_reward_fixture(spark), gamma=0.5, allow_future=True)
+    got = {(r.conv_id, r.turn_idx): r.discounted_return for r in out.collect()}
+    # G_i = r_i + 0.5·G_{i+1}: [1+0.5·4, 2+0.5·4, 4]
+    assert got[("c1", 2)] == 4.0
+    assert got[("c1", 1)] == 4.0
+    assert got[("c1", 0)] == 3.0
+
+
+def test_discounted_return_rejects_bad_gamma(spark):
+    from feature_engineering_tk_spark.operators.transcripts import discounted_return
+
+    with pytest.raises(ValueError):
+        discounted_return(_reward_fixture(spark), gamma=1.5)
+
+
+# -------------------------------------------------------- prefix sharing
+
+
+def test_prefix_sharing_groups_and_savings(spark):
+    from feature_engineering_tk_spark.operators.transcripts import prefix_sharing
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "you are helpful"), ("c1", 1, "hi there"),
+            ("c2", 0, "you are helpful"), ("c2", 1, "hi there"),
+            ("c2", 2, "IGNORED: beyond k"),
+            ("c3", 0, "different system"), ("c3", 1, "hi there"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = prefix_sharing(df, k=2).collect()
+    by_example = {r.example_conv: r for r in rows}
+    shared = by_example["c1"]
+    assert shared.n_convs == 2
+    assert shared.prefix_tokens == 5  # 3 + 2 whitespace tokens
+    assert shared.saved_tokens == 5  # (2-1)·5
+    solo = by_example["c3"]
+    assert solo.n_convs == 1 and solo.saved_tokens == 0
+
+
+def test_prefix_sharing_rejects_bad_k(spark):
+    from feature_engineering_tk_spark.operators.transcripts import prefix_sharing
+
+    df = spark.createDataFrame([("c", 0, "x")], "conv_id string, turn_idx int, text string")
+    with pytest.raises(ValueError):
+        prefix_sharing(df, k=0)
+
+
+# --------------------------------------------------------- branch points
+
+
+def test_branch_points_finds_forks(spark):
+    from feature_engineering_tk_spark.operators.transcripts import branch_points
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "a"), ("c1", 1, "b"),
+            ("c2", 0, "a"), ("c2", 1, "c"),
+            ("c3", 0, "a"), ("c3", 1, "b"),
+            ("c4", 0, "x"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = sorted(branch_points(df).collect(), key=lambda r: r.depth)
+    assert len(rows) == 2
+    # depth 0: all four convs share the empty prefix, next ∈ {a, x}
+    assert (rows[0].depth, rows[0].n_convs, rows[0].n_branches) == (0, 4, 2)
+    # depth 1: c1/c2/c3 share prefix 'a', next ∈ {b, c}
+    assert (rows[1].depth, rows[1].n_convs, rows[1].n_branches) == (1, 3, 2)
+
+
+def test_branch_points_no_fork_when_continuations_agree(spark):
+    from feature_engineering_tk_spark.operators.transcripts import branch_points
+
+    df = spark.createDataFrame(
+        [("c1", 0, "a"), ("c2", 0, "a")],
+        "conv_id string, turn_idx int, text string",
+    )
+    # two convs share the empty prefix but both continue with 'a'
+    assert branch_points(df).count() == 0
+
+
+# ------------------------------------------------------- tool transitions
+
+
+def test_tool_transitions_markov_table(spark):
+    from feature_engineering_tk_spark.operators.transcripts import tool_transitions
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "tool", "search"),
+            ("c1", 1, "assistant", None),  # non-tool turn: ignored
+            ("c1", 2, "tool", "search"),
+            ("c1", 3, "tool", "fetch"),
+            ("c2", 0, "tool", "search"),
+        ],
+        "conv_id string, turn_idx int, role string, tool string",
+    )
+    rows = {(r.src_tool, r.dst_tool): r for r in tool_transitions(df).collect()}
+    # c1: <start>→search→search→fetch; c2: <start>→search
+    assert rows[("<start>", "search")].n_transitions == 2
+    assert rows[("<start>", "search")].p_transition == 1.0
+    assert rows[("search", "search")].n_transitions == 1
+    assert rows[("search", "fetch")].n_transitions == 1
+    assert rows[("search", "search")].p_transition == 0.5
+    # transitions never cross conversations
+    assert ("fetch", "search") not in rows
+    assert len(rows) == 3
