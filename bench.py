@@ -226,7 +226,10 @@ def main() -> None:
                 # BENCH/scaling_attempts.jsonl — protocol, tables and
                 # the no-Spark hardware-ceiling control in
                 # BENCH/BASELINE.md
-                "scaling_40m_turns": _scaling_summary(),
+                # size-neutral key: the criterion-bearing job size is
+                # whatever BENCH/BASELINE.md's headline table carries
+                # (81M turns as of round 4)
+                "scaling_8_to_32": _scaling_summary(),
             }
         )
     )
