@@ -427,6 +427,76 @@ def main() -> None:
         )
     )
 
+    # 20. discounted_return: exactly ONE exchange on the canonical
+    # transcript table (conv groupBy; the fold itself is row-local)
+    from feature_engineering_tk_spark.operators.transcripts import (
+        branch_points,
+        discounted_return,
+        tool_transitions,
+    )
+
+    tr2 = generate_transcripts(spark, n_convs=50, seed=11).withColumn(
+        "reward", F.length("text").cast("double")
+    )
+    p = plan_of(discounted_return(tr2))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    sections.append(
+        (
+            "discounted_return (reward trace fold)",
+            p,
+            [f"exchanges={n_ex} (want 1 — one conv groupBy, JVM fold, posexplode)"],
+        )
+    )
+
+    # 21. tool_transitions: one subtree — the per-source total is a
+    # window over the aggregate-sized counts table, so the transcript
+    # scans exactly once (a join-back would duplicate the subtree)
+    p = plan_of(tool_transitions(tr2))
+    n_scans = len(set(re.findall(r"\((\d+)\) Scan ", p)))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    sections.append(
+        (
+            "tool_transitions (Markov edge table)",
+            p,
+            [
+                f"input_scans={n_scans} (want 1 — no duplicated subtree)",
+                f"exchanges={n_ex} (want 3 — conv lag, edge groupBy, src window)",
+            ],
+        )
+    )
+
+    # 22. branch_points: every window partitioned by conv_id
+    p = plan_of(branch_points(tr2))
+    unpart = len(re.findall(r"Arguments: \[[^\]]*\], \[\], \[", p))
+    sections.append(
+        (
+            "branch_points (fork detection)",
+            p,
+            [f"unpartitioned_windows={unpart} (want 0 — running prefix rides the conv sort)"],
+        )
+    )
+
+    # 23. memorization_scan: the gen-side exchange carries the 8-byte
+    # gram hash (_h), never document text; islands window per doc
+    from feature_engineering_tk_spark.operators.dedup import memorization_scan
+
+    gen = docs_df.where(F.col("doc_id") % 3 == 0)
+    corp = docs_df.where(F.col("doc_id") % 3 != 0)
+    p = plan_of(memorization_scan(gen, corp, shingle_n=3))
+    ex_inputs = re.findall(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", p)
+    text_in_exchange = any("text" in cols for cols in ex_inputs)
+    unpart = len(re.findall(r"Arguments: \[[^\]]*\], \[\], \[", p))
+    sections.append(
+        (
+            "memorization_scan (contiguous-overlap audit)",
+            p,
+            [
+                f"text_never_shuffles={not text_in_exchange} (want True — 8-byte gram hashes only)",
+                f"unpartitioned_windows={unpart} (want 0 — islands window per doc)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
