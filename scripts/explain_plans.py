@@ -452,7 +452,7 @@ def main() -> None:
     # window over the aggregate-sized counts table, so the transcript
     # scans exactly once (a join-back would duplicate the subtree)
     p = plan_of(tool_transitions(tr2))
-    n_scans = len(set(re.findall(r"\((\d+)\) Scan ", p)))
+    n_scans = len(set(re.findall(r"\((\d+)\) (?:Scan|LocalTableScan)", p)))
     n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
     sections.append(
         (
