@@ -3216,6 +3216,38 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(calls)
 
 
+def q_unigram_train(spark, sf_dir):
+    """Unigram-LM tokenizer training (functions/unigram.py
+    unigram_train): hard-EM over the distinct-word table, broadcast
+    vocab model, integer Viterbi counts (order-free, bit-deterministic).
+    Float-scored DP inside iterative EM is not reasonably ANSI-SQL
+    expressible — rows-only driver check; exact property-parity vs a
+    pure-Python reference lives in tests/test_unigram.py."""
+    from feature_engineering_tk_spark.functions.unigram import unigram_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_train(docs, vocab_size=60, n_iter=2, max_piece_len=4, seed_size=120)
+
+
+def q_unigram_segment(spark, sf_dir):
+    """Unigram-LM segmentation (functions/unigram.py unigram_segment):
+    model broadcast, one Arrow-batched mapInPandas pass, zero shuffle.
+    Rows-only driver check (same rationale as unigram_train)."""
+    from feature_engineering_tk_spark.functions.unigram import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = unigram_train(docs, vocab_size=60, n_iter=2, max_piece_len=4, seed_size=120)
+    out = unigram_segment(docs.select("doc_id", "text"), model, max_piece_len=4)
+    return out.select(
+        "doc_id",
+        F.size("pieces").alias("n_pieces"),
+        F.array_join(F.slice("pieces", 1, 12), " ").alias("pieces_head"),
+    )
+
+
 def q_compression_ratio(spark, sf_dir):
     """zlib compressibility signal (functions/cleaning.py
     compression_ratio): Arrow-batched pandas UDF over UTF-8 bytes,
@@ -3435,6 +3467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "branch_points": q_branch_points,
         "memorization_scan": q_memorization_scan,
         "tool_transitions": q_tool_transitions,
+        "unigram_train": q_unigram_train,
+        "unigram_segment": q_unigram_segment,
         "compression_ratio": q_compression_ratio,
     }
 
