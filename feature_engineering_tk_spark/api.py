@@ -640,3 +640,29 @@ class TranscriptAnalyzer:
         from feature_engineering_tk_spark.operators.transcripts import sft_export
 
         return sft_export(self.df, **kw)
+
+    def discounted_return(self, reward: str = "reward", **kw):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            discounted_return,
+        )
+
+        return discounted_return(self.df, reward=reward, **kw)
+
+    def prefix_sharing(self, k: int = 1, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            prefix_sharing,
+        )
+
+        return prefix_sharing(self.df, k=k, **kw)
+
+    def branch_points(self, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import branch_points
+
+        return branch_points(self.df, **kw)
+
+    def tool_transitions(self, **kw):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            tool_transitions,
+        )
+
+        return tool_transitions(self.df, **kw)

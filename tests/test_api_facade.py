@@ -143,3 +143,29 @@ def test_transcript_analyzer_facade(spark):
     assert ta.dedup().count() == 1
     import json
     assert json.loads(ta.sft_export().first()["json_line"])["conv_id"] == "a"
+
+
+def test_transcript_analyzer_round4_methods(spark):
+    import datetime as dt
+
+    import feature_engineering_tk_spark as fe
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "user", "hi", None, dt.datetime(2024, 1, 1, 0, 0, 0)),
+            ("a", 1, "tool", "run", "search", dt.datetime(2024, 1, 1, 0, 0, 2)),
+            ("a", 2, "tool", "run", "fetch", dt.datetime(2024, 1, 1, 0, 0, 4)),
+            ("b", 0, "user", "hi", None, dt.datetime(2024, 1, 2, 0, 0, 0)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    ta = fe.TranscriptAnalyzer(df.withColumn("reward", F.length("text").cast("double")))
+    dr = {(r.conv_id, r.turn_idx): r.discounted_return for r in ta.discounted_return().collect()}
+    assert dr[("a", 0)] == 2.0  # len('hi')
+    ps = ta.prefix_sharing(k=1).collect()
+    assert max(r.n_convs for r in ps) == 2  # 'hi' head shared by a and b
+    tt = {(r.src_tool, r.dst_tool) for r in ta.tool_transitions().collect()}
+    assert ("search", "fetch") in tt and ("<start>", "search") in tt
+    assert ta.branch_points().count() >= 0  # runs and returns the fork schema
