@@ -151,3 +151,63 @@ def streaming_dedup(
     """
     keys = keys or ["conv_id", "turn_idx"]
     return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_loop_monitor(
+    stream: DataFrame,
+    entity: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    ts: str = "ts",
+    role: str = "role",
+    text: str = "text",
+    min_repeats: int = 3,
+) -> DataFrame:
+    """Streaming agent-loop monitor — the streaming twin of the batch
+    ``operators.transcripts.detect_loops``: per conversation, the
+    length of the CURRENT run of consecutive identical ``(role,
+    text)`` turns, carried across micro-batches via
+    ``applyInPandasWithState``, with ``has_loop`` raised the moment a
+    run reaches ``min_repeats`` (a live stuck-agent alert, not an
+    after-the-fact batch audit).
+
+    State per conversation is three scalars (last turn signature,
+    current run length, max run) — bounded, no row buffering.  Each
+    micro-batch is processed vectorized (gaps-and-islands via
+    shift/cumsum on the Arrow batch; the only Python is pandas column
+    algebra).  Assumes per-conversation in-order arrival ACROSS
+    micro-batches (log-shipping order); within a micro-batch rows are
+    sorted by ``(ts, turn_idx)``.
+    """
+    import pandas as pd  # noqa: F401 (vectorized path)
+
+    out_schema = (
+        f"{entity} string, {turn_idx} int, run_len long, has_loop boolean"
+    )
+    state_schema = "sig string, run long, mx long"
+
+    def update(key, pdfs, state):
+        sig, run, mx = state.get if state.exists else (None, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts, turn_idx], kind="mergesort")
+            cur = (
+                pdf[role].fillna("") + "\x1f" + pdf[text].fillna("")
+            ).reset_index(drop=True)
+            prev = cur.shift()
+            if sig is not None:
+                prev.iloc[0] = sig
+            new_run = (cur != prev)
+            grp = new_run.cumsum()  # 0 = continuation of the carried run
+            run_in_grp = grp.groupby(grp).cumcount() + 1
+            runs = run_in_grp + (grp == 0) * run
+            out = pdf[[entity, turn_idx]].reset_index(drop=True)
+            out["run_len"] = runs.astype("int64")
+            out["has_loop"] = runs >= int(min_repeats)
+            yield out
+            sig = cur.iloc[-1]
+            run = int(runs.iloc[-1])
+            mx = max(mx, int(runs.max()))
+        state.update((sig, run, mx))
+
+    return stream.groupBy(entity).applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -203,3 +203,51 @@ def test_streaming_psi_bin_coding(spark, tmp_path):
     exp = {r["bin"]: r["count"] for r in counts(spark.read.parquet(src)).collect()}
     assert got == exp
     assert sum(got.values()) == 800
+
+
+def test_streaming_loop_monitor_crosses_batches(spark, tmp_path):
+    """A run of identical turns that spans a micro-batch boundary is
+    detected: state carries (signature, run length) across batches."""
+    import datetime as dt
+
+    from feature_engineering_tk_spark.operators.transcripts import detect_loops
+    from feature_engineering_tk_spark.streaming.sessions import (
+        read_transcript_stream,
+        streaming_loop_monitor,
+    )
+
+    def turn(c, i, r, t):
+        return (c, i, r, t, None, dt.datetime(2024, 1, 1, 0, 0, i))
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    first = spark.createDataFrame(
+        [turn("a", 0, "user", "x"), turn("a", 1, "assistant", "b"),
+         turn("a", 2, "assistant", "b")],
+        schema,
+    )
+    second = spark.createDataFrame(
+        [turn("a", 3, "assistant", "b"), turn("a", 4, "user", "y")], schema
+    )
+    src = str(tmp_path / "src")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files=1)
+    q = (
+        streaming_loop_monitor(stream, min_repeats=3)
+        .writeStream.format("memory")
+        .queryName("loop_mon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.turn_idx: r for r in spark.table("loop_mon").collect()}
+    assert [got[i].run_len for i in range(5)] == [1, 1, 2, 3, 1]
+    assert got[3].has_loop and not got[2].has_loop
+    # parity with the batch auditor's longest-run count
+    batch = detect_loops(first.unionByName(second), min_repeats=3).first()
+    assert batch.max_consecutive_repeats == 3 and batch.has_loop
