@@ -1,0 +1,188 @@
+"""Property-based parity for the round-4 operators: brute-force
+pure-Python simulators over hypothesis-generated inputs, exact
+equality (every float in these operators is either an exact integer
+division or a pinned sequential recurrence)."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+words = st.text(alphabet="ab", min_size=1, max_size=3)
+texts = st.lists(
+    st.lists(words, min_size=0, max_size=8).map(" ".join), min_size=1, max_size=10
+)
+
+
+# ---------------------------------------------------- memorization_scan
+
+
+def _ref_memorization(gen_docs, corpus_docs, n):
+    def grams(text):
+        toks = " ".join((text or "").lower().split()).split(" ")
+        k = max(len(toks) - n + 1, 1)
+        return [" ".join(toks[i : i + n]) for i in range(k)]
+
+    corpus = set()
+    for t in corpus_docs.values():
+        corpus.update(grams(t))
+    out = {}
+    for did, t in gen_docs.items():
+        gs = grams(t)
+        hit = [g in corpus for g in gs]
+        longest = run = 0
+        for h in hit:
+            run = run + 1 if h else 0
+            longest = max(longest, run)
+        out[did] = (
+            len(gs),
+            sum(hit),
+            longest,
+            longest + n - 1 if longest else 0,
+        )
+    return out
+
+
+@given(gen=texts, corp=texts, n=st.integers(2, 3))
+@SET
+def test_memorization_scan_matches_bruteforce(spark, gen, corp, n):
+    from feature_engineering_tk_spark.operators.dedup import memorization_scan
+
+    gen_docs = {i: t for i, t in enumerate(gen)}
+    corp_docs = {1000 + i: t for i, t in enumerate(corp)}
+    g = spark.createDataFrame(list(gen_docs.items()), "doc_id bigint, text string")
+    c = spark.createDataFrame(list(corp_docs.items()), "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_matched, r.longest_run, r.longest_overlap_tokens)
+        for r in memorization_scan(g, c, shingle_n=n).collect()
+    }
+    assert got == _ref_memorization(gen_docs, corp_docs, n)
+
+
+# ---------------------------------------------------- discounted_return
+
+
+@given(
+    rewards=st.lists(
+        st.lists(st.integers(-5, 9), min_size=1, max_size=10),
+        min_size=1,
+        max_size=6,
+    ),
+    gamma=st.sampled_from([0.0, 0.5, 0.9, 1.0]),
+)
+@SET
+def test_discounted_return_matches_recurrence(spark, rewards, gamma):
+    from feature_engineering_tk_spark.operators.transcripts import discounted_return
+
+    rows = [
+        (f"c{ci}", ti, float(r))
+        for ci, rs in enumerate(rewards)
+        for ti, r in enumerate(rs)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, reward double")
+    got = {
+        (r.conv_id, r.turn_idx): r.discounted_return
+        for r in discounted_return(df, gamma=gamma).collect()
+    }
+    for ci, rs in enumerate(rewards):
+        g = 0.0
+        for ti, r in enumerate(rs):
+            g = g * gamma + float(r)
+            assert got[(f"c{ci}", ti)] == g  # identical float op sequence
+
+
+# ------------------------------------------------------- branch_points
+
+
+def _ref_branches(convs, min_convs=2):
+    from hashlib import md5
+
+    marked = {}
+    for cid, turns in convs.items():
+        prefix = []
+        for depth, t in enumerate(turns):
+            key = md5("\x1f".join(prefix).encode()).hexdigest()
+            marked.setdefault(key, []).append((depth, cid, t))
+            if t is not None:
+                prefix.append(t)
+    out = set()
+    for key, rows in marked.items():
+        n_convs = len({c for _, c, _ in rows})
+        nxt = {t for _, _, t in rows if t is not None}
+        depth = min(d for d, _, _ in rows)
+        if n_convs >= min_convs and len(nxt) >= 2:
+            out.add((depth, key, n_convs, len(nxt)))
+    return out
+
+
+@given(
+    convs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_branch_points_matches_bruteforce(spark, convs):
+    from feature_engineering_tk_spark.operators.transcripts import branch_points
+
+    conv_map = {f"c{i}": ts for i, ts in enumerate(convs)}
+    rows = [
+        (cid, ti, t) for cid, ts in conv_map.items() for ti, t in enumerate(ts)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        (r.depth, r.prefix_hash, r.n_convs, r.n_branches)
+        for r in branch_points(df).collect()
+    }
+    assert got == _ref_branches(conv_map)
+
+
+# ------------------------------------------------------ tool_transitions
+
+
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from(["s", "f", "g"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SET
+def test_tool_transitions_matches_bruteforce(spark, seqs):
+    from fractions import Fraction
+
+    from feature_engineering_tk_spark.operators.transcripts import tool_transitions
+
+    rows = [
+        (f"c{ci}", ti, "tool", t)
+        for ci, ts in enumerate(seqs)
+        for ti, t in enumerate(ts)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string"
+    )
+    counts: dict = {}
+    for ts in seqs:
+        prev = "<start>"
+        for t in ts:
+            counts[(prev, t)] = counts.get((prev, t), 0) + 1
+            prev = t
+    totals: dict = {}
+    for (s, _), n in counts.items():
+        totals[s] = totals.get(s, 0) + n
+    got = {
+        (r.src_tool, r.dst_tool): (r.n_transitions, r.p_transition)
+        for r in tool_transitions(df).collect()
+    }
+    assert set(got) == set(counts)
+    for k, n in counts.items():
+        assert got[k][0] == n
+        assert got[k][1] == n / totals[k[0]]  # one exact division
