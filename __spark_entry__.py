@@ -3216,6 +3216,38 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(calls)
 
 
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram table (operators/evals.py calibration_bins):
+    row-local equal-width bin id, one partial-agg groupBy to an
+    n_bins-bounded result; frac_pos exact, mean_score rounded at the
+    comparison boundary. Scores = fractional part of value (exact
+    float subtraction), labels = user_id parity."""
+    from feature_engineering_tk_spark.operators.evals import calibration_bins
+
+    ev = _t(spark, sf_dir, "events")
+    samples = ev.where(F.col("value").isNotNull()).select(
+        (F.col("value") - F.floor(F.col("value"))).alias("score"),
+        (F.col("user_id") % 2).alias("label"),
+    )
+    out = calibration_bins(samples, n_bins=10)
+    return out.select(
+        "bin", "n", F.round("mean_score", 6).alias("mean_score"), "frac_pos"
+    )
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot churn audit (operators/dedup.py corpus_diff): both
+    versions reduce to distinct (source, content-hash) pairs before
+    the only join — text never shuffles; jaccard one exact division.
+    Version a = doc_id % 4 != 0, version b = doc_id % 4 != 1."""
+    from feature_engineering_tk_spark.operators.dedup import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 4 != 0)
+    b = docs.where(F.col("doc_id") % 4 != 1)
+    return corpus_diff(a, b)
+
+
 def q_unigram_train(spark, sf_dir):
     """Unigram-LM tokenizer training (functions/unigram.py
     unigram_train): hard-EM over the distinct-word table, broadcast
@@ -3467,6 +3499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "branch_points": q_branch_points,
         "memorization_scan": q_memorization_scan,
         "tool_transitions": q_tool_transitions,
+        "calibration_bins": q_calibration_bins,
+        "corpus_diff": q_corpus_diff,
         "unigram_train": q_unigram_train,
         "unigram_segment": q_unigram_segment,
         "compression_ratio": q_compression_ratio,
@@ -7286,5 +7320,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.src_tool, c.dst_tool, c.n_transitions,
                CAST(c.n_transitions AS DOUBLE) / t.tot AS p_transition
           FROM c JOIN t USING (src_tool)
+    """
+    d["calibration_bins"] = """
+        WITH s AS (
+          SELECT value - floor(value) AS score, user_id % 2 AS label
+            FROM events WHERE value IS NOT NULL
+        ),
+        b AS (
+          SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+                 score, label
+            FROM s
+        )
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               round(sum(score) / count(*), 6) AS mean_score,
+               CAST(sum(label) AS DOUBLE) / count(*) AS frac_pos
+          FROM b GROUP BY bin
+    """
+    d["corpus_diff"] = """
+        WITH an AS (
+          SELECT DISTINCT source,
+                 trim(regexp_replace(lower(coalesce(text, '')),
+                                     '\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id % 4 <> 0
+        ),
+        bn AS (
+          SELECT DISTINCT source,
+                 trim(regexp_replace(lower(coalesce(text, '')),
+                                     '\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id % 4 <> 1
+        ),
+        j AS (
+          SELECT coalesce(an.source, bn.source) AS source,
+                 an.t IS NOT NULL AS ia, bn.t IS NOT NULL AS ib
+            FROM an FULL OUTER JOIN bn
+              ON an.source = bn.source AND an.t = bn.t
+        ),
+        g AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN ib AND NOT ia THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_added,
+                 CAST(sum(CASE WHEN ia AND NOT ib THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_removed,
+                 CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_kept
+            FROM j GROUP BY source
+        )
+        SELECT source, n_a, n_b, n_added, n_removed, n_kept,
+               CAST(n_kept AS DOUBLE) / (n_a + n_b - n_kept) AS jaccard
+          FROM g
     """
     return d

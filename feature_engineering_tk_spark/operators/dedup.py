@@ -957,3 +957,56 @@ def memorization_scan(
         .cast("bigint")
         .alias("longest_overlap_tokens"),
     )
+
+
+def corpus_diff(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus churn audit: per ``by`` group, how
+    many DISTINCT normalized-content documents were added, removed, or
+    kept between corpus version ``a`` and version ``b`` — the release
+    gate that catches a crawler regression (mass removals) or a
+    duplicate-injection bug (mass additions) before training.
+
+    Returns ``(by, n_a, n_b, n_added, n_removed, n_kept, jaccard)``
+    where the counts are distinct contents and ``jaccard =
+    kept / (n_a + n_b − kept)`` is one exact integer division.
+
+    Scale shape: both snapshots reduce to DISTINCT (group, 8-byte
+    content hash) pairs before the only join — text never shuffles;
+    the full-outer join keys on (group, hash) and the final groupBy
+    rides the same partitioning.
+    """
+    def side(df: DataFrame, flag: str) -> DataFrame:
+        h = _token_hash(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), hash_mode)
+        return (
+            df.select(F.col(by), h.alias("_h"))
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    joined = side(a, "_in_a").join(side(b, "_in_b"), [by, "_h"], "full_outer")
+    in_a = F.col("_in_a").isNotNull()
+    in_b = F.col("_in_b").isNotNull()
+    agg = joined.groupBy(by).agg(
+        F.sum(in_a.cast("bigint")).alias("n_a"),
+        F.sum(in_b.cast("bigint")).alias("n_b"),
+        F.sum((in_b & ~in_a).cast("bigint")).alias("n_added"),
+        F.sum((in_a & ~in_b).cast("bigint")).alias("n_removed"),
+        F.sum((in_a & in_b).cast("bigint")).alias("n_kept"),
+    )
+    return agg.select(
+        by,
+        "n_a",
+        "n_b",
+        "n_added",
+        "n_removed",
+        "n_kept",
+        (F.col("n_kept") / (F.col("n_a") + F.col("n_b") - F.col("n_kept"))).alias(
+            "jaccard"
+        ),
+    )

@@ -364,3 +364,59 @@ def refusal_rate(
             (F.col("n_refusals") / F.col("n_replies")).alias("refusal_rate"),
         )
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score: str = "score",
+    label: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table for a probabilistic classifier /
+    reward model / quality filter: scores in [0, 1] bucketed into
+    ``n_bins`` equal-width bins; per bin the sample count, the mean
+    predicted score, and the observed positive rate.  The standard
+    calibration audit before a model's scores gate corpus filtering.
+
+    Returns ``(bin, n, mean_score, frac_pos)``; ``frac_pos`` is one
+    exact integer division; ``mean_score`` is a float sum divided once
+    (round it at the comparison boundary as usual).  Scores exactly
+    1.0 land in the top bin (the half-open-bins convention).
+
+    Scale shape: the bin id is a row-local expression; ONE
+    partial-aggregatable ``groupBy(bin)`` over an (n_bins)-bounded
+    result.  NULL scores/labels are dropped.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score).cast("double")
+    live = df.where(s.isNotNull() & F.col(label).isNotNull())
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (
+        live.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s).alias("_ss"),
+            F.sum(F.col(label).cast("bigint")).alias("_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            (F.col("_ss") / F.col("n")).alias("mean_score"),
+            (F.col("_pos") / F.col("n")).alias("frac_pos"),
+        )
+    )
+
+
+def expected_calibration_error(bins: list) -> float:
+    """ECE from a COLLECTED ``calibration_bins`` result (≤ n_bins rows
+    — driver math on an aggregate-sized table, the kmeans/PCA
+    convention): Σ (n_b / N) · |frac_pos_b − mean_score_b|, summed in
+    bin order for determinism."""
+    rows = sorted(bins, key=lambda r: r["bin"])
+    total = sum(r["n"] for r in rows)
+    if total == 0:
+        raise InsufficientDataError("expected_calibration_error", required=1, actual=0)
+    return sum(
+        (r["n"] / total) * abs(r["frac_pos"] - r["mean_score"]) for r in rows
+    )

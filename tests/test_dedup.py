@@ -429,3 +429,26 @@ def test_memorization_scan_non_contiguous_runs_split(spark):
     assert r.n_matched == 2
     assert r.longest_run == 1
     assert r.longest_overlap_tokens == 2
+
+
+# ---------------------------------------------------------- corpus diff
+
+
+def test_corpus_diff_counts_and_jaccard(spark):
+    from feature_engineering_tk_spark.operators.dedup import corpus_diff
+
+    a = spark.createDataFrame(
+        [("s1", "Hello  world"), ("s1", "gone doc"), ("s2", "stable")],
+        "source string, text string",
+    )
+    b = spark.createDataFrame(
+        [("s1", "hello world"), ("s1", "new doc"), ("s2", "stable"), ("s2", "stable")],
+        "source string, text string",
+    )
+    rows = {r.source: r for r in corpus_diff(a, b).collect()}
+    s1 = rows["s1"]
+    # 'Hello  world' ≡ 'hello world' after normalization → kept
+    assert (s1.n_a, s1.n_b, s1.n_added, s1.n_removed, s1.n_kept) == (2, 2, 1, 1, 1)
+    assert s1.jaccard == 1 / 3
+    s2 = rows["s2"]  # duplicate 'stable' in b counts once (distinct contents)
+    assert (s2.n_a, s2.n_b, s2.n_kept, s2.jaccard) == (1, 1, 1, 1.0)

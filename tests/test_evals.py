@@ -343,3 +343,35 @@ def test_refusal_rate_rejects_empty_phrases(spark):
     df = spark.createDataFrame([("m", "x")], "model string, text string")
     with pytest.raises(ValueError):
         refusal_rate(df, phrases=())
+
+
+def test_calibration_bins_hand_values(spark):
+    from feature_engineering_tk_spark.operators.evals import (
+        calibration_bins,
+        expected_calibration_error,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0.05, 0), (0.05, 1),          # bin 0: mean .05, frac_pos .5
+            (0.95, 1), (0.95, 1),          # bin 9
+            (1.0, 1),                      # score 1.0 clamps into bin 9
+            (None, 1), (0.5, None),        # dropped
+        ],
+        "score double, label int",
+    )
+    rows = {r.bin: r for r in calibration_bins(df, n_bins=10).collect()}
+    assert set(rows) == {0, 9}
+    assert rows[0].n == 2 and rows[0].frac_pos == 0.5 and rows[0].mean_score == 0.05
+    assert rows[9].n == 3 and rows[9].frac_pos == 1.0
+    ece = expected_calibration_error([r.asDict() for r in rows.values()])
+    # bin0: (2/5)·|.5-.05| + bin9: (3/5)·|1-(.95+.95+1)/3|
+    assert abs(ece - ((2 / 5) * 0.45 + (3 / 5) * abs(1 - 2.9 / 3))) < 1e-12
+
+
+def test_calibration_bins_rejects_bad_bins(spark):
+    from feature_engineering_tk_spark.operators.evals import calibration_bins
+
+    df = spark.createDataFrame([(0.5, 1)], "score double, label int")
+    with pytest.raises(ValueError):
+        calibration_bins(df, n_bins=0)
