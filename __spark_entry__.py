@@ -3216,6 +3216,39 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(calls)
 
 
+def q_rows_since_event(spark, sf_dir):
+    """Point-in-time recency feature (operators/window_features.py
+    rows_since_event): rows back to the most recent PRIOR 'error'
+    turn — frame ends at the previous row (leakage-free), distance in
+    row_numbers so order gaps don't distort. One conv sort."""
+    from feature_engineering_tk_spark.operators.window_features import (
+        rows_since_event,
+    )
+
+    tv = _transcript_view(spark, sf_dir)
+    out = rows_since_event(tv, F.col("text") == "error")
+    return out.select("conv_id", "turn_idx", "rows_since_event")
+
+
+def q_conversation_outcome(spark, sf_dir):
+    """Per-conversation outcome triage (operators/transcripts.py
+    conversation_outcome): last-role / answered / thanked heuristics
+    as struct maxes in ONE partial-agg groupBy — no window, text never
+    shuffles. 'signup' turns rewritten to a thanks phrase so the
+    satisfaction flag exercises both ways."""
+    from feature_engineering_tk_spark.operators.transcripts import (
+        conversation_outcome,
+    )
+
+    tv = _transcript_view(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("text") == "signup", F.lit("Thanks, that worked!")).otherwise(
+            F.col("text")
+        ),
+    )
+    return conversation_outcome(tv)
+
+
 def q_calibration_bins(spark, sf_dir):
     """Reliability-diagram table (operators/evals.py calibration_bins):
     row-local equal-width bin id, one partial-agg groupBy to an
@@ -3501,6 +3534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": q_tool_transitions,
         "calibration_bins": q_calibration_bins,
         "corpus_diff": q_corpus_diff,
+        "rows_since_event": q_rows_since_event,
+        "conversation_outcome": q_conversation_outcome,
         "unigram_train": q_unigram_train,
         "unigram_segment": q_unigram_segment,
         "compression_ratio": q_compression_ratio,
@@ -7370,5 +7405,77 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, n_a, n_b, n_added, n_removed, n_kept,
                CAST(n_kept AS DOUBLE) / (n_a + n_b - n_kept) AS jaccard
           FROM g
+    """
+    d["rows_since_event"] = _TRANSCRIPT_CTE + """,
+        r AS (
+          SELECT conv_id, turn_idx, text,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS rn
+            FROM transcript
+        ),
+        s AS (
+          SELECT conv_id, turn_idx, rn,
+                 max(CASE WHEN text = 'error' THEN rn END)
+                   OVER (PARTITION BY conv_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pr
+            FROM r
+        )
+        SELECT conv_id, turn_idx,
+               CAST(rn - pr AS BIGINT) AS rows_since_event
+          FROM s
+    """
+    _thanks = " OR ".join(
+        f"strpos(lower(coalesce(text, '')), '{p}') > 0"
+        for p in ("thank", "thanks", "perfect", "great, ")
+    )
+    d["conversation_outcome"] = _TRANSCRIPT_CTE + f""",
+        t2 AS (
+          SELECT conv_id, CAST(turn_idx AS BIGINT) AS i, role,
+                 CASE WHEN text = 'signup' THEN 'Thanks, that worked!'
+                      ELSE text END AS text
+            FROM transcript
+        ),
+        flags AS (
+          SELECT conv_id, i, role,
+                 ({_thanks}) AS th,
+                 trim(lower(coalesce(text, ''))) AS tx
+            FROM t2
+        ),
+        lastr AS (
+          SELECT conv_id, role AS last_role, i AS last_i
+            FROM (SELECT *, row_number() OVER (PARTITION BY conv_id
+                                               ORDER BY i DESC) AS rd
+                    FROM flags)
+           WHERE rd = 1
+        ),
+        lu AS (
+          SELECT conv_id, i AS last_user_turn, th
+            FROM (SELECT *, row_number() OVER (PARTITION BY conv_id
+                                               ORDER BY i DESC) AS rn
+                    FROM flags WHERE role = 'user')
+           WHERE rn = 1
+        ),
+        la AS (
+          SELECT conv_id, i AS last_assistant_turn, tx
+            FROM (SELECT *, row_number() OVER (PARTITION BY conv_id
+                                               ORDER BY i DESC) AS rn
+                    FROM flags WHERE role = 'assistant')
+           WHERE rn = 1
+        ),
+        base AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+            FROM flags GROUP BY conv_id
+        )
+        SELECT base.conv_id, base.n_turns, lastr.last_role,
+               (lastr.last_role = 'assistant'
+                AND coalesce(la.tx <> '', FALSE)
+                AND la.last_assistant_turn = lastr.last_i) AS ended_answered,
+               coalesce(lu.th, FALSE) AS user_thanked,
+               lu.last_user_turn, la.last_assistant_turn
+          FROM base
+          JOIN lastr ON base.conv_id = lastr.conv_id
+          LEFT JOIN lu ON base.conv_id = lu.conv_id
+          LEFT JOIN la ON base.conv_id = la.conv_id
     """
     return d

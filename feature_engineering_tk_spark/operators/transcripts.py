@@ -847,3 +847,61 @@ def tool_transitions(
         "n_transitions",
         (F.col("n_transitions") / tot).alias("p_transition"),
     )
+
+
+#: Case-folded substrings marking a satisfied closing user turn.
+THANKS_PHRASES: tuple[str, ...] = ("thank", "thanks", "perfect", "great, ")
+
+
+def conversation_outcome(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    thanks_phrases: tuple[str, ...] = THANKS_PHRASES,
+) -> DataFrame:
+    """Per-conversation outcome heuristics — the triage row a support /
+    agent-quality dashboard keys on:
+
+    - ``n_turns``,
+    - ``last_role`` — who spoke last (a conversation ending on a user
+      turn usually means an unanswered request),
+    - ``ended_answered`` — the final turn is a non-empty assistant
+      turn,
+    - ``user_thanked`` — the LAST user turn contains a satisfaction
+      phrase (case-folded substring, ``instr`` — no regex),
+    - ``last_user_turn`` / ``last_assistant_turn`` — turn indexes
+      (NULL when the role never speaks).
+
+    Scale shape: ONE partial-aggregatable ``groupBy(conv_id)`` — the
+    per-role "last turn" rides as ``max_by``-style struct maxes, so no
+    window and no second shuffle; text never shuffles (only the
+    row-local thanks flag and the struct-max text of the final turn).
+    """
+    lowered = F.lower(F.coalesce(F.col(text), F.lit("")))
+    thanks = F.lit(False)
+    for p in thanks_phrases:
+        thanks = thanks | lowered.contains(p.lower())
+    t = F.col(turn_idx).cast("bigint")
+    is_user = F.col(role) == "user"
+    is_assist = F.col(role) == "assistant"
+    agg = df.groupBy(conv_id).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max(F.struct(t.alias("i"), F.col(role).alias("r"))).alias("_last"),
+        F.max(F.when(is_user, F.struct(t.alias("i"), thanks.alias("th")))).alias("_lu"),
+        F.max(F.when(is_assist, F.struct(t.alias("i"), F.trim(lowered).alias("tx")))).alias("_la"),
+    )
+    return agg.select(
+        conv_id,
+        "n_turns",
+        F.col("_last.r").alias("last_role"),
+        (
+            (F.col("_last.r") == "assistant")
+            & F.coalesce(F.col("_la.tx") != "", F.lit(False))
+            & (F.col("_la.i") == F.col("_last.i"))
+        ).alias("ended_answered"),
+        F.coalesce(F.col("_lu.th"), F.lit(False)).alias("user_thanked"),
+        F.col("_lu.i").alias("last_user_turn"),
+        F.col("_la.i").alias("last_assistant_turn"),
+    )

@@ -466,3 +466,32 @@ def resample(
         name = "n_rows" if col == "*" else f"{col}_{fn}"
         exprs.append(_FNS[fn](target).alias(name))
     return df.groupBy(*keys).agg(*exprs)
+
+
+def rows_since_event(
+    df: DataFrame,
+    condition: Column,
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    out: str = "rows_since_event",
+) -> DataFrame:
+    """Point-in-time "recency" feature: for each row, how many rows
+    back the most recent PRIOR row satisfying ``condition`` sits
+    (1 = the immediately preceding row; NULL when no prior row
+    qualifies).  The workhorse behind features like "turns since the
+    last tool error" or "turns since the user last changed topic".
+
+    Leakage-free by construction: the frame ends at the PREVIOUS row,
+    so a row never reads its own flag — the same frame contract as
+    ``response_latency``.  Rides the shared ``partitionBy(entity)``
+    sort; counting uses ``row_number`` (not the order column's
+    values), so gaps or non-contiguous order values don't distort the
+    distance.
+    """
+    w = entity_window(entity, order)
+    rn = F.row_number().over(w)
+    base = df.withColumn("_rn", rn)
+    prior = F.max(F.when(condition, F.col("_rn"))).over(
+        entity_window(entity, order).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.withColumn(out, (F.col("_rn") - prior).cast("bigint")).drop("_rn")

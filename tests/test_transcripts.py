@@ -827,3 +827,34 @@ def test_tool_transitions_markov_table(spark):
     # transitions never cross conversations
     assert ("fetch", "search") not in rows
     assert len(rows) == 3
+
+
+# --------------------------------------------------- conversation outcome
+
+
+def test_conversation_outcome_heuristics(spark):
+    from feature_engineering_tk_spark.operators.transcripts import (
+        conversation_outcome,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("good", 0, "user", "help me"),
+            ("good", 1, "assistant", "done!"),
+            ("good", 2, "user", "THANKS a lot"),
+            ("good", 3, "assistant", "anytime"),
+            ("hanging", 0, "user", "hello?"),
+            ("empty_end", 0, "user", "hi"),
+            ("empty_end", 1, "assistant", "   "),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    rows = {r.conv_id: r for r in conversation_outcome(df).collect()}
+    g = rows["good"]
+    assert g.last_role == "assistant" and g.ended_answered
+    assert g.user_thanked and g.last_user_turn == 2 and g.last_assistant_turn == 3
+    h = rows["hanging"]
+    assert h.last_role == "user" and not h.ended_answered
+    assert not h.user_thanked and h.last_assistant_turn is None
+    e = rows["empty_end"]  # whitespace-only final assistant turn ≠ answered
+    assert e.last_role == "assistant" and not e.ended_answered

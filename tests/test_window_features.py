@@ -413,3 +413,26 @@ class TestResample:
         import pytest as _pt
         with _pt.raises(ValueError):
             resample(df, aggs={"value": "median"})
+
+
+def test_rows_since_event_prior_frame(spark):
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.operators.window_features import (
+        rows_since_event,
+    )
+
+    df = spark.createDataFrame(
+        [("c", 0, "err"), ("c", 1, "ok"), ("c", 2, "err"), ("c", 3, "ok"),
+         ("d", 0, "ok")],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = rows_since_event(df, F.col("text") == "err")
+    got = {(r.conv_id, r.turn_idx): r.rows_since_event for r in out.collect()}
+    assert got[("c", 0)] is None  # no prior row qualifies
+    assert got[("c", 1)] == 1
+    # the frame ends at the PREVIOUS row: turn 2 sees turn 0's err, not
+    # its own flag
+    assert got[("c", 2)] == 2
+    assert got[("c", 3)] == 1
+    assert got[("d", 0)] is None  # never crosses conversations
