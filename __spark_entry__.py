@@ -3216,6 +3216,19 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(calls)
 
 
+def q_embedding_shift(spark, sf_dir):
+    """Embedding-space snapshot drift (functions/embeddings.py
+    embedding_shift): per-dim means rounded before the distance
+    algebra (covariance_stats convention), dim-bounded shuffles only.
+    Snapshot a = vec_id even, b = odd."""
+    from feature_engineering_tk_spark.functions.embeddings import embedding_shift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_shift(
+        emb.where(F.col("vec_id") % 2 == 0), emb.where(F.col("vec_id") % 2 != 0)
+    )
+
+
 def q_rows_since_event(spark, sf_dir):
     """Point-in-time recency feature (operators/window_features.py
     rows_since_event): rows back to the most recent PRIOR 'error'
@@ -3536,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "rows_since_event": q_rows_since_event,
         "conversation_outcome": q_conversation_outcome,
+        "embedding_shift": q_embedding_shift,
         "unigram_train": q_unigram_train,
         "unigram_segment": q_unigram_segment,
         "compression_ratio": q_compression_ratio,
@@ -7477,5 +7491,31 @@ def oracle_sql() -> dict[str, str]:
           JOIN lastr ON base.conv_id = lastr.conv_id
           LEFT JOIN lu ON base.conv_id = lu.conv_id
           LEFT JOIN la ON base.conv_id = la.conv_id
+    """
+    d["embedding_shift"] = """
+        WITH ea AS (
+          SELECT u.i AS p, round(avg(u.v), 6) AS ma,
+                 CAST(count(*) AS BIGINT) AS na
+            FROM (SELECT unnest(list_transform(range(0, len(embedding)),
+                            i -> {'i': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) AS u
+                    FROM embeddings WHERE vec_id % 2 = 0)
+           GROUP BY u.i
+        ),
+        eb AS (
+          SELECT u.i AS p, round(avg(u.v), 6) AS mb,
+                 CAST(count(*) AS BIGINT) AS nb
+            FROM (SELECT unnest(list_transform(range(0, len(embedding)),
+                            i -> {'i': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) AS u
+                    FROM embeddings WHERE vec_id % 2 <> 0)
+           GROUP BY u.i
+        )
+        SELECT CAST(count(*) AS BIGINT) AS dim,
+               max(na) AS n_a, max(nb) AS n_b,
+               round(sqrt(sum(power(ma - mb, 2))), 6) AS mean_l2_shift,
+               CASE WHEN sum(ma * ma) > 0 AND sum(mb * mb) > 0
+                    THEN round(sum(ma * mb)
+                               / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6)
+               END AS mean_cosine
+          FROM ea JOIN eb USING (p)
     """
     return d

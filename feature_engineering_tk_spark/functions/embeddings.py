@@ -169,3 +169,62 @@ def mean_pool(
             lambda x: x["_m"],
         ).alias(out)
     )
+
+
+def embedding_shift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Embedding-space distribution shift between two snapshots — the
+    drift family's (analysis/drift.py) semantic sibling: compare the
+    per-dimension MEAN vectors of corpus ``a`` and corpus ``b`` and
+    report one scalar row ``(dim, n_a, n_b, mean_l2_shift,
+    mean_cosine)``.  A retrieval corpus whose centroid moved (crawler
+    regression, domain mix change) shows up here before any
+    per-column PSI can see it.
+
+    Determinism: per-dim means are rounded to ``decimals`` BEFORE the
+    distance algebra (the covariance_stats convention — batch-sum
+    float noise sits far below the rounding grid), and the final
+    scalars are rounded again, so the result is engine- and
+    partitioning-stable.
+
+    Scale shape: each side is one ``posexplode`` → ``groupBy(dim)``
+    with map-side partial sums — the shuffle carries dim-bounded
+    partials, never vectors; the comparison joins two dim-sized
+    tables and reduces to one row.
+    """
+
+    def dim_means(df: DataFrame, mcol: str, ncol: str) -> DataFrame:
+        ex = df.select(F.posexplode(F.col(vec_col)).alias("_p", "_v"))
+        return ex.groupBy("_p").agg(
+            F.round(F.avg(F.col("_v").cast("double")), decimals).alias(mcol),
+            F.count(F.lit(1)).alias(ncol),
+        )
+
+    ma = dim_means(a, "_ma", "_na")
+    mb = dim_means(b, "_mb", "_nb")
+    j = ma.join(mb, "_p")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.sum(F.pow(F.col("_ma") - F.col("_mb"), 2)).alias("_d2"),
+        F.sum(F.col("_ma") * F.col("_mb")).alias("_dot"),
+        F.sum(F.col("_ma") * F.col("_ma")).alias("_sa"),
+        F.sum(F.col("_mb") * F.col("_mb")).alias("_sb"),
+    )
+    return agg.select(
+        "dim",
+        "n_a",
+        "n_b",
+        F.round(F.sqrt("_d2"), decimals).alias("mean_l2_shift"),
+        F.when(
+            (F.col("_sa") > 0) & (F.col("_sb") > 0),
+            F.round(
+                F.col("_dot") / (F.sqrt("_sa") * F.sqrt("_sb")), decimals
+            ),
+        ).alias("mean_cosine"),
+    )

@@ -125,3 +125,21 @@ class TestMeanPool:
         vec = [float(i) for i in range(16)]
         df = spark.createDataFrame([("a", vec)], "g string, embedding array<double>")
         assert mean_pool(df, "g").first()["mean_vec"] == vec
+
+
+def test_embedding_shift_identical_and_shifted(spark):
+    from feature_engineering_tk_spark.functions.embeddings import embedding_shift
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    same = embedding_shift(a, a).first()
+    assert same.dim == 2 and same.n_a == 2 and same.n_b == 2
+    assert same.mean_l2_shift == 0.0 and same.mean_cosine == 1.0
+    b = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    moved = embedding_shift(a, b).first()
+    # orthogonal unit centroids: shift sqrt(2), cosine 0
+    assert abs(moved.mean_l2_shift - 2**0.5) < 1e-6
+    assert moved.mean_cosine == 0.0
