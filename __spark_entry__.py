@@ -3216,6 +3216,65 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(calls)
 
 
+def q_position_bias(spark, sf_dir):
+    """Judge position-bias audit (operators/evals.py position_bias):
+    one fully map-side scalar aggregation over the battle table; every
+    share an exact integer division."""
+    from feature_engineering_tk_spark.operators.evals import position_bias
+
+    return position_bias(_battles(spark, sf_dir))
+
+
+def q_length_bias(spark, sf_dir):
+    """Verbosity-bias audit (operators/evals.py length_bias): row-local
+    whitespace-token deltas, one scalar agg — text never shuffles.
+    Pairs = (text, first half of text), so chosen is predictably
+    longer and the sign test fires."""
+    from feature_engineering_tk_spark.operators.evals import length_bias
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("text").alias("chosen_text"),
+        F.expr("substring(text, 1, CAST(length(text) / 2 AS INT))").alias(
+            "rejected_text"
+        ),
+    )
+    out = length_bias(pairs)
+    return out.select(
+        "n_pairs",
+        "n_chosen_longer",
+        "n_rejected_longer",
+        "n_equal",
+        "longer_share",
+        F.round("mean_token_delta", 6).alias("mean_token_delta"),
+        F.round("sign_z", 6).alias("sign_z"),
+    )
+
+
+def q_repair_timestamps(spark, sf_dir):
+    """Clock-repair cleanup (operators/transcripts.py
+    repair_timestamps): running-max clamp on one conv window with an
+    audit flag. Every 7th turn's clock is pulled back an hour to
+    exercise both paths."""
+    from feature_engineering_tk_spark.operators.transcripts import repair_timestamps
+
+    tv = _transcript_view(spark, sf_dir).withColumn(
+        "ts",
+        F.when(
+            F.col("turn_idx") % 7 == 3, F.col("ts") - F.expr("INTERVAL 1 HOUR")
+        ).otherwise(F.col("ts")),
+    )
+    from feature_engineering_tk_spark.functions.timeutil import epoch_micros
+
+    out = repair_timestamps(tv)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        epoch_micros(F.col("ts")).alias("ts_us"),
+        "ts_was_repaired",
+    )
+
+
 def q_embedding_shift(spark, sf_dir):
     """Embedding-space snapshot drift (functions/embeddings.py
     embedding_shift): per-dim means rounded before the distance
@@ -3550,6 +3609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_since_event": q_rows_since_event,
         "conversation_outcome": q_conversation_outcome,
         "embedding_shift": q_embedding_shift,
+        "position_bias": q_position_bias,
+        "length_bias": q_length_bias,
+        "repair_timestamps": q_repair_timestamps,
         "unigram_train": q_unigram_train,
         "unigram_segment": q_unigram_segment,
         "compression_ratio": q_compression_ratio,
@@ -7517,5 +7579,79 @@ def oracle_sql() -> dict[str, str]:
                                / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6)
                END AS mean_cosine
           FROM ea JOIN eb USING (p)
+    """
+    d["position_bias"] = _battles_cte + """
+        , g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_battles,
+                 CAST(sum(CASE WHEN winner = model_a THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a_wins,
+                 CAST(sum(CASE WHEN winner = model_b THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b_wins
+            FROM battles
+        )
+        SELECT n_battles, n_a_wins, n_b_wins,
+               n_battles - n_a_wins - n_b_wins AS n_draws,
+               CAST(n_a_wins AS DOUBLE) / n_battles AS a_win_share,
+               CAST(n_b_wins AS DOUBLE) / n_battles AS b_win_share,
+               CAST(n_battles - n_a_wins - n_b_wins AS DOUBLE) / n_battles
+                 AS draw_share,
+               CAST(n_a_wins AS DOUBLE) / n_battles
+                 - CAST(n_b_wins AS DOUBLE) / n_battles AS position_gap
+          FROM g
+    """
+    d["length_bias"] = """
+        WITH p AS (
+          SELECT text AS ct, substr(text, 1, length(text) // 2) AS rt
+            FROM documents
+        ),
+        t AS (
+          SELECT CAST(CASE WHEN trim(coalesce(ct, '')) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(ct), '\s+'))
+                      END AS BIGINT)
+               - CAST(CASE WHEN trim(coalesce(rt, '')) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(rt), '\s+'))
+                      END AS BIGINT) AS d
+            FROM p
+        ),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_chosen_longer,
+                 CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rejected_longer,
+                 CAST(sum(d) AS BIGINT) AS dsum
+            FROM t
+        )
+        SELECT n_pairs, n_chosen_longer, n_rejected_longer,
+               n_pairs - n_chosen_longer - n_rejected_longer AS n_equal,
+               CASE WHEN n_chosen_longer + n_rejected_longer > 0
+                    THEN CAST(n_chosen_longer AS DOUBLE)
+                         / (n_chosen_longer + n_rejected_longer)
+               END AS longer_share,
+               round(CAST(dsum AS DOUBLE) / n_pairs, 6) AS mean_token_delta,
+               CASE WHEN n_chosen_longer + n_rejected_longer > 0
+                    THEN round((2 * n_chosen_longer
+                                - (n_chosen_longer + n_rejected_longer))
+                               / sqrt(CAST(n_chosen_longer + n_rejected_longer
+                                           AS DOUBLE)), 6)
+               END AS sign_z
+          FROM g
+    """
+    d["repair_timestamps"] = _TRANSCRIPT_CTE + """,
+        c AS (
+          SELECT conv_id, turn_idx,
+                 CASE WHEN turn_idx % 7 = 3 THEN ts - INTERVAL 1 HOUR
+                      ELSE ts END AS ts
+            FROM transcript
+        ),
+        r AS (
+          SELECT conv_id, turn_idx, ts,
+                 max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS ts2
+            FROM c
+        )
+        SELECT conv_id, turn_idx, epoch_us(ts2) AS ts_us,
+               (ts2 > ts) AS ts_was_repaired
+          FROM r
     """
     return d

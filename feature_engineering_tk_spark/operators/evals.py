@@ -35,7 +35,7 @@ Overflow audit (int64): terms are ``n_ij·scale²`` with the default
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from feature_engineering_tk_spark.exceptions import InsufficientDataError
@@ -419,4 +419,95 @@ def expected_calibration_error(bins: list) -> float:
         raise InsufficientDataError("expected_calibration_error", required=1, actual=0)
     return sum(
         (r["n"] / total) * abs(r["frac_pos"] - r["mean_score"]) for r in rows
+    )
+
+
+def position_bias(
+    df: DataFrame,
+    model_a: str = "model_a",
+    model_b: str = "model_b",
+    winner: str = "winner",
+) -> DataFrame:
+    """Judge position-bias audit — the first sanity check on any
+    pairwise-judged eval set: how often the FIRST-position (A-side)
+    answer wins vs the second, with draws broken out.  A calibrated
+    judge sits near 0.5/0.5 on position-swapped data; a strong
+    first-position share means the battles need swap-averaging before
+    any rating model (Bradley-Terry, winrates) is trusted.
+
+    Returns ONE row ``(n_battles, n_a_wins, n_b_wins, n_draws,
+    a_win_share, b_win_share, draw_share, position_gap)`` — every
+    share an exact integer division, ``position_gap =
+    a_win_share − b_win_share``.
+
+    Scale shape: one scalar aggregation, fully map-side; nothing
+    shuffles but partials.
+    """
+    a_win = (F.col(winner) == F.col(model_a)).cast("bigint")
+    b_win = (F.col(winner) == F.col(model_b)).cast("bigint")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_battles"),
+        F.sum(a_win).alias("n_a_wins"),
+        F.sum(b_win).alias("n_b_wins"),
+    )
+    n = F.col("n_battles")
+    return agg.select(
+        "n_battles",
+        "n_a_wins",
+        "n_b_wins",
+        (n - F.col("n_a_wins") - F.col("n_b_wins")).alias("n_draws"),
+        (F.col("n_a_wins") / n).alias("a_win_share"),
+        (F.col("n_b_wins") / n).alias("b_win_share"),
+        ((n - F.col("n_a_wins") - F.col("n_b_wins")) / n).alias("draw_share"),
+        (F.col("n_a_wins") / n - F.col("n_b_wins") / n).alias("position_gap"),
+    )
+
+
+def length_bias(
+    df: DataFrame,
+    chosen_text: str = "chosen_text",
+    rejected_text: str = "rejected_text",
+) -> DataFrame:
+    """Verbosity-bias audit for preference data (the classic RLHF
+    artifact: judges and reward models over-prefer longer answers):
+    per corpus, how often the CHOSEN answer is the longer one, the
+    mean token-length delta, and a sign-test z against the fair coin.
+
+    Returns ONE row ``(n_pairs, n_chosen_longer, n_rejected_longer,
+    n_equal, longer_share, mean_token_delta, sign_z)`` where
+    ``longer_share = n_chosen_longer / (n_chosen_longer +
+    n_rejected_longer)`` (ties excluded, the sign-test convention) and
+    ``sign_z = (2·n_chosen_longer − m) / sqrt(m)`` over the m untied
+    pairs.  Token counts are whitespace tokens; every float is a
+    fixed-order expression over integer sums.
+
+    Scale shape: row-local length algebra, one scalar aggregation —
+    text never shuffles.
+    """
+
+    def toks(c: str) -> Column:
+        t = F.trim(F.coalesce(F.col(c), F.lit("")))
+        return F.when(t == "", F.lit(0)).otherwise(
+            F.size(F.split(t, r"\s+"))
+        ).cast("bigint")
+
+    d = toks(chosen_text) - toks(rejected_text)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((d > 0).cast("bigint")).alias("n_chosen_longer"),
+        F.sum((d < 0).cast("bigint")).alias("n_rejected_longer"),
+        F.sum(d).alias("_dsum"),
+    )
+    m = F.col("n_chosen_longer") + F.col("n_rejected_longer")
+    return agg.select(
+        "n_pairs",
+        "n_chosen_longer",
+        "n_rejected_longer",
+        (F.col("n_pairs") - m).alias("n_equal"),
+        F.when(m > 0, F.col("n_chosen_longer") / m).alias("longer_share"),
+        (F.col("_dsum") / F.col("n_pairs")).alias("mean_token_delta"),
+        F.when(
+            m > 0,
+            (2 * F.col("n_chosen_longer") - m) / F.sqrt(m.cast("double")),
+        ).alias("sign_z"),
     )

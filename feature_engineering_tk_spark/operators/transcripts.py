@@ -905,3 +905,30 @@ def conversation_outcome(
         F.col("_lu.i").alias("last_user_turn"),
         F.col("_la.i").alias("last_assistant_turn"),
     )
+
+
+def repair_timestamps(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    ts: str = "ts",
+    out: str | None = None,
+) -> DataFrame:
+    """Ingestion cleanup for out-of-order clocks: clamp each turn's
+    timestamp to the running maximum of its conversation so the
+    repaired column is non-decreasing in turn order — the standard fix
+    before any gap/sessionize/latency feature (a single backwards
+    clock otherwise produces a negative gap that poisons session
+    statistics).  Also appends ``ts_was_repaired`` so audits see every
+    touched row; turn order itself (``turn_idx``) is trusted.
+
+    One ``partitionBy(conv_id)`` running-max window (rows unbounded
+    preceding → current), integer-µs comparison — rides the same conv
+    sort as the rest of the family.
+    """
+    w = _conv_window(conv_id, turn_idx).rowsBetween(Window.unboundedPreceding, 0)
+    run_max = F.max(F.col(ts)).over(w)
+    target = out or ts
+    return df.withColumn("ts_was_repaired", run_max > F.col(ts)).withColumn(
+        target, run_max
+    )

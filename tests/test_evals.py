@@ -375,3 +375,37 @@ def test_calibration_bins_rejects_bad_bins(spark):
     df = spark.createDataFrame([(0.5, 1)], "score double, label int")
     with pytest.raises(ValueError):
         calibration_bins(df, n_bins=0)
+
+
+def test_position_bias_shares(spark):
+    from feature_engineering_tk_spark.operators.evals import position_bias
+
+    df = spark.createDataFrame(
+        [("x", "y", "x"), ("x", "y", "x"), ("x", "y", "y"), ("x", "y", "draw")],
+        "model_a string, model_b string, winner string",
+    )
+    r = position_bias(df).first()
+    assert (r.n_battles, r.n_a_wins, r.n_b_wins, r.n_draws) == (4, 2, 1, 1)
+    assert r.a_win_share == 0.5 and r.b_win_share == 0.25 and r.draw_share == 0.25
+    assert r.position_gap == 0.25
+
+
+def test_length_bias_sign_test(spark):
+    from feature_engineering_tk_spark.operators.evals import length_bias
+
+    df = spark.createDataFrame(
+        [
+            ("one two three", "one"),        # chosen longer
+            ("one two", "one"),              # chosen longer
+            ("one", "one two"),              # rejected longer
+            ("same same", "also two"),       # tie
+            (None, "x"),                     # null chosen = 0 tokens
+        ],
+        "chosen_text string, rejected_text string",
+    )
+    r = length_bias(df).first()
+    assert (r.n_pairs, r.n_chosen_longer, r.n_rejected_longer, r.n_equal) == (5, 2, 2, 1)
+    assert r.longer_share == 0.5
+    # deltas: +2, +1, -1, 0, -1 → mean 1/5
+    assert r.mean_token_delta == 1 / 5
+    assert r.sign_z == 0.0

@@ -858,3 +858,26 @@ def test_conversation_outcome_heuristics(spark):
     assert not h.user_thanked and h.last_assistant_turn is None
     e = rows["empty_end"]  # whitespace-only final assistant turn ≠ answered
     assert e.last_role == "assistant" and not e.ended_answered
+
+
+# --------------------------------------------------- timestamp repair
+
+
+def test_repair_timestamps_running_max(spark):
+    import datetime as dt
+
+    from feature_engineering_tk_spark.operators.transcripts import repair_timestamps
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("c", 0, t0),
+            ("c", 1, t0 - dt.timedelta(minutes=5)),  # clock went backwards
+            ("c", 2, t0 + dt.timedelta(minutes=1)),
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    rows = {r.turn_idx: r for r in repair_timestamps(df).collect()}
+    assert rows[1].ts == t0 and rows[1].ts_was_repaired
+    assert rows[0].ts == t0 and not rows[0].ts_was_repaired
+    assert rows[2].ts == t0 + dt.timedelta(minutes=1) and not rows[2].ts_was_repaired
