@@ -3216,6 +3216,23 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(calls)
 
 
+def q_dialog_act_mix(spark, sf_dir):
+    """Dialog-act composition (operators/transcripts.py
+    dialog_act_mix): row-local first-token/suffix heuristics (no
+    regex), one partial-agg groupBy + a window over the roles×acts-
+    bounded aggregate. Texts rewritten so all four acts appear."""
+    from feature_engineering_tk_spark.operators.transcripts import dialog_act_mix
+
+    tv = _transcript_view(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("text") == "view", F.lit("what is this?"))
+        .when(F.col("text") == "click", F.lit("run the report"))
+        .when(F.col("text") == "error", F.lit(""))
+        .otherwise(F.col("text")),
+    )
+    return dialog_act_mix(tv)
+
+
 def q_position_bias(spark, sf_dir):
     """Judge position-bias audit (operators/evals.py position_bias):
     one fully map-side scalar aggregation over the battle table; every
@@ -3609,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_since_event": q_rows_since_event,
         "conversation_outcome": q_conversation_outcome,
         "embedding_shift": q_embedding_shift,
+        "dialog_act_mix": q_dialog_act_mix,
         "position_bias": q_position_bias,
         "length_bias": q_length_bias,
         "repair_timestamps": q_repair_timestamps,
@@ -7653,5 +7671,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT conv_id, turn_idx, epoch_us(ts2) AS ts_us,
                (ts2 > ts) AS ts_was_repaired
           FROM r
+    """
+    d["dialog_act_mix"] = _TRANSCRIPT_CTE + """,
+        t2 AS (
+          SELECT role,
+                 CASE WHEN text = 'view' THEN 'what is this?'
+                      WHEN text = 'click' THEN 'run the report'
+                      WHEN text = 'error' THEN ''
+                      ELSE text END AS text
+            FROM transcript
+        ),
+        a AS (
+          SELECT role,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 'other'
+                      WHEN lower(trim(text)) LIKE '%?'
+                        OR regexp_split_to_array(lower(trim(text)),
+                                                 '\\s+')[1]
+                           IN ('what','why','how','when','where','who','which','can','could','would','should','do','does','is','are')
+                        THEN 'question'
+                      WHEN regexp_split_to_array(lower(trim(text)),
+                                                 '\\s+')[1]
+                           IN ('write','make','run','show','give','list','find','create','generate','add','remove','fix','explain','summarize','translate')
+                        THEN 'command'
+                      ELSE 'statement' END AS dialog_act
+            FROM t2
+        ),
+        c AS (
+          SELECT role, dialog_act, CAST(count(*) AS BIGINT) AS n
+            FROM a GROUP BY role, dialog_act
+        )
+        SELECT role, dialog_act, n,
+               CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY role) AS share
+          FROM c
     """
     return d

@@ -51,6 +51,7 @@ def __getattr__(name):
         "FeatureEngineer",
         "DataAnalyzer",
         "TranscriptAnalyzer",
+        "EvalSuite",
     ):
         from feature_engineering_tk_spark import api
 

@@ -666,3 +666,63 @@ class TranscriptAnalyzer:
         )
 
         return tool_transitions(self.df, **kw)
+
+
+class EvalSuite:
+    """Eval-analytics surface (operators/evals.py + friends) in the
+    facade style of DataAnalyzer/TranscriptAnalyzer: one object over a
+    battle/sample table, grouping the arena, sampling-eval, and bias
+    audits for discoverability."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def winrates(self, **kw):
+        from feature_engineering_tk_spark.operators.evals import model_winrates
+
+        return model_winrates(self.df, **kw)
+
+    def head_to_head(self, **kw):
+        from feature_engineering_tk_spark.operators.evals import head_to_head
+
+        return head_to_head(self.df, **kw)
+
+    def bradley_terry(self, **kw):
+        from feature_engineering_tk_spark.operators.evals import bradley_terry
+
+        return bradley_terry(self.df, **kw)
+
+    def position_bias(self, **kw):
+        from feature_engineering_tk_spark.operators.evals import position_bias
+
+        return position_bias(self.df, **kw)
+
+    def length_bias(self, **kw):
+        from feature_engineering_tk_spark.operators.evals import length_bias
+
+        return length_bias(self.df, **kw)
+
+    def pass_at_k(self, k: int = 1, **kw):
+        from feature_engineering_tk_spark.operators.evals import pass_at_k
+
+        return pass_at_k(self.df, k=k, **kw)
+
+    def majority_vote(self, **kw):
+        from feature_engineering_tk_spark.operators.evals import majority_vote
+
+        return majority_vote(self.df, **kw)
+
+    def best_of_n(self, **kw):
+        from feature_engineering_tk_spark.operators.evals import best_of_n
+
+        return best_of_n(self.df, **kw)
+
+    def refusal_rate(self, **kw):
+        from feature_engineering_tk_spark.operators.evals import refusal_rate
+
+        return refusal_rate(self.df, **kw)
+
+    def calibration(self, **kw):
+        from feature_engineering_tk_spark.operators.evals import calibration_bins
+
+        return calibration_bins(self.df, **kw)

@@ -932,3 +932,59 @@ def repair_timestamps(
     return df.withColumn("ts_was_repaired", run_max > F.col(ts)).withColumn(
         target, run_max
     )
+
+
+#: First-token imperatives marking a command-shaped turn (pinned list).
+COMMAND_VERBS: tuple[str, ...] = (
+    "write", "make", "run", "show", "give", "list", "find", "create",
+    "generate", "add", "remove", "fix", "explain", "summarize", "translate",
+)
+
+#: First tokens marking an interrogative turn when no '?' is present.
+QUESTION_WORDS: tuple[str, ...] = (
+    "what", "why", "how", "when", "where", "who", "which",
+    "can", "could", "would", "should", "do", "does", "is", "are",
+)
+
+
+def dialog_acts(
+    df: DataFrame,
+    text: str = "text",
+    out: str = "dialog_act",
+) -> DataFrame:
+    """Per-turn dialog-act heuristic: ``question`` (ends with '?' or
+    opens with an interrogative word), ``command`` (opens with a
+    pinned imperative verb), ``statement`` (anything else non-empty),
+    ``other`` (NULL/empty).  Precedence pinned in that order.  The
+    act mix per role is the cheapest prompt-composition signal an SFT
+    mix report keys on.
+
+    Pure row-local string algebra (trim/lower/first-token compare —
+    no regex), zero shuffle, streaming-safe.
+    """
+    t = F.trim(F.coalesce(F.col(text), F.lit("")))
+    low = F.lower(t)
+    first = F.element_at(F.split(low, r"\s+"), 1)
+    is_q = low.endswith("?") | first.isin(*QUESTION_WORDS)
+    is_cmd = first.isin(*COMMAND_VERBS)
+    act = (
+        F.when(t == "", F.lit("other"))
+        .when(is_q, F.lit("question"))
+        .when(is_cmd, F.lit("command"))
+        .otherwise(F.lit("statement"))
+    )
+    return df.withColumn(out, act)
+
+
+def dialog_act_mix(
+    df: DataFrame,
+    role: str = "role",
+    text: str = "text",
+) -> DataFrame:
+    """Per-(role, act) composition table: ``(role, dialog_act, n,
+    share)`` with ``share`` conditioned on the role (one exact integer
+    division via a window over the roles×acts-bounded aggregate)."""
+    acts = dialog_acts(df, text=text)
+    counts = acts.groupBy(role, "dialog_act").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy(role))
+    return counts.select(role, "dialog_act", "n", (F.col("n") / tot).alias("share"))

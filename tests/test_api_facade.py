@@ -169,3 +169,17 @@ def test_transcript_analyzer_round4_methods(spark):
     tt = {(r.src_tool, r.dst_tool) for r in ta.tool_transitions().collect()}
     assert ("search", "fetch") in tt and ("<start>", "search") in tt
     assert ta.branch_points().count() >= 0  # runs and returns the fork schema
+
+
+def test_eval_suite_facade(spark):
+    import feature_engineering_tk_spark as fe
+
+    battles = spark.createDataFrame(
+        [("m1", "m2", "m1"), ("m1", "m2", "m2"), ("m1", "m2", "m1")],
+        "model_a string, model_b string, winner string",
+    )
+    es = fe.EvalSuite(battles)
+    wr = {r.model: r.winrate for r in es.winrates().collect()}
+    assert wr["m1"] == 2 / 3 and wr["m2"] == 1 / 3
+    pb = es.position_bias().first()
+    assert pb.n_a_wins == 2 and pb.n_b_wins == 1

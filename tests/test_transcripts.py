@@ -881,3 +881,40 @@ def test_repair_timestamps_running_max(spark):
     assert rows[1].ts == t0 and rows[1].ts_was_repaired
     assert rows[0].ts == t0 and not rows[0].ts_was_repaired
     assert rows[2].ts == t0 + dt.timedelta(minutes=1) and not rows[2].ts_was_repaired
+
+
+# ------------------------------------------------------- dialog acts
+
+
+def test_dialog_acts_precedence(spark):
+    from feature_engineering_tk_spark.operators.transcripts import dialog_acts
+
+    df = spark.createDataFrame(
+        [
+            (0, "What time is it"),      # interrogative first word
+            (1, "the answer is 4?"),     # trailing question mark
+            (2, "run the tests"),        # imperative verb
+            (3, "it works"),             # statement
+            (4, ""),                     # empty → other
+            (5, None),                   # null → other
+            (6, "  Write it down  "),    # trims + case-folds
+        ],
+        "i int, text string",
+    )
+    got = {r.i: r.dialog_act for r in dialog_acts(df).collect()}
+    assert got == {
+        0: "question", 1: "question", 2: "command",
+        3: "statement", 4: "other", 5: "other", 6: "command",
+    }
+
+
+def test_dialog_act_mix_shares(spark):
+    from feature_engineering_tk_spark.operators.transcripts import dialog_act_mix
+
+    df = spark.createDataFrame(
+        [("user", "what?"), ("user", "hello there"), ("assistant", "done")],
+        "role string, text string",
+    )
+    rows = {(r.role, r.dialog_act): r for r in dialog_act_mix(df).collect()}
+    assert rows[("user", "question")].share == 0.5
+    assert rows[("assistant", "statement")].share == 1.0
