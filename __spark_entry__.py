@@ -3216,6 +3216,20 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(calls)
 
 
+def q_contrastive_triplets(spark, sf_dir):
+    """Contrastive-pair mining (functions/similarity.py
+    contrastive_triplets): per anchor the best same-group positive and
+    best cross-group hard negative as struct maxes in one groupBy —
+    cosines rounded before the argmax so winners are engine-stable.
+    Groups = vec_id % 7."""
+    from feature_engineering_tk_spark.functions.similarity import (
+        contrastive_triplets,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn("grp", F.col("vec_id") % 7)
+    return contrastive_triplets(emb, "grp")
+
+
 def q_dialog_act_mix(spark, sf_dir):
     """Dialog-act composition (operators/transcripts.py
     dialog_act_mix): row-local first-token/suffix heuristics (no
@@ -3626,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_since_event": q_rows_since_event,
         "conversation_outcome": q_conversation_outcome,
         "embedding_shift": q_embedding_shift,
+        "contrastive_triplets": q_contrastive_triplets,
         "dialog_act_mix": q_dialog_act_mix,
         "position_bias": q_position_bias,
         "length_bias": q_length_bias,
@@ -7704,5 +7719,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(n AS DOUBLE)
                  / sum(n) OVER (PARTITION BY role) AS share
           FROM c
+    """
+    d["contrastive_triplets"] = """
+        WITH v AS (
+          SELECT vec_id, vec_id % 7 AS g, embedding FROM embeddings
+        ),
+        p AS (
+          SELECT a.vec_id AS aid, a.g AS ag, b.vec_id AS cid, b.g AS cg,
+                 round(
+                   list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(b.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   6) AS cos
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ),
+        pos AS (
+          SELECT aid, cid AS pos_id, cos AS pos_cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY aid
+                            ORDER BY cos DESC, cid ASC) AS rn
+                    FROM p WHERE ag = cg)
+           WHERE rn = 1
+        ),
+        neg AS (
+          SELECT aid, cid AS neg_id, cos AS neg_cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY aid
+                            ORDER BY cos DESC, cid ASC) AS rn
+                    FROM p WHERE ag <> cg)
+           WHERE rn = 1
+        )
+        SELECT pos.aid AS id, pos.pos_id, pos.pos_cos,
+               neg.neg_id, neg.neg_cos
+          FROM pos LEFT JOIN neg ON pos.aid = neg.aid
     """
     return d

@@ -378,3 +378,69 @@ def embedding_decontaminate(
         F.col("_m.b").alias("matched_bench_id"),
         (F.col("_m.s") >= threshold).cast("int").alias("contaminated"),
     )
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """(anchor, positive, hard-negative) mining for contrastive /
+    retrieval training: per anchor, the POSITIVE is its most-similar
+    vector within the SAME ``group_col`` (a near-paraphrase / same-doc
+    chunk) and the HARD NEGATIVE its most-similar vector from a
+    DIFFERENT group — the classic in-batch-hard-negative recipe run as
+    a batch job.  Ties break toward the smallest candidate id;
+    anchors with no same-group peer are dropped (no positive exists).
+
+    Returns ``(id, pos_id, pos_cos, neg_id, neg_cos)`` with cosines
+    rounded to ``decimals`` BEFORE the argmax so the winner is
+    engine-stable (the embedding-family rounding convention).
+
+    Scale shape: EXACT all-pairs scoring per anchor — correct and
+    oracle-replayable at gate scale; at corpus scale, pre-bucket both
+    sides (``lsh_assign_buckets`` / the IVF layout) and run the same
+    argmax per bucket, exactly as ``knn_join``'s docstring prescribes.
+    The two argmaxes are struct maxes in ONE partial-aggregatable
+    ``groupBy(anchor)`` — no rank window, no second shuffle.
+    """
+    a = df.select(
+        F.col(id_col).alias("_aid"),
+        F.col(group_col).alias("_ag"),
+        F.col(vec_col).alias("_avec"),
+    )
+    c = df.select(
+        F.col(id_col).alias("_cid"),
+        F.col(group_col).alias("_cg"),
+        F.col(vec_col).alias("_cvec"),
+    )
+    pairs = a.join(F.broadcast(c), F.col("_aid") != F.col("_cid"))
+    cos = F.round(
+        dot(F.col("_avec"), F.col("_cvec"))
+        / (l2_norm(F.col("_avec")) * l2_norm(F.col("_cvec"))),
+        decimals,
+    )
+    scored = pairs.select(
+        "_aid",
+        "_ag",
+        "_cid",
+        "_cg",
+        cos.alias("_cos"),
+    )
+    same = F.col("_ag") == F.col("_cg")
+    # max on (cos, -id): highest cosine, then smallest candidate id
+    pos = F.max(F.when(same, F.struct(F.col("_cos").alias("c"), (-F.col("_cid")).alias("ni"))))
+    neg = F.max(F.when(~same, F.struct(F.col("_cos").alias("c"), (-F.col("_cid")).alias("ni"))))
+    agg = scored.groupBy("_aid").agg(pos.alias("_p"), neg.alias("_n"))
+    return (
+        agg.where(F.col("_p").isNotNull())
+        .select(
+            F.col("_aid").alias("id"),
+            (-F.col("_p.ni")).alias("pos_id"),
+            F.col("_p.c").alias("pos_cos"),
+            (-F.col("_n.ni")).alias("neg_id"),
+            F.col("_n.c").alias("neg_cos"),
+        )
+    )

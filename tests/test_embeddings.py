@@ -143,3 +143,27 @@ def test_embedding_shift_identical_and_shifted(spark):
     # orthogonal unit centroids: shift sqrt(2), cosine 0
     assert abs(moved.mean_l2_shift - 2**0.5) < 1e-6
     assert moved.mean_cosine == 0.0
+
+
+def test_contrastive_triplets_hand_values(spark):
+    from feature_engineering_tk_spark.functions.similarity import (
+        contrastive_triplets,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0]),
+            (2, "a", [0.9, 0.1]),   # best same-group match for 1
+            (3, "b", [1.0, 0.05]),  # best cross-group match for 1
+            (4, "b", [0.0, 1.0]),
+            (5, "c", [0.5, 0.5]),   # no same-group peer → dropped
+        ],
+        "vec_id bigint, grp string, embedding array<double>",
+    )
+    rows = {r.id: r for r in contrastive_triplets(df, "grp").collect()}
+    assert 5 not in rows  # anchors without a positive are dropped
+    one = rows[1]
+    assert one.pos_id == 2 and one.neg_id == 3
+    assert one.neg_cos > one.pos_cos  # a genuinely hard negative
+    four = rows[4]
+    assert four.pos_id == 3  # only same-group peer
