@@ -497,6 +497,29 @@ def main() -> None:
         )
     )
 
+    # 24. contrastive_triplets: both argmaxes ride ONE partial-agg
+    # groupBy — no rank window anywhere in the plan
+    from feature_engineering_tk_spark.functions.similarity import (
+        contrastive_triplets,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "grp", F.col("vec_id") % 7
+    )
+    p = plan_of(contrastive_triplets(emb, "grp"))
+    n_windows = len(set(re.findall(r"Window \((\d+)\)", p)))
+    n_partial = "partial_max" in p
+    sections.append(
+        (
+            "contrastive_triplets (hard-negative mining)",
+            p,
+            [
+                f"rank_windows={n_windows} (want 0 — struct-max argmax, no row_number)",
+                f"map_side_partial_max={n_partial} (want True)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
