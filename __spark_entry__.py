@@ -3216,6 +3216,37 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(calls)
 
 
+def q_special_token_rate(spark, sf_dir):
+    """Template-leakage QA (functions/cleaning.py special_token_rate):
+    phrase_scan flags + one partial-agg groupBy; every 11th doc gets a
+    '</s>' suffix so both paths exercise."""
+    from feature_engineering_tk_spark.functions.cleaning import special_token_rate
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" </s>"))
+        ).otherwise(F.col("text")),
+    )
+    return special_token_rate(docs)
+
+
+def q_tool_cooccurrence(spark, sf_dir):
+    """Tool-affinity pairs (operators/transcripts.py
+    tool_cooccurrence): distinct (conv, tool) reduction, conv-keyed
+    self-join, one tools²-bounded groupBy, totals broadcast back.
+    Calls synthesized from events (tool = event_type)."""
+    from feature_engineering_tk_spark.operators.transcripts import tool_cooccurrence
+
+    ev = _t(spark, sf_dir, "events")
+    calls = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.lit("tool").alias("role"),
+        F.col("event_type").alias("tool"),
+    )
+    return tool_cooccurrence(calls)
+
+
 def q_contrastive_triplets(spark, sf_dir):
     """Contrastive-pair mining (functions/similarity.py
     contrastive_triplets): per anchor the best same-group positive and
@@ -3640,6 +3671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_since_event": q_rows_since_event,
         "conversation_outcome": q_conversation_outcome,
         "embedding_shift": q_embedding_shift,
+        "special_token_rate": q_special_token_rate,
+        "tool_cooccurrence": q_tool_cooccurrence,
         "contrastive_triplets": q_contrastive_triplets,
         "dialog_act_mix": q_dialog_act_mix,
         "position_bias": q_position_bias,
@@ -7753,5 +7786,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT pos.aid AS id, pos.pos_id, pos.pos_cos,
                neg.neg_id, neg.neg_cos
           FROM pos LEFT JOIN neg ON pos.aid = neg.aid
+    """
+    d["special_token_rate"] = """
+        WITH t AS (
+          SELECT source,
+                 CASE WHEN doc_id % 11 = 0 THEN text || ' </s>'
+                      ELSE text END AS text2
+            FROM documents
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN strpos(lower(coalesce(text2, '')), '<|endoftext|>') > 0 OR strpos(lower(coalesce(text2, '')), '<|im_start|>') > 0 OR strpos(lower(coalesce(text2, '')), '<|im_end|>') > 0 OR strpos(lower(coalesce(text2, '')), '[inst]') > 0 OR strpos(lower(coalesce(text2, '')), '</s>') > 0 OR strpos(lower(coalesce(text2, '')), '<pad>') > 0 OR strpos(lower(coalesce(text2, '')), '<|assistant|>') > 0 OR strpos(lower(coalesce(text2, '')), '<|user|>') > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               CAST(sum(CASE WHEN strpos(lower(coalesce(text2, '')), '<|endoftext|>') > 0 OR strpos(lower(coalesce(text2, '')), '<|im_start|>') > 0 OR strpos(lower(coalesce(text2, '')), '<|im_end|>') > 0 OR strpos(lower(coalesce(text2, '')), '[inst]') > 0 OR strpos(lower(coalesce(text2, '')), '</s>') > 0 OR strpos(lower(coalesce(text2, '')), '<pad>') > 0 OR strpos(lower(coalesce(text2, '')), '<|assistant|>') > 0 OR strpos(lower(coalesce(text2, '')), '<|user|>') > 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS contamination_rate
+          FROM t GROUP BY source
+    """
+    d["tool_cooccurrence"] = """
+        WITH calls AS (
+          SELECT DISTINCT 'c' || CAST(user_id AS VARCHAR) AS c,
+                 event_type AS t
+            FROM events
+        ),
+        pairs AS (
+          SELECT a.t AS tool_a, b.t AS tool_b
+            FROM calls a JOIN calls b ON a.c = b.c AND a.t < b.t
+        ),
+        bt AS (
+          SELECT tool_a, tool_b, CAST(count(*) AS BIGINT) AS n_convs_both
+            FROM pairs GROUP BY tool_a, tool_b
+        ),
+        tot AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS n FROM calls GROUP BY t
+        )
+        SELECT bt.tool_a, bt.tool_b, bt.n_convs_both,
+               ta.n AS n_convs_a, tb.n AS n_convs_b
+          FROM bt
+          JOIN tot ta ON bt.tool_a = ta.t
+          JOIN tot tb ON bt.tool_b = tb.t
     """
     return d

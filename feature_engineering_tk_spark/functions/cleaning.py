@@ -464,3 +464,48 @@ def compression_ratio(
         )
         .drop("_cz")
     )
+
+
+#: Chat-template / tokenizer control sequences that must never appear
+#: inside pretraining text (template leakage from scraped model output).
+SPECIAL_TOKENS: tuple[str, ...] = (
+    "<|endoftext|>",
+    "<|im_start|>",
+    "<|im_end|>",
+    "[inst]",
+    "</s>",
+    "<pad>",
+    "<|assistant|>",
+    "<|user|>",
+)
+
+
+def special_token_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    tokens: tuple[str, ...] = SPECIAL_TOKENS,
+) -> DataFrame:
+    """Template-leakage QA: per ``by`` group, how many documents
+    contain any tokenizer control / chat-template sequence (scraped
+    model output carries these verbatim and they poison tokenizer
+    training).  Composes :func:`phrase_scan` (case-folded substring
+    flags, no regex) with one partial-aggregatable ``groupBy``.
+
+    Returns ``(by, n_docs, n_contaminated, contamination_rate)`` with
+    the rate one exact integer division; text never shuffles.
+    """
+    scanned = phrase_scan(df, text_col=text_col, phrases=tokens, out_prefix="_stk")
+    return (
+        scanned.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("has__stk").cast("bigint")).alias("n_contaminated"),
+        )
+        .select(
+            by,
+            "n_docs",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_docs")).alias("contamination_rate"),
+        )
+    )

@@ -988,3 +988,43 @@ def dialog_act_mix(
     counts = acts.groupBy(role, "dialog_act").agg(F.count(F.lit(1)).alias("n"))
     tot = F.sum("n").over(Window.partitionBy(role))
     return counts.select(role, "dialog_act", "n", (F.col("n") / tot).alias("share"))
+
+
+def tool_cooccurrence(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    role: str = "role",
+    tool: str = "tool",
+    tool_role: str = "tool",
+) -> DataFrame:
+    """Unordered tool-affinity table — the co-use complement of
+    ``tool_transitions``: for every unordered tool pair, in how many
+    conversations BOTH tools were called, plus each tool's own
+    conversation count (the lift denominator).  Returns
+    ``(tool_a, tool_b, n_convs_both, n_convs_a, n_convs_b)`` with
+    ``tool_a < tool_b`` (pinned orientation).
+
+    Scale shape: conversations first reduce to DISTINCT (conv, tool)
+    pairs — 8-byte-ish rows, tools-bounded per conversation; the pair
+    build is a self-join ON the conversation key (conv-bounded fanout,
+    tools² per conversation at worst), then one partial-agg groupBy on
+    the tools²-bounded pair space; per-tool totals broadcast back onto
+    the aggregate-sized edge table.
+    """
+    calls = (
+        df.where((F.col(role) == tool_role) & F.col(tool).isNotNull())
+        .select(F.col(conv_id).alias("_c"), F.col(tool).alias("_t"))
+        .distinct()
+    )
+    a = calls.select(F.col("_c"), F.col("_t").alias("tool_a"))
+    b = calls.select(F.col("_c"), F.col("_t").alias("tool_b"))
+    pairs = a.join(b, "_c").where(F.col("tool_a") < F.col("tool_b"))
+    both = pairs.groupBy("tool_a", "tool_b").agg(
+        F.count(F.lit(1)).alias("n_convs_both")
+    )
+    totals = calls.groupBy("_t").agg(F.count(F.lit(1)).alias("_n"))
+    ta = F.broadcast(totals.select(F.col("_t").alias("tool_a"), F.col("_n").alias("n_convs_a")))
+    tb = F.broadcast(totals.select(F.col("_t").alias("tool_b"), F.col("_n").alias("n_convs_b")))
+    return both.join(ta, "tool_a").join(tb, "tool_b").select(
+        "tool_a", "tool_b", "n_convs_both", "n_convs_a", "n_convs_b"
+    )

@@ -315,3 +315,21 @@ def test_compression_ratio_tails(spark):
 
     sentence = "the quick brown fox jumps over one lazy dog near a river bend"
     assert rows[2].compressed_bytes == len(zlib.compress(sentence.encode(), 6))
+
+
+def test_special_token_rate(spark):
+    from feature_engineering_tk_spark.functions.cleaning import special_token_rate
+
+    df = spark.createDataFrame(
+        [
+            ("web", "clean text here"),
+            ("web", "scraped output <|im_start|>assistant"),
+            ("web", None),
+            ("code", "x = '</S>'"),  # case-folded match
+        ],
+        "source string, text string",
+    )
+    rows = {r.source: r for r in special_token_rate(df).collect()}
+    assert rows["web"].n_docs == 3 and rows["web"].n_contaminated == 1
+    assert rows["web"].contamination_rate == 1 / 3
+    assert rows["code"].n_contaminated == 1 and rows["code"].contamination_rate == 1.0

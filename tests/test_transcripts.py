@@ -918,3 +918,23 @@ def test_dialog_act_mix_shares(spark):
     rows = {(r.role, r.dialog_act): r for r in dialog_act_mix(df).collect()}
     assert rows[("user", "question")].share == 0.5
     assert rows[("assistant", "statement")].share == 1.0
+
+
+def test_tool_cooccurrence_pairs(spark):
+    from feature_engineering_tk_spark.operators.transcripts import tool_cooccurrence
+
+    df = spark.createDataFrame(
+        [
+            ("c1", "tool", "search"), ("c1", "tool", "fetch"),
+            ("c1", "tool", "search"),            # duplicate call: distinct
+            ("c2", "tool", "search"), ("c2", "tool", "fetch"),
+            ("c3", "tool", "search"),
+            ("c3", "assistant", None),           # non-tool: ignored
+        ],
+        "conv_id string, role string, tool string",
+    )
+    rows = {(r.tool_a, r.tool_b): r for r in tool_cooccurrence(df).collect()}
+    pair = rows[("fetch", "search")]  # pinned orientation tool_a < tool_b
+    assert pair.n_convs_both == 2
+    assert pair.n_convs_a == 2 and pair.n_convs_b == 3
+    assert len(rows) == 1
