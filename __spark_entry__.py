@@ -3461,6 +3461,134 @@ def q_compression_ratio(spark, sf_dir):
     )
 
 
+def q_count_encode(spark, sf_dir):
+    """Frequency encoding — the reference suggests it for
+    high-cardinality categoricals (target_analyzer/suggestions.py:173)
+    but never implements it; fit = one groupBy, apply = literal map."""
+    from feature_engineering_tk_spark.transforms.encode import CountEncoder
+
+    ev = _t(spark, sf_dir, "events")
+    out = CountEncoder(normalize=True).fit(ev, "event_type").transform(ev, out="et_freq")
+    return out.select("event_id", F.round("et_freq", 6).alias("et_freq"))
+
+
+def q_target_encode(spark, sf_dir):
+    """Smoothed (m-estimate, m=10) mean-target encoding
+    (suggestions.py:173 'Target encode ...' made real): enc =
+    (sum_c + m·prior) / (n_c + m); fit is ONE groupBy aggregation."""
+    from feature_engineering_tk_spark.transforms.encode import TargetEncoder
+
+    ev = _t(spark, sf_dir, "events")
+    enc = TargetEncoder(smoothing=10.0).fit(ev, "event_type", "value")
+    out = enc.transform(ev, out="et_tenc")
+    return out.select("event_id", F.round("et_tenc", 6).alias("et_tenc"))
+
+
+def q_pit_target_encode(spark, sf_dir):
+    """Leakage-free point-in-time target encoding: each row's code =
+    mean target over STRICTLY EARLIER rows of its category (null until
+    history exists). Two-level telescoped expanding sum — per-(category,
+    day) partials + day-bounded windows, never a whole category on one
+    task (north rule: zero temporal leakage, skew handled)."""
+    from feature_engineering_tk_spark.transforms.encode import expanding_target_encode
+
+    ev = _t(spark, sf_dir, "events")
+    out = expanding_target_encode(
+        ev, "event_type", "value", order=["ts", "event_id"], out="et_pit",
+        decimal_scale=3,
+    )
+    return out.select("event_id", F.round("et_pit", 6).alias("et_pit"))
+
+
+def q_rare_categories(spark, sf_dir):
+    """Rare-category lumping (suggestions.py:173 'group rare
+    categories'): users seen < 25 times collapse to '__other__';
+    keep-set fitted in one groupBy, applied as a literal map."""
+    from feature_engineering_tk_spark.transforms.encode import RareCategoryGrouper
+
+    ev = _t(spark, sf_dir, "events").withColumn("u", F.col("user_id").cast("string"))
+    g = RareCategoryGrouper(min_count=25).fit(ev, "u")
+    return g.transform(ev, out="user_grouped").select("event_id", "user_grouped")
+
+
+def q_cyclical_encode(spark, sf_dir):
+    """Cyclical sin/cos encoding of hour-of-day and month — fixes the
+    wrap-around defect in the reference's raw datetime extractors
+    (feature_engineering.py:513-574). Pure codegen column math."""
+    from feature_engineering_tk_spark.functions.datetime_features import cyclical_encode
+
+    ev = _t(spark, sf_dir, "events")
+    out = cyclical_encode(ev, "ts", features=["hour", "month"])
+    return out.select(
+        "event_id",
+        F.round("ts_hour_sin", 6).alias("hour_sin"),
+        F.round("ts_hour_cos", 6).alias("hour_cos"),
+        F.round("ts_month_sin", 6).alias("month_sin"),
+        F.round("ts_month_cos", 6).alias("month_cos"),
+    )
+
+
+def q_feature_cross(spark, sf_dir):
+    """Crossed categorical interaction (suggestions.py:58
+    'interaction'): lang × source on documents, row-local concat —
+    codegen, no shuffle (hashed-bucket variant pytest-covered)."""
+    from feature_engineering_tk_spark.transforms.encode import feature_cross
+
+    docs = _t(spark, sf_dir, "documents")
+    out = feature_cross(docs, ["lang", "source"], out="lang_x_source", sep="|")
+    return out.select("doc_id", "lang_x_source")
+
+
+def q_rank_uniform(spark, sf_dir):
+    """Rank-to-uniform transform (QuantileTransformer-style) via
+    distributed midranks — distinct-value prefix sums, NO global sort
+    window (the Kruskal-Wallis rank machinery reused)."""
+    from feature_engineering_tk_spark.transforms.scale import rank_uniform
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = rank_uniform(ev, "value", out="u")
+    return out.select("event_id", F.round("u", 6).alias("value_rank_uniform"))
+
+
+def q_ewma(spark, sf_dir):
+    """Per-user adjusted EWMA (pandas ewm(alpha=.3, adjust=True)
+    parity) via the telescoped prefix-sum identity — two cumulative
+    window sums, zero Python, one partitionBy(user) exchange."""
+    from feature_engineering_tk_spark.operators.window_features import with_ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = with_ewma(
+        ev, "value", alpha=0.3, entity="user_id", order=["ts", "event_id"],
+        out="value_ewma", method="prefix",
+    )
+    return out.select("event_id", F.round("value_ewma", 6).alias("value_ewma"))
+
+
+def q_pct_change(spark, sf_dir):
+    """Per-user pct_change (pandas parity; zero-previous → NULL, not
+    inf — infinities are defects per the reference's own
+    detect_infinite_values). Strictly past-only lag."""
+    from feature_engineering_tk_spark.operators.window_features import with_pct_change
+
+    ev = _t(spark, sf_dir, "events")
+    out = with_pct_change(
+        ev, "value", k=1, entity="user_id", order=["ts", "event_id"], out="pc"
+    )
+    return out.select("event_id", F.round("pc", 6).alias("value_pct"))
+
+
+def q_yeojohnson(spark, sf_dir):
+    """Yeo-Johnson power transform at fixed λ=0.5 (the sign-safe
+    Box-Cox the reference's suggest_transformations points at for
+    skewed features); grid-MLE fit is pytest-covered — one aggregation
+    pass scores the whole λ grid."""
+    from feature_engineering_tk_spark.transforms.scale import yeo_johnson_transform
+
+    ev = _t(spark, sf_dir, "events")
+    out = yeo_johnson_transform(ev, "value", lam=0.5, out="value_yj")
+    return out.select("event_id", F.round("value_yj", 6).alias("value_yj"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3681,6 +3809,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train": q_unigram_train,
         "unigram_segment": q_unigram_segment,
         "compression_ratio": q_compression_ratio,
+        "count_encode": q_count_encode,
+        "target_encode": q_target_encode,
+        "pit_target_encode": q_pit_target_encode,
+        "rare_categories": q_rare_categories,
+        "cyclical_encode": q_cyclical_encode,
+        "feature_cross": q_feature_cross,
+        "rank_uniform": q_rank_uniform,
+        "ewma": q_ewma,
+        "pct_change": q_pct_change,
+        "yeojohnson": q_yeojohnson,
     }
 
 
@@ -7823,5 +7961,103 @@ def oracle_sql() -> dict[str, str]:
           FROM bt
           JOIN tot ta ON bt.tool_a = ta.t
           JOIN tot tb ON bt.tool_b = tb.t
+    """
+    d["count_encode"] = """
+        WITH c AS (
+          SELECT event_type, count(*) AS cnt FROM events
+          WHERE event_type IS NOT NULL GROUP BY 1
+        ), n AS (SELECT sum(cnt) AS n FROM c)
+        SELECT e.event_id, round(c.cnt * 1.0 / n.n, 6) AS et_freq
+        FROM events e CROSS JOIN n LEFT JOIN c USING (event_type)
+    """
+    d["target_encode"] = """
+        WITH s AS (
+          SELECT event_type, count(value) AS n, sum(value) AS s FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1
+        ), p AS (SELECT sum(s) / sum(n) AS prior FROM s)
+        SELECT e.event_id,
+               round((coalesce(s.s, 0) + 10.0 * p.prior)
+                     / (coalesce(s.n, 0) + 10.0), 6) AS et_tenc
+        FROM events e CROSS JOIN p LEFT JOIN s USING (event_type)
+    """
+    d["pit_target_encode"] = """
+        WITH t AS (
+          SELECT event_id,
+                 sum(CAST(value AS DECIMAL(28,3))) OVER w AS s,
+                 count(value) OVER w AS c
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id,
+               round(CASE WHEN c > 0 THEN CAST(s AS DOUBLE) / c END, 6) AS et_pit
+        FROM t
+    """
+    d["rare_categories"] = """
+        WITH c AS (
+          SELECT CAST(user_id AS VARCHAR) AS u, count(*) AS cnt
+          FROM events GROUP BY 1
+        )
+        SELECT e.event_id,
+               CASE WHEN c.cnt >= 25 THEN c.u ELSE '__other__' END AS user_grouped
+        FROM events e JOIN c ON CAST(e.user_id AS VARCHAR) = c.u
+    """
+    d["cyclical_encode"] = """
+        SELECT event_id,
+               round(sin(2 * pi() * hour(ts) / 24.0), 6) AS hour_sin,
+               round(cos(2 * pi() * hour(ts) / 24.0), 6) AS hour_cos,
+               round(sin(2 * pi() * month(ts) / 12.0), 6) AS month_sin,
+               round(cos(2 * pi() * month(ts) / 12.0), 6) AS month_cos
+        FROM events
+    """
+    d["feature_cross"] = """
+        SELECT doc_id,
+               CASE WHEN lang IS NULL OR source IS NULL THEN NULL
+                    ELSE lang || '|' || source END AS lang_x_source
+        FROM documents
+    """
+    d["rank_uniform"] = """
+        WITH r AS (
+          SELECT event_id,
+                 rank() OVER (ORDER BY value)
+                   + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS mr,
+                 count(*) OVER () AS n
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_id, round((mr - 1.0) / (n - 1.0), 6) AS value_rank_uniform
+        FROM r
+    """
+    d["ewma"] = """
+        WITH t AS (
+          SELECT event_id, user_id, value, ts,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS k
+          FROM events
+        )
+        SELECT event_id,
+               round(sum(value * pow(1.0 / 0.7, k)) OVER w
+                     / sum(CASE WHEN value IS NOT NULL
+                                THEN pow(1.0 / 0.7, k) END) OVER w, 6) AS value_ewma
+        FROM t
+        WINDOW w AS (PARTITION BY user_id ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    d["pct_change"] = """
+        WITH t AS (
+          SELECT event_id, value,
+                 lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        )
+        SELECT event_id,
+               round(CASE WHEN prev IS NOT NULL AND prev <> 0
+                          THEN (value - prev) / prev END, 6) AS value_pct
+        FROM t
+    """
+    d["yeojohnson"] = """
+        SELECT event_id,
+               round(CASE WHEN value >= 0
+                          THEN (pow(value + 1.0, 0.5) - 1.0) / 0.5
+                          ELSE -((pow(1.0 - value, 1.5) - 1.0) / 1.5)
+                     END, 6) AS value_yj
+        FROM events
     """
     return d

@@ -44,3 +44,34 @@ def datetime_features(
     return df.withColumns(
         {f"{column}_{f}": _EXTRACTORS[f](c).cast("int") for f in feats}
     )
+
+
+# period of each cyclical datetime part (dayofweek uses the pandas
+# Monday=0 extractor above, so the cycle is exactly 0..6)
+_CYCLE_PERIODS = {"hour": 24.0, "dayofweek": 7.0, "month": 12.0,
+                  "day": 31.0, "minute": 60.0, "second": 60.0,
+                  "quarter": 4.0, "dayofyear": 366.0}
+
+
+def cyclical_encode(
+    df: DataFrame, column: str, features: list[str] | None = None
+) -> DataFrame:
+    """Cyclical (sin/cos) encoding of datetime parts — the standard fix
+    for the wrap-around defect in the reference's raw extractors
+    (``feature_engineering.py:513-574``): hour 23 and hour 0 are one
+    step apart on the clock but 23 apart as integers, which distance-
+    based models mis-read. Emits ``{column}_{part}_sin`` / ``_cos`` =
+    sin/cos(2π · part / period). Pure JVM column arithmetic on top of
+    the existing extractors — codegen, no shuffle, no UDF."""
+    feats = features or ["hour", "dayofweek", "month"]
+    unknown = [f for f in feats if f not in _CYCLE_PERIODS]
+    if unknown:
+        raise ValueError(f"no cyclical period for: {unknown}; have {sorted(_CYCLE_PERIODS)}")
+    two_pi = 2.0 * 3.141592653589793
+    cols = {}
+    for f_ in feats:
+        part = _EXTRACTORS[f_](F.col(column)).cast("double")
+        theta = part * F.lit(two_pi / _CYCLE_PERIODS[f_])
+        cols[f"{column}_{f_}_sin"] = F.sin(theta)
+        cols[f"{column}_{f_}_cos"] = F.cos(theta)
+    return df.withColumns(cols)

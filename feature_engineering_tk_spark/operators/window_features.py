@@ -495,3 +495,100 @@ def rows_since_event(
         entity_window(entity, order).rowsBetween(Window.unboundedPreceding, -1)
     )
     return base.withColumn(out, (F.col("_rn") - prior).cast("bigint")).drop("_rn")
+
+
+def with_pct_change(
+    df: DataFrame,
+    col: str,
+    k: int = 1,
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    out: str | None = None,
+) -> DataFrame:
+    """Per-entity relative change vs the value ``k`` rows back —
+    pandas ``groupby().pct_change(k)`` semantics ((x - x_prev) /
+    x_prev), except a zero previous value yields NULL rather than
+    ±inf (documented deviation: infinities poison downstream scalers;
+    the reference's own detect_infinite_values flags them as defects).
+    Strictly past-only (``F.lag``) — leakage-free by construction.
+    Pure window expression, one ``partitionBy(entity)`` exchange shared
+    with any other feature on the same key."""
+    out = out or f"{col}_pct_change{k}"
+    prev = F.lag(col, k).over(entity_window(entity, order))
+    return df.withColumn(
+        out,
+        F.when(
+            prev.isNotNull() & (prev != 0), (F.col(col) - prev) / prev
+        ).cast("double"),
+    )
+
+
+def with_ewma(
+    df: DataFrame,
+    col: str,
+    alpha: float,
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    out: str | None = None,
+    method: str = "auto",
+) -> DataFrame:
+    """Per-entity exponentially weighted moving average — pandas
+    ``groupby().ewm(alpha=alpha, adjust=True).mean()`` parity (the
+    expanding/ewm-style smoothing the reference's pandas users reach
+    for next to rolling means). Strictly past-inclusive (frame ends at
+    the current row) — zero temporal leakage.
+
+    ``method='prefix'`` (default for bounded entities): the adjusted
+    EWMA telescopes —
+
+        ewma_t = Σ_{i≤t} x_i (1-α)^(t-i) / Σ (1-α)^(t-i)
+               = Σ x_i (1-α)^(-i) / Σ (1-α)^(-i)        (the (1-α)^t
+                                                          cancels)
+
+    so two cumulative window sums over ``pow(1-α, -row_number)`` give
+    the exact value with ZERO Python — whole-stage codegen, one
+    ``partitionBy(entity)`` exchange. Nulls are skipped from numerator
+    and denominator while weights keep advancing on absolute position
+    (pandas ``ignore_na=False``). Numerics: ``(1-α)^(-k)`` overflows
+    double at k ≈ 709/ln(1/(1-α)) rows per entity (~2000 rows at
+    α=0.3); beyond that the early terms are < 1 ulp of the true EWMA
+    anyway, so ``method='pandas'`` switches to Arrow-batched
+    ``applyInPandas`` running pandas' numerically-recursive ``ewm``
+    per entity (the rolling_median pattern). ``method='auto'`` counts
+    the largest entity (one cheap partial-agg job) and picks."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    if method not in ("auto", "prefix", "pandas"):
+        raise ValueError("method must be auto|prefix|pandas")
+    out = out or f"{col}_ewma"
+    w = 1.0 - alpha
+    import math
+
+    k_max = int(700.0 / -math.log(w))
+    if method == "auto":
+        biggest = (
+            df.groupBy(entity).count().agg(F.max("count").alias("m")).first()["m"] or 0
+        )
+        method = "prefix" if biggest <= k_max else "pandas"
+
+    order_cols = [order] if isinstance(order, str) else list(order)
+    if method == "prefix":
+        win = entity_window(entity, order_cols)
+        cum = win.rowsBetween(Window.unboundedPreceding, 0)
+        k = F.row_number().over(win) - 1
+        inv_w = F.pow(F.lit(1.0 / w), k)  # (1-α)^(-k)
+        x = F.col(col).cast("double")
+        num = F.sum(F.when(x.isNotNull(), x * inv_w)).over(cum)
+        den = F.sum(F.when(x.isNotNull(), inv_w)).over(cum)
+        return df.withColumn(out, (num / den).cast("double"))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(df.schema.fields + [T.StructField(out, T.DoubleType(), True)])
+
+    def _ewm(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf[out] = pdf[col].ewm(alpha=alpha, adjust=True).mean()
+        return pdf
+
+    return df.groupBy(entity).applyInPandas(_ewm, schema=schema)
