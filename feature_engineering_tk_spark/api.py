@@ -329,6 +329,78 @@ class FeatureEngineer(_Tracked):
         self._record("encode_categorical_ordinal", column=column)
         return self
 
+    def encode_categorical_count(
+        self, columns: list[str], normalize: bool = False
+    ) -> "FeatureEngineer":
+        """Count/frequency encoding — the reference SUGGESTS this
+        (target_analyzer/suggestions.py:173) but never implements it."""
+        from feature_engineering_tk_spark.transforms.encode import CountEncoder
+
+        for c in columns:
+            enc = CountEncoder(normalize=normalize).fit(self.df, c)
+            self.df = enc.transform(self.df)
+            self.transformers[f"count_encode_{c}"] = enc
+        self._record("encode_categorical_count", columns=columns, normalize=normalize)
+        return self
+
+    def encode_categorical_target(
+        self, columns: list[str], target: str, smoothing: float = 10.0
+    ) -> "FeatureEngineer":
+        """Smoothed mean-target encoding (suggestions.py:173 'Target
+        encode ...'). Fit-time leakage caveat applies — for
+        point-in-time features use expanding_target_encode directly."""
+        from feature_engineering_tk_spark.transforms.encode import TargetEncoder
+
+        for c in columns:
+            enc = TargetEncoder(smoothing=smoothing).fit(self.df, c, target)
+            self.df = enc.transform(self.df)
+            self.transformers[f"target_encode_{c}"] = enc
+        self._record("encode_categorical_target", columns=columns, target=target)
+        return self
+
+    def group_rare_categories(
+        self,
+        columns: list[str],
+        min_count: int | None = None,
+        min_freq: float | None = 0.01,
+        other_token: str = "__other__",
+    ) -> "FeatureEngineer":
+        """Lump rare categories (suggestions.py:173 'group rare
+        categories')."""
+        from feature_engineering_tk_spark.transforms.encode import RareCategoryGrouper
+
+        if min_count is not None:
+            min_freq = None
+        for c in columns:
+            g = RareCategoryGrouper(
+                min_count=min_count, min_freq=min_freq, other_token=other_token
+            ).fit(self.df, c)
+            self.df = g.transform(self.df)
+            self.transformers[f"rare_group_{c}"] = g
+        self._record("group_rare_categories", columns=columns, min_count=min_count,
+                     min_freq=min_freq)
+        return self
+
+    def create_feature_cross(
+        self, columns: list[str], out: str | None = None, hash_buckets: int | None = None
+    ) -> "FeatureEngineer":
+        """Crossed categorical interaction (suggestions.py:58)."""
+        from feature_engineering_tk_spark.transforms.encode import feature_cross
+
+        self.df = feature_cross(self.df, columns, out=out, hash_buckets=hash_buckets)
+        self._record("create_feature_cross", columns=columns, hash_buckets=hash_buckets)
+        return self
+
+    def create_cyclical_features(
+        self, column: str, features: list[str] | None = None
+    ) -> "FeatureEngineer":
+        """sin/cos encoding of cyclic datetime parts."""
+        from feature_engineering_tk_spark.functions.datetime_features import cyclical_encode
+
+        self.df = cyclical_encode(self.df, column, features=features)
+        self._record("create_cyclical_features", column=column, features=features)
+        return self
+
     # -- scaling ---------------------------------------------------------
     def scale_features(self, columns: list[str] | None = None, method: str = "standard") -> "FeatureEngineer":
         from feature_engineering_tk_spark.transforms.scale import Scaler
@@ -339,6 +411,32 @@ class FeatureEngineer(_Tracked):
         self.df = sc.transform(self.df)
         self.transformers[f"{method}_scaler"] = sc  # feature_engineering.py:285
         self._record("scale_features", columns=columns, method=method)
+        return self
+
+    def apply_power_transform(self, columns: list[str] | None = None) -> "FeatureEngineer":
+        """Yeo-Johnson with grid-MLE λ (one aggregation pass scores the
+        whole grid) — the skew fix suggest_transformations recommends."""
+        from feature_engineering_tk_spark.transforms.scale import YeoJohnsonTransformer
+
+        columns = columns or _numeric_cols(self.df)
+        _require_columns(self.df, columns)
+        tr = YeoJohnsonTransformer().fit(self.df, columns)
+        self.df = tr.transform(self.df)
+        self.transformers["yeojohnson_scaler"] = tr
+        self._record("apply_power_transform", columns=columns,
+                     lambdas=tr.state_["lambdas"])
+        return self
+
+    def apply_rank_transform(self, columns: list[str] | None = None) -> "FeatureEngineer":
+        """Rank-to-uniform (midrank quantile transform, no global
+        sort window)."""
+        from feature_engineering_tk_spark.transforms.scale import rank_uniform
+
+        columns = columns or _numeric_cols(self.df)
+        _require_columns(self.df, columns)
+        for c in columns:
+            self.df = rank_uniform(self.df, c)
+        self._record("apply_rank_transform", columns=columns)
         return self
 
     # -- constructors ----------------------------------------------------

@@ -84,13 +84,16 @@ def _registry() -> dict[str, type]:
         UniformBinner,
     )
     from feature_engineering_tk_spark.transforms.encode import (
+        CountEncoder,
         LabelEncoder,
         OneHotEncoder,
         OrdinalEncoder,
+        RareCategoryGrouper,
+        TargetEncoder,
     )
     from feature_engineering_tk_spark.transforms.impute import Imputer
     from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
-    from feature_engineering_tk_spark.transforms.scale import Scaler
+    from feature_engineering_tk_spark.transforms.scale import Scaler, YeoJohnsonTransformer
 
     return {
         c.__name__: c
@@ -104,6 +107,10 @@ def _registry() -> dict[str, type]:
             Imputer,
             OutlierDetector,
             Scaler,
+            CountEncoder,
+            TargetEncoder,
+            RareCategoryGrouper,
+            YeoJohnsonTransformer,
         )
     }
 

@@ -183,3 +183,46 @@ def test_eval_suite_facade(spark):
     assert wr["m1"] == 2 / 3 and wr["m2"] == 1 / 3
     pb = es.position_bias().first()
     assert pb.n_a_wins == 2 and pb.n_b_wins == 1
+
+
+def test_feature_engineer_suggested_encoders(mixed_df):
+    """The facade exposes the encoders the reference's suggestion engine
+    recommends (suggestions.py:58,173): count/target encoding, rare
+    grouping, crosses, cyclical parts, power/rank transforms."""
+    from feature_engineering_tk_spark import FeatureEngineer
+
+    pdf, df = mixed_df
+    fe = FeatureEngineer(df)
+    fe.encode_categorical_count(["categorical"], normalize=True)
+    fe.encode_categorical_target(["categorical"], target="numeric2", smoothing=2.0)
+    fe.group_rare_categories(["categorical"], min_count=4)
+    fe.create_feature_cross(["categorical", "conv_id"], out="cx")
+    fe.create_cyclical_features("date", ["dayofweek"])
+    fe.apply_rank_transform(["numeric2"])
+    out = fe.df.orderBy("conv_id", "turn_idx").toPandas()
+
+    vc = pdf["categorical"].value_counts()
+    exp_freq = pdf.sort_values(["conv_id", "turn_idx"])["categorical"].map(vc / len(pdf))
+    assert np.allclose(out["categorical_count"], exp_freq.to_numpy())
+
+    prior = pdf["numeric2"].mean()
+    g = pdf.groupby("categorical")["numeric2"]
+    tmap = (g.sum() + 2.0 * prior) / (g.count() + 2.0)
+    exp_t = pdf.sort_values(["conv_id", "turn_idx"])["categorical"].map(tmap)
+    assert np.allclose(out["categorical_target_enc"], exp_t.to_numpy())
+
+    # C has 2 occurrences < 4 → lumped; crosses use the LUMPED value
+    assert set(out["categorical"]) == {"A", "B", "__other__"}
+    assert (out["cx"] == out["categorical"] + "\x1f" + out["conv_id"]).all()
+
+    assert "date_dayofweek_sin" in out.columns and "date_dayofweek_cos" in out.columns
+    u = out["numeric2_rank_uniform"]
+    assert u.min() == 0.0 and u.max() == 1.0
+
+    # transformers registry holds the fitted state (reference contract)
+    assert "count_encode_categorical" in fe.encoders
+    assert "target_encode_categorical" in fe.encoders
+
+    fe.apply_power_transform(["numeric2_rank_uniform"])
+    assert "numeric2_rank_uniform_yj" in fe.df.columns
+    assert "yeojohnson_scaler" in fe.scalers

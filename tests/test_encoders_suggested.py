@@ -310,3 +310,31 @@ def test_yeo_johnson_insufficient_data(spark):
     df = spark.createDataFrame(pd.DataFrame({"x": [1.0]}))
     with pytest.raises(InsufficientDataError):
         YeoJohnsonTransformer().fit(df, ["x"])
+
+
+# -------------------------------------------------------------- persistence
+def test_new_encoders_json_roundtrip(spark, cats, tmp_path):
+    """save_transformers/load_transformers round-trips the new fitted
+    encoders (resume-safe artifacts, no pickle coupling)."""
+    from feature_engineering_tk_spark.transforms.state import (
+        load_transformers,
+        save_transformers,
+    )
+
+    fitted = {
+        "count": CountEncoder(normalize=True).fit(cats, "cat"),
+        "target": TargetEncoder(smoothing=7.0).fit(cats, "cat", "y"),
+        "rare": RareCategoryGrouper(min_freq=0.05).fit(cats, "cat"),
+        "yj": YeoJohnsonTransformer().fit(cats, ["y"]),
+    }
+    path = str(tmp_path / "enc.json")
+    save_transformers(fitted, path)
+    back = load_transformers(path)
+    assert back["count"].state_ == fitted["count"].state_
+    assert back["target"].state_["prior"] == fitted["target"].state_["prior"]
+    assert back["rare"].state_["keep"] == fitted["rare"].state_["keep"]
+    assert back["yj"].state_["lambdas"] == fitted["yj"].state_["lambdas"]
+    # reloaded transformer applies identically
+    a = fitted["target"].transform(cats, out="e").toPandas().sort_values("rid")["e"]
+    b = back["target"].transform(cats, out="e").toPandas().sort_values("rid")["e"]
+    assert np.allclose(a.to_numpy(), b.to_numpy())
