@@ -520,6 +520,51 @@ def main() -> None:
         )
     )
 
+    # 25. suggested-encoder family: ewma+pct_change stack on ONE entity
+    # exchange with zero Python; pit_target_encode broadcasts its
+    # aggregate-sized prefix table (never a sort-merge on the data
+    # table, never a whole category on one task)
+    from feature_engineering_tk_spark.transforms.encode import expanding_target_encode
+
+    stacked = W.with_ewma(
+        ev, "value", 0.3, entity="user_id", order=["ts", "event_id"], method="prefix"
+    )
+    stacked = W.with_pct_change(stacked, "value", entity="user_id", order=["ts", "event_id"])
+    p = plan_of(stacked)
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    has_python = "Python" in p or "ArrowEval" in p
+    sections.append(
+        (
+            "ewma + pct_change (suggested-encoder window stack)",
+            p,
+            [
+                f"exchanges={n_ex} (want 1 — prefix-sum EWMA rides the shared entity sort)",
+                f"python_nodes={has_python} (want False — telescoped identity, pure codegen)",
+            ],
+        )
+    )
+
+    pit = expanding_target_encode(
+        ev, "event_type", "value", order=["ts", "event_id"], decimal_scale=3
+    )
+    p = plan_of(pit)
+    n_smj = p.count("SortMergeJoin")
+    n_bhj = p.count("BroadcastHashJoin")
+    # the within-bucket window must partition by (category, day) — a
+    # bare partitionBy(category) would put whole categories on one task
+    day_bucketed = bool(re.search(r"hashpartitioning\(event_type[^)]*__b", p))
+    sections.append(
+        (
+            "pit_target_encode (leakage-free expanding target mean)",
+            p,
+            [
+                f"broadcast_joins={n_bhj} (want >=1 — (category, day) prefix table is aggregate-sized)",
+                f"sort_merge_joins={n_smj} (want 0 — data table never sort-merge-joined)",
+                f"day_bucketed_window={day_bucketed} (want True — no whole-category partitions)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
