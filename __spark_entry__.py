@@ -3528,6 +3528,40 @@ def q_cyclical_encode(spark, sf_dir):
     )
 
 
+def q_woe_encode(spark, sf_dir):
+    """Weight-of-evidence encoding vs a binary target (the
+    risk-modelling standard behind suggestions.py:173's categorical↔
+    binary advice): woe = ln(dist_pos/dist_neg) with Laplace alpha=0.5;
+    fit = ONE groupBy (two longs per category cross the shuffle),
+    apply = literal map — zero shuffle on the data table."""
+    from feature_engineering_tk_spark.transforms.encode import WoEEncoder
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "tgt",
+        F.when(F.col("value").isNull(), F.lit(None).cast("int")).otherwise(
+            (F.col("value") > 50).cast("int")
+        ),
+    )
+    enc = WoEEncoder(alpha=0.5).fit(ev, "event_type", "tgt")
+    out = enc.transform(ev, out="et_woe")
+    return out.select("event_id", F.round("et_woe", 6).alias("et_woe"))
+
+
+def q_hashing_encode(spark, sf_dir):
+    """The hashing trick: value → hash(salt, column, value) % buckets,
+    NO fitted vocabulary and NO driver state — the only encoder whose
+    cost is independent of cardinality (the 10^12-row default for
+    web-scale id columns, where even distinct() is a full key shuffle).
+    md5 mode makes the exact buckets replayable in the oracle."""
+    from feature_engineering_tk_spark.transforms.encode import hashing_encode
+
+    ev = _t(spark, sf_dir, "events")
+    out = hashing_encode(
+        ev, ["event_type", "user_id"], n_buckets=997, hash_mode="md5"
+    )
+    return out.select("event_id", "event_type_hash", "user_id_hash")
+
+
 def q_feature_cross(spark, sf_dir):
     """Crossed categorical interaction (suggestions.py:58
     'interaction'): lang × source on documents, row-local concat —
@@ -3819,6 +3853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "pct_change": q_pct_change,
         "yeojohnson": q_yeojohnson,
+        "woe_encode": q_woe_encode,
+        "hashing_encode": q_hashing_encode,
     }
 
 
@@ -8058,6 +8094,36 @@ def oracle_sql() -> dict[str, str]:
                           THEN (pow(value + 1.0, 0.5) - 1.0) / 0.5
                           ELSE -((pow(1.0 - value, 1.5) - 1.0) / 1.5)
                      END, 6) AS value_yj
+        FROM events
+    """
+    d["woe_encode"] = """
+        WITH base AS (
+          SELECT event_id, event_type,
+                 CASE WHEN value IS NULL THEN NULL
+                      WHEN value > 50 THEN 1 ELSE 0 END AS t
+          FROM events
+        ), s AS (
+          SELECT event_type, sum(t) AS pos, count(*) AS n FROM base
+          WHERE event_type IS NOT NULL AND t IS NOT NULL GROUP BY 1
+        ), tot AS (
+          SELECT sum(pos) AS pt, sum(n - pos) AS nt, count(*) AS k FROM s
+        ), w AS (
+          SELECT event_type,
+                 ln(((pos + 0.5) / (pt + 0.5 * k))
+                    / ((n - pos + 0.5) / (nt + 0.5 * k))) AS woe
+          FROM s CROSS JOIN tot
+        )
+        SELECT b.event_id, round(coalesce(w.woe, 0.0), 6) AS et_woe
+        FROM base b LEFT JOIN w USING (event_type)
+    """
+    d["hashing_encode"] = f"""
+        SELECT event_id,
+               CASE WHEN event_type IS NOT NULL THEN
+                 {_h60_sql("concat('v1', chr(31), 'event_type', chr(31), event_type)")} % 997
+               END AS event_type_hash,
+               CASE WHEN user_id IS NOT NULL THEN
+                 {_h60_sql("concat('v1', chr(31), 'user_id', chr(31), CAST(user_id AS VARCHAR))")} % 997
+               END AS user_id_hash
         FROM events
     """
     return d

@@ -358,6 +358,38 @@ class FeatureEngineer(_Tracked):
         self._record("encode_categorical_target", columns=columns, target=target)
         return self
 
+    def encode_categorical_woe(
+        self, columns: list[str], target: str, alpha: float = 0.5
+    ) -> "FeatureEngineer":
+        """Weight-of-evidence encoding vs a binary target; each fitted
+        encoder's information value is kept on the transformer
+        (``.iv_``) for selection decisions."""
+        from feature_engineering_tk_spark.transforms.encode import WoEEncoder
+
+        for c in columns:
+            enc = WoEEncoder(alpha=alpha).fit(self.df, c, target)
+            self.df = enc.transform(self.df)
+            self.transformers[f"woe_encode_{c}"] = enc
+        self._record("encode_categorical_woe", columns=columns, target=target)
+        return self
+
+    def encode_categorical_hashing(
+        self,
+        columns: list[str],
+        n_buckets: int = 1 << 18,
+        salt: str = "v1",
+        hash_mode: str = "xxhash64",
+    ) -> "FeatureEngineer":
+        """Stateless feature hashing — the unbounded-cardinality
+        encoder (no vocabulary fit, nothing to persist)."""
+        from feature_engineering_tk_spark.transforms.encode import hashing_encode
+
+        self.df = hashing_encode(
+            self.df, columns, n_buckets=n_buckets, salt=salt, hash_mode=hash_mode
+        )
+        self._record("encode_categorical_hashing", columns=columns, n_buckets=n_buckets)
+        return self
+
     def group_rare_categories(
         self,
         columns: list[str],

@@ -445,6 +445,136 @@ class RareCategoryGrouper(FittedStateMixin):
         )
 
 
+class WoEEncoder(FittedStateMixin):
+    """Weight-of-evidence encoding for a BINARY target (the credit-
+    scoring / risk-modelling standard the reference's suggestion text
+    gestures at for categorical↔binary-target relationships,
+    ``target_analyzer/suggestions.py:173``, without implementing):
+
+        woe(c)  = ln( dist_pos(c) / dist_neg(c) )
+        dist_pos(c) = (pos_c + alpha) / (pos_tot + alpha * K)
+        dist_neg(c) = (neg_c + alpha) / (neg_tot + alpha * K)
+
+    with ``K`` = number of fitted categories and ``alpha`` a Laplace
+    pseudo-count that keeps pure categories (all-positive or
+    all-negative) finite. Also computes the feature's **information
+    value** ``IV = Σ_c (dist_pos(c) - dist_neg(c)) * woe(c)`` — the
+    classic selection gauge (``iv_`` attribute; <0.02 useless,
+    >0.5 suspicious/leaky).
+
+    Scale: fit = ONE ``groupBy(column)`` with map-side partial
+    aggregation (two longs per category cross the shuffle, never rows);
+    transform = literal map below ``_MAP_EXPR_MAX`` else broadcast
+    join — zero shuffle on the data table at any cardinality. Unseen
+    categories and nulls → 0.0 (the "no evidence" point)."""
+
+    def __init__(self, alpha: float = 0.5):
+        if alpha <= 0:
+            raise ValueError("alpha must be > 0 (pure categories need a pseudo-count)")
+        self.alpha = float(alpha)
+        self.state_ = None
+
+    def get_params(self):
+        return {"alpha": self.alpha}
+
+    def fit(self, df: DataFrame, column: str, target: str) -> "WoEEncoder":
+        import math
+
+        t = F.col(target).cast("double")
+        bad = df.filter(t.isNotNull() & ~t.isin(0.0, 1.0)).limit(1).count()
+        if bad:
+            from feature_engineering_tk_spark.exceptions import DataTypeError
+
+            raise DataTypeError(target, "binary 0/1", "non-binary values present")
+        rows = (
+            df.filter(F.col(column).isNotNull() & t.isNotNull())
+            .groupBy(F.col(column).cast("string").alias("v"))
+            .agg(F.sum(t).alias("pos"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not rows:
+            from feature_engineering_tk_spark.exceptions import InsufficientDataError
+
+            raise InsufficientDataError("WoE encoding fit", 1, 0)
+        k = len(rows)
+        pos_tot = sum(r["pos"] for r in rows)
+        neg_tot = sum(r["n"] - r["pos"] for r in rows)
+        a = self.alpha
+        woe, iv = {}, 0.0
+        for r in rows:
+            dp = (r["pos"] + a) / (pos_tot + a * k)
+            dn = ((r["n"] - r["pos"]) + a) / (neg_tot + a * k)
+            w = math.log(dp / dn)
+            woe[r["v"]] = w
+            iv += (dp - dn) * w
+        self.state_ = {"column": column, "target": target, "woe": woe, "iv": iv}
+        return self
+
+    @property
+    def iv_(self) -> float:
+        self._require_fitted()
+        return self.state_["iv"]
+
+    def transform(self, df: DataFrame, out: str | None = None) -> DataFrame:
+        self._require_fitted()
+        column = self.state_["column"]
+        woe = self.state_["woe"]
+        out = out or f"{column}_woe"
+        if len(woe) <= _MAP_EXPR_MAX:
+            mapping = F.create_map(
+                *[x for v, w in sorted(woe.items()) for x in (F.lit(v), F.lit(w))]
+            )
+            code = F.coalesce(mapping[F.col(column).cast("string")], F.lit(0.0))
+            return df.withColumn(out, code.cast("double"))
+        spark = df.sparkSession
+        codes = spark.createDataFrame(
+            sorted(woe.items()), schema=f"__v string, {out} double"
+        )
+        return (
+            df.withColumn("__v", F.col(column).cast("string"))
+            .join(F.broadcast(codes), "__v", "left")
+            .drop("__v")
+            .withColumn(out, F.coalesce(F.col(out), F.lit(0.0)))
+        )
+
+
+def hashing_encode(
+    df: DataFrame,
+    columns: list[str],
+    n_buckets: int = 1 << 18,
+    salt: str = "v1",
+    hash_mode: str = "xxhash64",
+    suffix: str = "_hash",
+) -> DataFrame:
+    """Feature hashing (the hashing trick): map each categorical value
+    straight to ``hash(salt, column_name, value) % n_buckets`` — NO
+    fitted vocabulary, NO driver state, NO second scan. This is the
+    only encoder whose cost is independent of cardinality, which makes
+    it the 10^12-row default for web-scale id/URL/token columns where
+    even a ``distinct()`` is a full shuffle of the key set. Collisions
+    are the accepted trade (P ≈ n_values²/2·buckets); the column name
+    in the hash input keeps identical values in different columns from
+    aliasing. Nulls stay null. Pure row-local whole-stage-codegen
+    expressions — zero shuffle, zero UDF.
+
+    ``hash_mode='md5'`` uses the cross-engine 60-bit md5 prefix
+    (``dedup._hash60``) so the exact bucket ids are replayable in the
+    DuckDB oracle; ``xxhash64`` is the fast JVM path."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    from feature_engineering_tk_spark.operators.dedup import _token_hash
+
+    out = df
+    for c in columns:
+        key = F.concat_ws("\x1f", F.lit(salt), F.lit(c), F.col(c).cast("string"))
+        bucket = F.pmod(_token_hash(key, hash_mode), F.lit(n_buckets))
+        out = out.withColumn(
+            c + suffix,
+            F.when(F.col(c).isNull(), F.lit(None).cast("long")).otherwise(bucket),
+        )
+    return out
+
+
 def feature_cross(
     df: DataFrame,
     columns: list[str],

@@ -90,6 +90,7 @@ def _registry() -> dict[str, type]:
         OrdinalEncoder,
         RareCategoryGrouper,
         TargetEncoder,
+        WoEEncoder,
     )
     from feature_engineering_tk_spark.transforms.impute import Imputer
     from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
@@ -110,6 +111,7 @@ def _registry() -> dict[str, type]:
             CountEncoder,
             TargetEncoder,
             RareCategoryGrouper,
+            WoEEncoder,
             YeoJohnsonTransformer,
         )
     }

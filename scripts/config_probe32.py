@@ -27,7 +27,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SHM_DATA = "/dev/shm/fe_bench/transcripts"
+SHM_DATA = "/dev/shm/fe_bench/transcripts_4000000"
 
 _JOB = r"""
 import json, sys, time
@@ -72,6 +72,15 @@ CONFIGS = [
     ("parts-256", 256, {}),
     ("parallel-gc", 128, {"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"}),
     ("parts256+pgc", 256, {"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"}),
+    # off-heap Tungsten buffers: sort/shuffle memory leaves the GC'd
+    # heap entirely — GC pressure is the one cost that grows 4x with
+    # thread count at fixed per-core heap, so this should differentially
+    # help the wide level
+    ("offheap-16g", 128, {"spark.memory.offHeap.enabled": "true",
+                          "spark.memory.offHeap.size": "16g"}),
+    ("offheap+pgc", 128, {"spark.memory.offHeap.enabled": "true",
+                          "spark.memory.offHeap.size": "16g",
+                          "spark.driver.extraJavaOptions": "-XX:+UseParallelGC"}),
 ]
 
 

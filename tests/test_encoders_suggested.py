@@ -338,3 +338,83 @@ def test_new_encoders_json_roundtrip(spark, cats, tmp_path):
     a = fitted["target"].transform(cats, out="e").toPandas().sort_values("rid")["e"]
     b = back["target"].transform(cats, out="e").toPandas().sort_values("rid")["e"]
     assert np.allclose(a.to_numpy(), b.to_numpy())
+
+
+# ----------------------------------------------------------- WoE / hashing
+def test_woe_encoder_brute_force(cats, cats_pdf):
+    from feature_engineering_tk_spark.transforms.encode import WoEEncoder
+
+    binary = cats.withColumn("t", (F.col("y") > 20.0).cast("int"))
+    enc = WoEEncoder(alpha=0.5).fit(binary, "cat", "t")
+    out = enc.transform(binary, out="w").toPandas().sort_values("rid")
+
+    pdf = cats_pdf.assign(t=(cats_pdf["y"] > 20.0).astype(int))
+    g = pdf.groupby("cat")["t"].agg(["sum", "count"])
+    k = len(g)
+    pt, nt = g["sum"].sum(), (g["count"] - g["sum"]).sum()
+    woe = {}
+    iv = 0.0
+    for c, r in g.iterrows():
+        dp = (r["sum"] + 0.5) / (pt + 0.5 * k)
+        dn = (r["count"] - r["sum"] + 0.5) / (nt + 0.5 * k)
+        woe[c] = math.log(dp / dn)
+        iv += (dp - dn) * woe[c]
+    exp = pdf["cat"].map(woe)
+    assert np.allclose(out["w"].to_numpy(), exp.to_numpy())
+    assert math.isclose(enc.iv_, iv, rel_tol=1e-12)
+
+
+def test_woe_unseen_and_null_are_neutral(spark, cats):
+    from feature_engineering_tk_spark.transforms.encode import WoEEncoder
+
+    binary = cats.withColumn("t", (F.col("y") > 20.0).cast("int"))
+    enc = WoEEncoder().fit(binary, "cat", "t")
+    fresh = spark.createDataFrame([("zz",), (None,)], "cat string")
+    got = enc.transform(fresh, out="w").toPandas()
+    assert (got["w"] == 0.0).all()
+
+
+def test_woe_rejects_non_binary_target(cats):
+    from feature_engineering_tk_spark.exceptions import DataTypeError
+    from feature_engineering_tk_spark.transforms.encode import WoEEncoder
+
+    with pytest.raises(DataTypeError):
+        WoEEncoder().fit(cats, "cat", "y")  # y is continuous
+
+
+def test_woe_persistence_roundtrip(cats, tmp_path):
+    from feature_engineering_tk_spark.transforms.encode import WoEEncoder
+    from feature_engineering_tk_spark.transforms.state import (
+        load_transformers,
+        save_transformers,
+    )
+
+    binary = cats.withColumn("t", (F.col("y") > 20.0).cast("int"))
+    enc = WoEEncoder(alpha=0.5).fit(binary, "cat", "t")
+    path = str(tmp_path / "woe.json")
+    save_transformers({"woe": enc}, path)
+    back = load_transformers(path)["woe"]
+    assert back.state_["woe"] == enc.state_["woe"]
+    assert back.state_["iv"] == enc.state_["iv"]
+
+
+def test_hashing_encode_properties(spark):
+    from feature_engineering_tk_spark.transforms.encode import hashing_encode
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), (None, "b")], "x string, y string"
+    )
+    out = hashing_encode(df, ["x", "y"], n_buckets=64, hash_mode="md5").toPandas()
+    # null stays null, non-null lands in [0, buckets)
+    assert out["x_hash"].isna().sum() == 1
+    assert out["x_hash"].dropna().between(0, 63).all()
+    # identical value in different columns hashes differently (column
+    # name participates in the key)
+    row_a = out[(out["x"] == "a") & (out["y"] == "a")].iloc[0]
+    assert row_a["x_hash"] != row_a["y_hash"]
+    # deterministic across calls; salt changes the assignment
+    again = hashing_encode(df, ["x"], n_buckets=64, hash_mode="md5").toPandas()
+    assert (out["x_hash"].dropna() == again["x_hash"].dropna()).all()
+    salted = hashing_encode(df, ["x"], n_buckets=1 << 20, salt="v2").toPandas()
+    base = hashing_encode(df, ["x"], n_buckets=1 << 20).toPandas()
+    assert (salted["x_hash"].dropna() != base["x_hash"].dropna()).any()
