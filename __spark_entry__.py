@@ -161,6 +161,28 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", _epoch("ts").alias("ts_s"), "view_value")
 
 
+def q_asof_packed(spark, sf_dir):
+    """Pipeline fast-path as-of (operators/asof.py asof_join_packed):
+    the right side packs to one sorted array per entity (map-side
+    partial agg), then an entity equi-join + row-local array pick —
+    a pre-partitioned left side is NEVER re-shuffled (the union-tag
+    path always is). Same <= tie semantics; merge_asof ROW semantics
+    on the value columns. Oracle: DuckDB native ASOF JOIN."""
+    from feature_engineering_tk_spark.operators.asof import asof_join_packed
+
+    ev = _t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    features = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join_packed(
+        anchors, features, entity="user_id", value_cols=["view_value"], suffix=""
+    )
+    return out.select("event_id", "user_id", _epoch("ts").alias("ts_s"), "view_value")
+
+
 def q_dedup_first(spark, sf_dir):
     """remove_duplicates keep='first' (preprocessing.py:223-272):
     earliest event per (user_id, event_type)."""
@@ -569,6 +591,20 @@ def q_hash_sample(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return hash_sample(d, ["doc_id"], 0.3, hash_mode="md5").select("doc_id").orderBy("doc_id")
+
+
+def q_sample_per_group(spark, sf_dir):
+    """Deterministic k-per-group sampling (operators/sampling.py
+    sample_per_group): the 3 lowest-hash events of every user — the
+    re-run-stable reservoir replacement for capping per-conversation /
+    per-domain contributions. One group-key window, no global sort."""
+    from feature_engineering_tk_spark.operators.sampling import sample_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    out = sample_per_group(
+        ev, "user_id", ["event_id"], k=3, hash_mode="md5", out="rk"
+    )
+    return out.select("event_id", "user_id", "rk").orderBy("event_id")
 
 
 def q_group_split(spark, sf_dir):
@@ -2628,6 +2664,21 @@ def q_loss_mask(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "role", "loss_weight")
 
 
+def q_merge_adjacent_turns(spark, sf_dir):
+    """Role-alternation repair (operators/transcripts.py): maximal
+    same-role runs collapse to one turn (texts joined in order, first
+    ts, first non-null tool, dense re-index). One conv-key window
+    builds run ids; the follow-up groupBy clusters on a superset of
+    the window key so the exchange is reused — one shuffle total."""
+    from feature_engineering_tk_spark.operators.transcripts import merge_adjacent_turns
+
+    out = merge_adjacent_turns(_transcript_view(spark, sf_dir))
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        _epoch("ts").alias("ts_s"), "n_merged",
+    )
+
+
 def q_tool_roundtrip(spark, sf_dir):
     """Tool-call roundtrip (operators/transcripts.py): seconds from
     each tool turn to the NEXT assistant turn — forward-reading
@@ -2737,6 +2788,33 @@ def q_l_diversity(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return l_diversity(ev, ["user_id"], "event_type", l=5)
+
+
+def q_pseudonymize(spark, sf_dir):
+    """Consistent pseudonymization (operators/privacy.py): user_id →
+    salted-md5 token; same value → same token (joins/windows survive),
+    no lookup table to build or leak — one row-local codegen
+    expression, zero shuffle, zero driver state at 10^12 ids."""
+    from feature_engineering_tk_spark.operators.privacy import pseudonymize
+
+    ev = _t(spark, sf_dir, "events")
+    return pseudonymize(ev, ["user_id"], salt="rel1", keep_bits=48).select(
+        "event_id", "user_id"
+    )
+
+
+def q_date_shift(spark, sf_dir):
+    """Per-entity deterministic date shifting (HIPAA-style de-id,
+    operators/privacy.py): every timestamp of a user moves by the same
+    hash-derived offset in ±30 days — within-entity intervals exactly
+    preserved, absolute dates destroyed. Row-local md5 expression, no
+    per-entity table, no shuffle."""
+    from feature_engineering_tk_spark.operators.privacy import date_shift
+
+    ev = _t(spark, sf_dir, "events")
+    return date_shift(ev, "ts", "user_id", max_shift_days=30, salt="rel1").select(
+        "event_id", _epoch("ts").alias("ts_s")
+    )
 
 
 def q_funnel(spark, sf_dir):
@@ -3636,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "forward_fill": q_forward_fill,
         "asof_join": q_asof_join,
+        "asof_packed": q_asof_packed,
         "dedup_first": q_dedup_first,
         "pricing_summary": q_pricing_summary,
         "group_broadcast_agg": q_group_broadcast_agg,
@@ -3730,6 +3809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "knn_join": q_knn_join,
         "hash_sample": q_hash_sample,
+        "sample_per_group": q_sample_per_group,
         "group_split": q_group_split,
         "weighted_mix": q_weighted_mix,
         "scrub_pii": q_scrub_pii,
@@ -3772,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": q_conversation_stats,
         "response_latency": q_response_latency,
         "loss_mask": q_loss_mask,
+        "merge_adjacent_turns": q_merge_adjacent_turns,
         "conversation_dedup": q_conversation_dedup,
         "echo_rate": q_echo_rate,
         "tool_roundtrip": q_tool_roundtrip,
@@ -3782,6 +3863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_daily": q_resample_daily,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
+        "pseudonymize": q_pseudonymize,
+        "date_shift": q_date_shift,
         "readability": q_readability,
         "cohort_retention": q_cohort_retention,
         "bpe_train": q_bpe_train,
@@ -4329,6 +4412,19 @@ def _generated_oracles() -> dict[str, str]:
         FROM rk WHERE rank <= 5
     """
 
+    sample_per_group = f"""
+        WITH r AS (
+          SELECT event_id, user_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY {_h60_sql("concat('pergroup-v1', chr(31), CAST(event_id AS VARCHAR))")} % 1000000,
+                            event_id
+                 ) AS INT) AS rk
+          FROM events
+        )
+        SELECT event_id, user_id, rk FROM r WHERE rk <= 3 ORDER BY event_id
+    """
+
     pack_sequences = r"""
         WITH RECURSIVE src AS (
           SELECT doc_id, doc_id % 8 AS shard,
@@ -4725,6 +4821,7 @@ def _generated_oracles() -> dict[str, str]:
         "tfidf": tfidf,
         "knn_join": knn_join,
         "hash_sample": hash_sample,
+        "sample_per_group": sample_per_group,
         "group_split": group_split,
         "weighted_mix": weighted_mix,
         "scrub_pii": scrub_pii,
@@ -4839,6 +4936,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "asof_join": """
+            WITH anchors AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), features AS (
+              SELECT user_id, ts, max(value) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT a.event_id, a.user_id, epoch(a.ts) AS ts_s, f.view_value
+            FROM anchors a ASOF LEFT JOIN features f
+              ON a.user_id = f.user_id AND a.ts >= f.ts
+        """,
+        "asof_packed": """
             WITH anchors AS (
               SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
             ), features AS (
@@ -5558,6 +5666,25 @@ def oracle_sql() -> dict[str, str]:
                      >= 3 AS has_loop
               FROM transcript t GROUP BY t.conv_id
         """,
+        "merge_adjacent_turns": _TRANSCRIPT_CTE + """
+            , r AS (
+              SELECT *, CASE WHEN lag(role) OVER
+                               (PARTITION BY conv_id ORDER BY turn_idx)
+                             IS DISTINCT FROM role THEN 1 ELSE 0 END AS brk
+                FROM transcript
+            ), g AS (
+              SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                          AS run_id
+                FROM r
+            )
+            SELECT conv_id, CAST(run_id - 1 AS INT) AS turn_idx, role,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+                   (array_agg(tool ORDER BY turn_idx)
+                      FILTER (WHERE tool IS NOT NULL))[1] AS tool,
+                   epoch(min(ts)) AS ts_s,
+                   count(*) AS n_merged
+              FROM g GROUP BY conv_id, run_id, role
+        """,
         "tool_roundtrip": _TRANSCRIPT_CTE + """
             SELECT conv_id, turn_idx, role,
                    CASE WHEN role = 'tool' AND na IS NOT NULL
@@ -5636,6 +5763,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive,
                    count(DISTINCT event_type) < 5 AS is_risky
               FROM events GROUP BY user_id
+        """,
+        "pseudonymize": """
+            SELECT event_id,
+                   CASE WHEN user_id IS NULL THEN NULL
+                        ELSE 'user_id_' || substr(md5(concat('rel1', chr(31),
+                             'user_id', chr(31), CAST(user_id AS VARCHAR))), 1, 12)
+                   END AS user_id
+              FROM events
+        """,
+        "date_shift": f"""
+            SELECT event_id,
+                   epoch(ts + to_days(CAST(
+                     {_h60_sql("concat('rel1', chr(31), CAST(user_id AS VARCHAR))")}
+                     % 61 - 30 AS INT))) AS ts_s
+              FROM events
         """,
         "loss_mask": _TRANSCRIPT_CTE + """
             SELECT conv_id, turn_idx, role,

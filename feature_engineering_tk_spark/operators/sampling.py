@@ -74,6 +74,43 @@ def group_split(
     return df.withColumn(out, _key_bucket([group_col], salt, hash_mode) < cut)
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    keys: list[str],
+    k: int,
+    salt: str = "pergroup-v1",
+    hash_mode: str = "xxhash64",
+    out: str | None = None,
+) -> DataFrame:
+    """Deterministic k-per-group sampling: keep the ``k`` rows of each
+    group whose key hash ranks lowest — the distributed, re-run-stable
+    replacement for "reservoir sample k per conversation / per source".
+    Membership is a pure function of (group, keys, salt): re-runs,
+    repartitions, and engine replays select the SAME rows, and growing
+    a group only ever evicts the highest-ranked survivors (bounded
+    churn on backfills — a seeded RNG reshuffles everything).
+
+    Scale shape: one ``row_number`` window partitioned by the group
+    key — a single group-key shuffle; no global sort, no driver state.
+    Hash ties are broken by the key columns themselves so the result
+    is total-order stable. ``out`` keeps the within-group rank (1..k)
+    when given.
+
+    Eval-set builders use this to cap per-conversation / per-domain
+    contributions; pair with ``hash_sample`` (row-level) and
+    ``group_split`` (side assignment) for the full recipe."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    rank_col = out or "__spg_rank"
+    order = [_key_bucket(keys, salt, hash_mode).asc()] + [F.col(c) for c in keys]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    res = df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+    return res if out else res.drop(rank_col)
+
+
 def stratified_sample(
     df: DataFrame,
     keys: list[str],

