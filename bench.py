@@ -40,9 +40,19 @@ def _scaling_summary() -> dict:
                 continue
     except OSError:
         return {}
-    for rec in records:
-        if "job_key" in rec:
-            current_key = rec["job_key"]
+    # the criterion job key is pinned by scripts/scaling_bench.py —
+    # "last key seen" would silently report whichever variant (e.g.
+    # the packed fast path) happened to be sampled most recently
+    keys_path = os.path.join(os.path.dirname(hist), "scaling_keys.json")
+    try:
+        with open(keys_path) as kf:
+            current_key = json.load(kf).get("criterion_job_key")
+    except (OSError, json.JSONDecodeError):
+        pass
+    if current_key is None:
+        for rec in records:
+            if "job_key" in rec:
+                current_key = rec["job_key"]
     for rec in records:
         r = rec.get("result")
         if r and rec.get("job_key") == current_key:
@@ -132,6 +142,7 @@ def main() -> None:
     # agg, join, text and similarity representatives
     headline = [
         "asof_join",
+        "asof_packed",
         "rolling_avg",
         "rolling_time_sum",
         "sessionize",
@@ -174,7 +185,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from feature_engineering_tk_spark.operators import window_features as W
-    from feature_engineering_tk_spark.operators.asof import asof_join
+    from feature_engineering_tk_spark.operators.asof import asof_join_packed
 
     def build_pipeline():
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -188,7 +199,12 @@ def main() -> None:
         purchases = ev.filter(F.col("event_type") == "purchase").select(
             "user_id", "ts", F.col("value").alias("purchase_value")
         )
-        return asof_join(feat, purchases, entity="user_id", value_cols=["purchase_value"], suffix="")
+        # pipeline fast path: the packed as-of reuses the window stack's
+        # user_id exchange — the feature table shuffles once end-to-end
+        # (the general union-tag asof_join is timed separately above)
+        return asof_join_packed(
+            feat, purchases, entity="user_id", value_cols=["purchase_value"], suffix=""
+        )
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     build_pipeline().write.format("noop").mode("overwrite").save()  # warm-up
