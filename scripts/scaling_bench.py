@@ -47,9 +47,25 @@ cpus = int(sys.argv[1])
 # have — so shuffle dirs go on tmpfs (bandwidth scales with cores like
 # node-local NVMe does) and heap is held at 1.5 GB/core at BOTH levels
 # (per-core memory constant, the cluster-sizing invariant).
+# Core confinement (with the taskset pin applied by the launcher): a
+# JVM asked for local[8] on a 32-core box still SEES 32 cores — G1
+# sizes its GC worker pool for 32, and GC/JIT/netty threads run free
+# on the 24 idle cores. That is a boost a real 8-core (N-executor)
+# cluster does not have, and it flows entirely to the NARROW level,
+# deflating measured 8->32 efficiency. ActiveProcessorCount sizes the
+# JVM's internal pools for exactly N cores; the launcher's
+# `taskset -c 0..N-1` confines every thread to N hardware cores
+# (32 distinct physical cores here, no SMT pairs, one NUMA node —
+# `lscpu` checked). Level 32 pins to the whole box (a no-op), so the
+# treatment is symmetric and the only variable stays compute
+# parallelism.
 spark = get_spark(master=f"local[{{cpus}}]", app_name=f"scaling-{{cpus}}",
                   shuffle_partitions=128,
-                  extra_conf={{"spark.local.dir": f"/dev/shm/fe_spark_local_{{cpus}}"}})
+                  extra_conf={{
+                      "spark.local.dir": f"/dev/shm/fe_spark_local_{{cpus}}",
+                      "spark.driver.extraJavaOptions":
+                          f"-XX:ActiveProcessorCount={{cpus}}",
+                  }})
 spark.sparkContext.setLogLevel("ERROR")
 
 df = spark.read.parquet({data!r})
@@ -98,9 +114,16 @@ cpus = int(sys.argv[1])
 # have — so shuffle dirs go on tmpfs (bandwidth scales with cores like
 # node-local NVMe does) and heap is held at 1.5 GB/core at BOTH levels
 # (per-core memory constant, the cluster-sizing invariant).
+# Same core-confinement protocol as the criterion job: taskset (from
+# the launcher) + ActiveProcessorCount make local[N] a faithful
+# N-core-node proxy; level 32 = whole box = no-op.
 spark = get_spark(master=f"local[{{cpus}}]", app_name=f"scaling-{{cpus}}",
                   shuffle_partitions=128,
-                  extra_conf={{"spark.local.dir": f"/dev/shm/fe_spark_local_{{cpus}}"}})
+                  extra_conf={{
+                      "spark.local.dir": f"/dev/shm/fe_spark_local_{{cpus}}",
+                      "spark.driver.extraJavaOptions":
+                          f"-XX:ActiveProcessorCount={{cpus}}",
+                  }})
 spark.sparkContext.setLogLevel("ERROR")
 
 df = spark.read.parquet({data!r})
@@ -278,7 +301,11 @@ def main() -> None:
             env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=f"{max(12, int(cpus * 1.5))}g")
             try:
                 out = subprocess.run(
-                    [sys.executable, "-c", job, str(cpus)],
+                    # taskset: confine the whole process tree (JVM + Arrow
+                    # python workers) to exactly `cpus` hardware cores —
+                    # the N-core-node proxy documented in the job text.
+                    ["taskset", "-c", f"0-{cpus - 1}",
+                     sys.executable, "-c", job, str(cpus)],
                     capture_output=True, text=True, check=True, cwd=REPO, env=env,
                 )
             finally:
@@ -407,6 +434,21 @@ def main() -> None:
             "size, not the executor count, exactly as a real N -> 4N "
             "cluster scale-up would keep it. The only variable is compute "
             "parallelism.\n\n"
+            "Core-confinement note: each level runs under `taskset -c "
+            "0..N-1` with `-XX:ActiveProcessorCount=N` (N = the level's "
+            "core count). Without it, the local[8] JVM still sees all 32 "
+            "cores — G1 sizes its GC worker pool for 32 and GC/JIT/netty "
+            "threads run free on the 24 idle cores, a boost a real "
+            "8-core (N-executor) cluster does not have, flowing entirely "
+            "to the narrow level and deflating measured efficiency. The "
+            "box has 32 distinct physical cores (no SMT pairs, one NUMA "
+            "node — `lscpu` verified), so cores 0-7 are 8 full cores; "
+            "level 32 pins to the whole box (a no-op), keeping the "
+            "treatment symmetric. The confinement is conservative in the "
+            "other direction too: the pinned 8-core level still enjoys "
+            "the whole shared L3 and DRAM bandwidth, 4x per-core what "
+            "the 32-level gets — slack a real 8-core node would also "
+            "have, so the narrow level is never understated.\n\n"
             "Node-local-resource note: on a real N -> 4N executor "
             "scale-up, each added node brings its own shuffle disks, "
             "input-storage bandwidth, and JVM heap. The single-box proxy "
