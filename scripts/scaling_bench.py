@@ -308,6 +308,12 @@ def main() -> None:
                      sys.executable, "-c", job, str(cpus)],
                     capture_output=True, text=True, check=True, cwd=REPO, env=env,
                 )
+            except subprocess.CalledProcessError as e:
+                # a killed/OOMed attempt must not abort the invocation —
+                # skip it; min-merge only ever consumes successful runs
+                print(f"attempt {i} cpus={cpus} failed (rc={e.returncode}); skipping",
+                      file=sys.stderr)
+                continue
             finally:
                 shutil.rmtree(f"/dev/shm/fe_spark_local_{cpus}", ignore_errors=True)
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
