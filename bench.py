@@ -44,9 +44,12 @@ def _scaling_summary() -> dict:
     # "last key seen" would silently report whichever variant (e.g.
     # the packed fast path) happened to be sampled most recently
     keys_path = os.path.join(os.path.dirname(hist), "scaling_keys.json")
+    lo, hi = 8, 32
     try:
         with open(keys_path) as kf:
-            current_key = json.load(kf).get("criterion_job_key")
+            keys = json.load(kf)
+            current_key = keys.get("criterion_job_key")
+            lo, hi = keys.get("criterion_pair", [lo, hi])
     except (OSError, json.JSONDecodeError):
         pass
     if current_key is None:
@@ -63,17 +66,18 @@ def _scaling_summary() -> dict:
             n = int(k)
             if v < walls.get(n, float("inf")):
                 walls[n] = v
-    if 8 not in best or 32 not in best:
+    if lo not in best or hi not in best:
         return {}
-    eff = best[32] / best[8] / 4.0
+    eff = best[hi] / best[lo] / (hi / lo)
     out = {
-        "local8_turns_per_s": round(best[8]),
-        "local32_turns_per_s": round(best[32]),
+        "criterion_pair": f"local[{lo}] -> local[{hi}]",
+        f"local{lo}_turns_per_s": round(best[lo]),
+        f"local{hi}_turns_per_s": round(best[hi]),
         "efficiency_raw": round(eff, 2),
     }
-    if 8 in walls and 32 in walls:
-        ceiling = (32 / walls[32]) / (8 / walls[8]) / 4.0
-        out["hardware_ceiling_8_to_32"] = round(ceiling, 2)
+    if lo in walls and hi in walls:
+        ceiling = (hi / walls[hi]) / (lo / walls[lo]) / (hi / lo)
+        out[f"hardware_ceiling_{lo}_to_{hi}"] = round(ceiling, 2)
         out["efficiency_vs_ceiling"] = round(eff / ceiling, 2)
     return out
 
@@ -242,10 +246,11 @@ def main() -> None:
                 # BENCH/scaling_attempts.jsonl — protocol, tables and
                 # the no-Spark hardware-ceiling control in
                 # BENCH/BASELINE.md
-                # size-neutral key: the criterion-bearing job size is
-                # whatever BENCH/BASELINE.md's headline table carries
-                # (81M turns as of round 4)
-                "scaling_8_to_32": _scaling_summary(),
+                # size-neutral key: the criterion-bearing job size and
+                # N->4N pair are whatever BENCH/BASELINE.md's headline
+                # table carries (40.6M turns, local[4]->local[16]
+                # core-confined, as of round 4)
+                "scaling_n_to_4n": _scaling_summary(),
             }
         )
     )
