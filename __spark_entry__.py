@@ -2708,6 +2708,23 @@ def q_sft_export(spark, sf_dir):
     return sft_export(_transcript_view(spark, sf_dir))
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """Chat-JSONL ingest round-trip (sources/jsonl.py parse_chat_jsonl
+    — the exact inverse of sft_export): the exported JSONL lines are
+    re-parsed by from_json + posexplode (whole-stage codegen, zero
+    shuffle, zero Python) and must reproduce every turn exactly. The
+    oracle is the transcript CTE itself: if export → ingest is
+    lossless, the result IS the base table — per-turn text equality
+    under stable turn ordering, the north-rule invariant, end-to-end."""
+    from feature_engineering_tk_spark.operators.transcripts import sft_export
+    from feature_engineering_tk_spark.sources import parse_chat_jsonl
+
+    lines = sft_export(_transcript_view(spark, sf_dir))
+    return parse_chat_jsonl(lines, col="json_line").select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+
+
 def q_detect_loops(spark, sf_dir):
     """Agent-loop detection (operators/transcripts.py detect_loops):
     gaps-and-islands run lengths of identical (role, text) turns over
@@ -3858,6 +3875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_roundtrip": q_tool_roundtrip,
         "tool_stats": q_tool_stats,
         "sft_export": q_sft_export,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "detect_loops": q_detect_loops,
         "ann_recall": q_ann_recall,
         "resample_daily": q_resample_daily,
@@ -5637,6 +5655,9 @@ def oracle_sql() -> dict[str, str]:
                                  || '"}}', ',' ORDER BY turn_idx)
                    || ']}}' AS json_line
               FROM transcript GROUP BY conv_id
+        """,
+        "jsonl_roundtrip": _TRANSCRIPT_CTE + """
+            SELECT conv_id, turn_idx, role, text FROM transcript
         """,
         "detect_loops": _TRANSCRIPT_CTE + """
             , m AS (

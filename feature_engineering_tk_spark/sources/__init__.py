@@ -1,3 +1,9 @@
+from feature_engineering_tk_spark.sources.jsonl import (  # noqa: F401
+    parse_chat_jsonl,
+    parse_rejects,
+    read_transcripts_jsonl,
+    write_transcripts_jsonl,
+)
 from feature_engineering_tk_spark.sources.tables import (  # noqa: F401
     ensure_schema,
     iceberg_available,
