@@ -128,6 +128,24 @@ def read_transcripts_jsonl(
     return parse_chat_jsonl(spark.read.text(path), col="value", on_error=on_error)
 
 
+def read_transcripts_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    on_error: str = "skip",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of ``read_transcripts_jsonl``: watch a
+    directory for arriving chat-JSONL shards and emit canonical turn
+    rows. The parse is stateless (row-local), so it composes with the
+    engine's watermarked session/window operators downstream and the
+    drained ``availableNow`` output matches the batch reader exactly."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.format("text").load(path)
+    return parse_chat_jsonl(lines, col="value", on_error=on_error)
+
+
 def write_transcripts_jsonl(
     df: DataFrame,
     path: str,

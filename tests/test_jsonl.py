@@ -114,3 +114,33 @@ def test_parse_plan_is_scan_local(spark):
     df = spark.createDataFrame([Row(value="{}")])
     plan = parse_chat_jsonl(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    """availableNow drain of the streaming reader == batch reader."""
+    from feature_engineering_tk_spark.sources import (
+        read_transcripts_jsonl,
+        read_transcripts_jsonl_stream,
+        write_transcripts_jsonl,
+    )
+
+    src = _turns(spark, NASTY)
+    path = str(tmp_path / "stream_src")
+    write_transcripts_jsonl(src, path)
+    stream = read_transcripts_jsonl_stream(spark, path, max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_stream_test")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.role, r.text)
+        for r in spark.sql("SELECT * FROM jsonl_stream_test").collect()
+    )
+    batch = read_transcripts_jsonl(spark, path)
+    want = sorted((r.conv_id, r.turn_idx, r.role, r.text) for r in batch.collect())
+    assert got == want == sorted(NASTY)
