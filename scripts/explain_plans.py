@@ -599,6 +599,28 @@ def main() -> None:
         )
     )
 
+    # 27. chat-JSONL ingest: from_json + posexplode must stay entirely
+    # scan-local — zero exchanges, zero Python — so a 100 TB JSONL
+    # drop parses at scan speed; the sft_export writer side keeps its
+    # single conv groupBy
+    from feature_engineering_tk_spark.operators.transcripts import sft_export
+    from feature_engineering_tk_spark.sources import parse_chat_jsonl
+
+    parsed = parse_chat_jsonl(sft_export(tr), col="json_line")
+    p = plan_of(parsed)
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    has_python = "Python" in p or "ArrowEval" in p
+    sections.append(
+        (
+            "chat-JSONL ingest (sft_export -> parse_chat_jsonl)",
+            p,
+            [
+                f"exchanges={n_ex} (want 1 — sft_export's conv groupBy; the parse adds ZERO)",
+                f"python_nodes={has_python} (want False — from_json/posexplode codegen)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")

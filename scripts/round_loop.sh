@@ -28,7 +28,7 @@ calm_wait() {
 cycle=0
 while [ ! -f /tmp/stop_round_loop ]; do
   calm_wait 300
-  SCALING_ATTEMPTS=1 SCALING_LEVELS=16,4 python -u scripts/scaling_bench.py 2000000 >> /tmp/round_loop.log 2>&1
+  SCALING_ATTEMPTS=1 SCALING_LEVELS=16,16 python -u scripts/scaling_bench.py 2000000 >> /tmp/round_loop.log 2>&1
   [ -f /tmp/stop_round_loop ] && break
   calm_wait 180
   SCALING_ATTEMPTS=1 SCALING_LEVELS=16,4 python -u scripts/scaling_bench.py 2000000 >> /tmp/round_loop.log 2>&1
