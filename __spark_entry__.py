@@ -161,6 +161,50 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", _epoch("ts").alias("ts_s"), "view_value")
 
 
+def _asof_directed_frames(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    features = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return anchors, features
+
+
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of (operators/asof.py asof_join_directed): earliest
+    view at-or-after each click — label construction (time-to-next-
+    event style), behind the allow_future=True leak gate. Same single
+    union-tag exchange as the backward path; equal timestamps match
+    (pandas merge_asof forward parity, tested vs pandas in
+    tests/test_asof.py). Oracle: DuckDB native ASOF with <=."""
+    from feature_engineering_tk_spark.operators.asof import asof_join_directed
+
+    anchors, features = _asof_directed_frames(spark, sf_dir)
+    out = asof_join_directed(
+        anchors, features, entity="user_id", value_cols=["view_value"],
+        suffix="", direction="forward", allow_future=True,
+    )
+    return out.select("event_id", "user_id", _epoch("ts").alias("ts_s"), "view_value")
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of (operators/asof.py asof_join_directed): closest
+    view in absolute integer-µs distance, BACKWARD winning equidistant
+    ties (pandas rule). One exchange, two window sorts, row-local
+    pick. Oracle: backward + forward DuckDB ASOF CTEs combined by the
+    identical distance rule."""
+    from feature_engineering_tk_spark.operators.asof import asof_join_directed
+
+    anchors, features = _asof_directed_frames(spark, sf_dir)
+    out = asof_join_directed(
+        anchors, features, entity="user_id", value_cols=["view_value"],
+        suffix="", direction="nearest", allow_future=True,
+    )
+    return out.select("event_id", "user_id", _epoch("ts").alias("ts_s"), "view_value")
+
+
 def q_asof_packed(spark, sf_dir):
     """Pipeline fast-path as-of (operators/asof.py asof_join_packed):
     the right side packs to one sorted array per entity (map-side
@@ -3732,6 +3776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill": q_forward_fill,
         "asof_join": q_asof_join,
         "asof_packed": q_asof_packed,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         "dedup_first": q_dedup_first,
         "pricing_summary": q_pricing_summary,
         "group_broadcast_agg": q_group_broadcast_agg,
@@ -7023,6 +7069,39 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med5
             FROM events
+        """,
+        "asof_forward": """
+            WITH anchors AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), features AS (
+              SELECT user_id, ts, max(value) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT a.event_id, a.user_id, epoch(a.ts) AS ts_s, f.view_value
+            FROM anchors a ASOF LEFT JOIN features f
+              ON a.user_id = f.user_id AND a.ts <= f.ts
+        """,
+        "asof_nearest": """
+            WITH anchors AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), features AS (
+              SELECT user_id, ts, max(value) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            ), b AS (
+              SELECT a.event_id, f.view_value AS bv, epoch_us(f.ts) AS bt
+              FROM anchors a ASOF LEFT JOIN features f
+                ON a.user_id = f.user_id AND a.ts >= f.ts
+            ), fw AS (
+              SELECT a.event_id, f.view_value AS fv, epoch_us(f.ts) AS ft
+              FROM anchors a ASOF LEFT JOIN features f
+                ON a.user_id = f.user_id AND a.ts <= f.ts
+            )
+            SELECT a.event_id, a.user_id, epoch(a.ts) AS ts_s,
+                   CASE WHEN b.bt IS NOT NULL AND (fw.ft IS NULL OR
+                             epoch_us(a.ts) - b.bt <= fw.ft - epoch_us(a.ts))
+                        THEN b.bv ELSE fw.fv END AS view_value
+            FROM anchors a
+            JOIN b USING (event_id) JOIN fw USING (event_id)
         """,
         "asof_tolerance": """
             WITH anchors AS (

@@ -16,8 +16,11 @@ scale profiles:
 
 Tie semantics (north-rule hard part): ``right.ts == left.ts`` IS
 matched (``<=``, not ``<``) — the union sorts right rows before left
-anchors at equal timestamps via a tag column. Direction 'backward'
-only (point-in-time); 'forward' would read the future.
+anchors at equal timestamps via a tag column. The point-in-time
+default is direction 'backward' only; :func:`asof_join_directed`
+adds pandas ``merge_asof`` 'forward'/'nearest' parity behind the
+explicit ``allow_future=True`` leak gate (label construction, not
+features).
 """
 
 from __future__ import annotations
@@ -102,6 +105,135 @@ def asof_join(
     else:
         sel = [F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in value_cols]
 
+    return out.select(*[F.col(c) for c in left_cols], *sel)
+
+
+def asof_join_directed(
+    left: DataFrame,
+    right: DataFrame,
+    entity: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_asof",
+    direction: str = "backward",
+    allow_future: bool = False,
+) -> DataFrame:
+    """As-of join with pandas ``merge_asof`` direction parity:
+    ``'backward'`` (delegates to :func:`asof_join`), ``'forward'``
+    (earliest right row with ``right.ts >= left.ts``), ``'nearest'``
+    (closest in absolute integer-µs distance; the BACKWARD row wins
+    equidistant ties, pandas rule).
+
+    ``'forward'`` and ``'nearest'`` read rows later than the anchor —
+    label construction (next tool result, time-to-next-purchase), not
+    features — so they require the explicit ``allow_future=True``
+    opt-in, same contract as ``with_lead``/``backward_fill``. The
+    point-in-time pipeline default stays leak-proof.
+
+    Scale shape: the same single union-tag exchange as
+    :func:`asof_join`; ``'forward'`` is one window sort (ties ordered
+    left-anchor-before-right so equal timestamps match, mirroring the
+    backward tag order), ``'nearest'`` is two sorts over the ONE
+    exchange (backward + forward carries, then a row-local pick).
+    ``tolerance_seconds`` bounds the match distance per direction in
+    integer µs, exactly as in :func:`asof_join`.
+    """
+    if direction == "backward":
+        return asof_join(
+            left, right, entity, left_ts, right_ts, value_cols,
+            tolerance_seconds, suffix,
+        )
+    if direction not in ("forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    if not allow_future:
+        from feature_engineering_tk_spark.operators.window_features import (
+            FutureLeakError,
+        )
+
+        raise FutureLeakError(
+            f"asof_join_directed(direction={direction!r}) reads rows after "
+            "the anchor timestamp; pass allow_future=True"
+        )
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (entity, right_ts)
+    ]
+    left_cols = left.columns
+
+    l_tag = left.select(
+        F.col(entity).alias("_e"),
+        epoch_micros(F.col(left_ts)).alias("_t"),
+        F.lit(1).alias("_tag"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+        F.lit(None).cast("long").alias("_rt"),
+    )
+    r_tag = right.select(
+        F.col(entity).alias("_e"),
+        epoch_micros(F.col(right_ts)).alias("_t"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        epoch_micros(F.col(right_ts)).alias("_rt"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    tol_us = (
+        None
+        if tolerance_seconds is None
+        else int(round(float(tolerance_seconds) * 1_000_000))
+    )
+
+    # forward sort: at equal ts the left anchor (tag 1) precedes right
+    # rows (tag 0), so the (currentRow, unboundedFollowing) frame below
+    # includes exact-timestamp matches — mirror image of the backward
+    # tag order
+    w_f = (
+        Window.partitionBy("_e")
+        .orderBy("_t", F.desc("_tag"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carries = {
+        f"_f_{c}": F.first(f"_rv_{c}", ignorenulls=True).over(w_f)
+        for c in value_cols
+    } | {"_f_rt": F.first("_rt", ignorenulls=True).over(w_f)}
+    if direction == "nearest":
+        w_b = (
+            Window.partitionBy("_e")
+            .orderBy("_t", "_tag")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carries |= {
+            f"_b_{c}": F.last(f"_rv_{c}", ignorenulls=True).over(w_b)
+            for c in value_cols
+        } | {"_b_rt": F.last("_rt", ignorenulls=True).over(w_b)}
+
+    out = unioned.withColumns(carries).filter(F.col("_tag") == 1)
+
+    d_f = F.col("_f_rt") - F.col("_t")
+    f_ok = F.col("_f_rt").isNotNull() & (
+        F.lit(True) if tol_us is None else (d_f <= F.lit(tol_us))
+    )
+    if direction == "forward":
+        sel = [
+            F.when(f_ok, F.col(f"_f_{c}")).alias(f"{c}{suffix}")
+            for c in value_cols
+        ]
+    else:
+        d_b = F.col("_t") - F.col("_b_rt")
+        b_ok = F.col("_b_rt").isNotNull() & (
+            F.lit(True) if tol_us is None else (d_b <= F.lit(tol_us))
+        )
+        # backward wins equidistant ties (pandas merge_asof rule)
+        choose_b = b_ok & (~f_ok | (d_b <= d_f))
+        sel = [
+            F.when(choose_b, F.col(f"_b_{c}"))
+            .when(f_ok, F.col(f"_f_{c}"))
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ]
     return out.select(*[F.col(c) for c in left_cols], *sel)
 
 

@@ -256,3 +256,110 @@ def test_asof_packed_reuses_left_partitioning(spark, transcripts):
     # the window's exchange is the ONLY one whose input scans transcripts
     # via the left branch: no second hashpartitioning over the feature table
     assert packed_plan.count("Window") >= 1
+
+
+def _oracle_directed(left_pdf, right_pdf, direction, tolerance=None):
+    kw = {}
+    if tolerance is not None:
+        kw["tolerance"] = pd.Timedelta(seconds=tolerance)
+    exp = pd.merge_asof(
+        left_pdf.sort_values("ts", kind="mergesort"),
+        right_pdf.sort_values("ts", kind="mergesort").rename(
+            columns={"tokens": "tokens_asof"}
+        ),
+        on="ts",
+        by="conv_id",
+        direction=direction,
+        allow_exact_matches=True,
+        **kw,
+    )
+    return exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, 120.0])
+def test_directed_matches_pandas(asof_frames, direction, tolerance):
+    from feature_engineering_tk_spark.operators.asof import asof_join_directed
+
+    left, right, left_pdf, right_pdf = asof_frames
+    got = _collect(
+        asof_join_directed(
+            left,
+            right,
+            value_cols=["tokens"],
+            direction=direction,
+            tolerance_seconds=tolerance,
+            allow_future=True,
+        )
+    )
+    exp = _oracle_directed(left_pdf, right_pdf, direction, tolerance)
+    assert np.array_equal(
+        got["tokens_asof"].to_numpy(dtype=float),
+        exp["tokens_asof"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
+
+
+def test_directed_backward_delegates(asof_frames):
+    from feature_engineering_tk_spark.operators.asof import asof_join_directed
+
+    left, right, left_pdf, right_pdf = asof_frames
+    got = _collect(asof_join_directed(left, right, value_cols=["tokens"]))
+    exp = _oracle(left_pdf, right_pdf)
+    assert np.array_equal(
+        got["tokens_asof"].to_numpy(dtype=float),
+        exp["tokens_asof"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
+
+
+def test_directed_nearest_tie_prefers_backward(spark):
+    from feature_engineering_tk_spark.operators.asof import asof_join_directed
+
+    left = spark.createDataFrame(
+        [("c1", 0, pd.Timestamp("2026-01-01 00:00:10").to_pydatetime())],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("c1", pd.Timestamp("2026-01-01 00:00:05").to_pydatetime(), 1.0),
+            ("c1", pd.Timestamp("2026-01-01 00:00:15").to_pydatetime(), 2.0),
+        ],
+        "conv_id string, ts timestamp, v double",
+    )
+    got = asof_join_directed(
+        left, right, value_cols=["v"], direction="nearest", allow_future=True
+    ).collect()
+    assert got[0]["v_asof"] == 1.0  # equidistant -> backward wins
+
+
+def test_directed_requires_future_opt_in(asof_frames):
+    from feature_engineering_tk_spark.operators.window_features import FutureLeakError
+    from feature_engineering_tk_spark.operators.asof import asof_join_directed
+
+    left, right, _, _ = asof_frames
+    for d in ("forward", "nearest"):
+        with pytest.raises(FutureLeakError, match="allow_future"):
+            asof_join_directed(left, right, direction=d)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join_directed(left, right, direction="sideways", allow_future=True)
+
+
+def test_directed_single_exchange(asof_frames):
+    """nearest = ONE exchange (two sorts over it), same shuffle cost
+    class as the backward union-tag path."""
+    import re
+
+    from feature_engineering_tk_spark.operators.asof import asof_join_directed
+
+    left, right, _, _ = asof_frames
+    plan = (
+        asof_join_directed(
+            left, right, value_cols=["tokens"], direction="nearest",
+            allow_future=True,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(set(re.findall(r"Exchange hashpartitioning", plan))) <= 1
