@@ -7706,20 +7706,25 @@ def oracle_sql() -> dict[str, str]:
           FROM c WHERE cum_tokens <= 500
     """
     d["mix_balance"] = """
+        -- c*c accumulated as HUGEINT (exact, overflow-proof) mirroring
+        -- the engine's decimal(38,0) sum; doubles appear only at the
+        -- final division, so parity stays bit-exact.
         WITH g AS (
-          SELECT source, CAST(count(*) AS BIGINT) AS c
+          SELECT source, CAST(count(*) AS HUGEINT) AS c
             FROM documents GROUP BY source
         ),
         s AS (
           SELECT CAST(sum(c) AS BIGINT) AS n_rows,
                  CAST(count(*) AS BIGINT) AS n_groups,
-                 CAST(sum(c * c) AS BIGINT) AS ss,
+                 sum(c * c) AS ss,
                  CAST(max(c) AS BIGINT) AS top
             FROM g
         )
         SELECT n_rows, n_groups,
-               CAST(ss AS DOUBLE) / (n_rows * n_rows) AS hhi,
-               1.0 - CAST(ss AS DOUBLE) / (n_rows * n_rows) AS simpson,
+               CAST(ss AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS hhi,
+               1.0 - CAST(ss AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS simpson,
                CAST(top AS DOUBLE) / n_rows AS top_share
           FROM s
     """

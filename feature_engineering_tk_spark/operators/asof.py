@@ -323,21 +323,43 @@ def asof_join_packed(
     ]
     left_cols = left.columns
 
+    r_sel = right.select(
+        F.col(entity).alias("_e"),
+        F.struct(
+            epoch_micros(F.col(right_ts)).alias("_t"),
+            *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        ).alias("_s"),
+    )
     packed = (
-        right.select(
-            F.col(entity).alias("_e"),
-            F.struct(
-                epoch_micros(F.col(right_ts)).alias("_t"),
-                *[F.col(c).alias(f"_v_{c}") for c in value_cols],
-            ).alias("_s"),
-        )
+        r_sel.filter(F.col("_e").isNotNull())
         .groupBy("_e")
         .agg(F.sort_array(F.collect_list("_s")).alias("_pk"))
     )
+    # NULL-entity parity with asof_join: its Window.partitionBy groups
+    # NULL-keyed rows into one partition and matches them to each
+    # other, while a plain == join would null out every NULL-keyed
+    # anchor. eqNullSafe would fix that but partitions the join on
+    # (coalesce(key), isnull(key)) — which does NOT match the window
+    # stack's hashpartitioning(key), so sort-merge would RE-SHUFFLE the
+    # entire left side: the exact exchange this operator exists to
+    # avoid. Instead the null group (at most ONE packed row) rides a
+    # broadcast nested-loop join gated on `entity IS NULL` — row-local,
+    # partitioning-preserving, and the extra right scan is pruned to
+    # nothing by parquet null-count statistics when no nulls exist.
+    packed_null = (
+        r_sel.filter(F.col("_e").isNull())
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("_s")).alias("_pk0"))
+        .filter(F.size("_pk0") > 0)
+    )
 
     lt = epoch_micros(F.col(left_ts))
-    joined = left.join(packed, left[entity] == packed["_e"], "left").drop("_e")
-    hits = F.filter(F.col("_pk"), lambda s: s["_t"] <= lt)
+    joined = (
+        left.join(packed, left[entity] == packed["_e"], "left")
+        .drop("_e")
+        .join(F.broadcast(packed_null), F.col(entity).isNull(), "left")
+    )
+    hits = F.filter(F.coalesce(F.col("_pk"), F.col("_pk0")), lambda s: s["_t"] <= lt)
     # ANSI-safe: null when no match / entity absent from the right side
     pick = F.try_element_at(hits, F.lit(-1))
     if tolerance_seconds is not None:

@@ -156,6 +156,7 @@ def bradley_terry(
       max((p'_i · S) div T, 1)`` with ``T = Σ p'``.
     """
     sides = _sides(df, model_a, model_b, winner).persist()
+    record = pairs = None
     try:
         record = (
             sides.groupBy("model")
@@ -171,6 +172,15 @@ def bradley_terry(
             .persist()
         )
         pairs.count()
+    except BaseException:
+        # the k<2 raise (or a failed count) must not strand the caches:
+        # repeated probing calls in a long-lived session would otherwise
+        # accumulate resident blocks the success path always releases
+        if record is not None:
+            record.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
+        raise
     finally:
         sides.unpersist()
 

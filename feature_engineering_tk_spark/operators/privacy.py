@@ -96,6 +96,13 @@ def pseudonymize(
     the original identifier never leaves the cluster. Change ``salt``
     per release to stop cross-release linkage.
 
+    The hash namespace is ``prefix`` when given, else the column name:
+    two tables whose id columns are named differently (``user_id`` vs
+    ``uid``) tokenize to the SAME value — and therefore still join —
+    when pseudonymized with the same ``salt`` and ``prefix``. Without a
+    ``prefix``, tokens are per-column-name (a ``user_id`` value and an
+    identical ``order_id`` value deliberately do NOT collide).
+
     This is tokenization, not encryption: re-identification requires a
     dictionary attack over the value space, which the salt defeats for
     release recipients who don't hold it. NULLs stay NULL.
@@ -111,10 +118,13 @@ def pseudonymize(
     out = df
     hex_chars = keep_bits // 4
     for c in columns:
+        namespace = prefix if prefix is not None else c
         token = F.concat(
-            F.lit((prefix if prefix is not None else c) + "_"),
+            F.lit(namespace + "_"),
             F.substring(
-                F.md5(F.concat_ws("\x1f", F.lit(salt), F.lit(c), F.col(c).cast("string"))),
+                F.md5(
+                    F.concat_ws("\x1f", F.lit(salt), F.lit(namespace), F.col(c).cast("string"))
+                ),
                 1,
                 hex_chars,
             ),

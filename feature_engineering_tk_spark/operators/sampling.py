@@ -217,18 +217,27 @@ def mix_balance(df: DataFrame, by: str = "source") -> DataFrame:
     statistics (Σc², max c, N) in ONE partial-aggregatable
     ``groupBy(by)`` + a scalar agg, so every float is a single exact
     division — bit-identical on any engine.
+
+    Σc² is accumulated as ``decimal(38,0)`` (exact 128-bit-class
+    integer arithmetic): a bigint ``c·c`` overflows int64 once any
+    group passes ~3.04e9 rows — guaranteed at the 10^12-row corpus
+    scale this dashboard targets — and Spark 4's default ANSI mode
+    would kill the job.  The double conversion happens only at the
+    final division (one IEEE rounding, identical on any engine).
     """
     g = df.groupBy(by).agg(F.count(F.lit(1)).alias("_c"))
+    cd = F.col("_c").cast("decimal(19,0)")
+    nd = F.col("n_rows").cast("double")
     return g.agg(
         F.sum("_c").alias("n_rows"),
         F.count(F.lit(1)).alias("n_groups"),
-        F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
+        F.sum(cd * cd).alias("_ss"),
         F.max("_c").alias("_top"),
     ).select(
         "n_rows",
         "n_groups",
-        (F.col("_ss") / (F.col("n_rows") * F.col("n_rows"))).alias("hhi"),
-        (F.lit(1.0) - F.col("_ss") / (F.col("n_rows") * F.col("n_rows"))).alias("simpson"),
+        (F.col("_ss").cast("double") / (nd * nd)).alias("hhi"),
+        (F.lit(1.0) - F.col("_ss").cast("double") / (nd * nd)).alias("simpson"),
         (F.col("_top") / F.col("n_rows")).alias("top_share"),
     )
 

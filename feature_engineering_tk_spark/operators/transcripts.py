@@ -922,6 +922,12 @@ def repair_timestamps(
     statistics).  Also appends ``ts_was_repaired`` so audits see every
     touched row; turn order itself (``turn_idx``) is trusted.
 
+    NULL timestamps are a corrupted clock too: they repair to the
+    running max when one exists (flag ``true``), stay NULL when the
+    conversation has no prior clock to clamp to (flag ``false`` — the
+    value was not changed). The flag is never NULL, so both
+    ``filter(flag)`` and ``filter(~flag)`` together see every row.
+
     One ``partitionBy(conv_id)`` running-max window (rows unbounded
     preceding → current), integer-µs comparison — rides the same conv
     sort as the rest of the family.
@@ -929,9 +935,11 @@ def repair_timestamps(
     w = _conv_window(conv_id, turn_idx).rowsBetween(Window.unboundedPreceding, 0)
     run_max = F.max(F.col(ts)).over(w)
     target = out or ts
-    return df.withColumn("ts_was_repaired", run_max > F.col(ts)).withColumn(
-        target, run_max
+    repaired = (
+        F.when(F.col(ts).isNull(), run_max.isNotNull())
+        .otherwise(run_max > F.col(ts))
     )
+    return df.withColumn("ts_was_repaired", repaired).withColumn(target, run_max)
 
 
 #: First-token imperatives marking a command-shaped turn (pinned list).

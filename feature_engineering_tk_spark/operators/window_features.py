@@ -530,7 +530,7 @@ def with_ewma(
     entity: str = "conv_id",
     order: str | list[str] = "turn_idx",
     out: str | None = None,
-    method: str = "auto",
+    method: str = "prefix",
 ) -> DataFrame:
     """Per-entity exponentially weighted moving average — pandas
     ``groupby().ewm(alpha=alpha, adjust=True).mean()`` parity (the
@@ -555,7 +555,13 @@ def with_ewma(
     anyway, so ``method='pandas'`` switches to Arrow-batched
     ``applyInPandas`` running pandas' numerically-recursive ``ewm``
     per entity (the rolling_median pattern). ``method='auto'`` counts
-    the largest entity (one cheap partial-agg job) and picks."""
+    the largest entity and picks — note that probe is an EAGER extra
+    aggregation job over the input at call time, a real cost at corpus
+    scale, which is why it is opt-in rather than the default. In
+    ``'prefix'`` mode rows deeper than the overflow horizon get a NULL
+    ewma (deterministic and detectable — never an inf/inf NaN wobble);
+    entities longer than ~700/ln(1/(1-α)) rows need ``'pandas'`` or
+    ``'auto'``."""
     if not 0.0 < alpha < 1.0:
         raise ValueError("alpha must be in (0, 1)")
     if method not in ("auto", "prefix", "pandas"):
@@ -580,7 +586,12 @@ def with_ewma(
         x = F.col(col).cast("double")
         num = F.sum(F.when(x.isNotNull(), x * inv_w)).over(cum)
         den = F.sum(F.when(x.isNotNull(), inv_w)).over(cum)
-        return df.withColumn(out, (num / den).cast("double"))
+        # beyond the double-overflow horizon the weights are inf and
+        # num/den would be an inf/inf NaN — emit NULL instead (row k
+        # still has every earlier row's contribution only up to k_max)
+        return df.withColumn(
+            out, F.when(k <= F.lit(k_max), (num / den).cast("double"))
+        )
 
     from pyspark.sql import types as T
 

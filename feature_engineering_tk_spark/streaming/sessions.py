@@ -168,7 +168,8 @@ def streaming_loop_monitor(
     text)`` turns, carried across micro-batches via
     ``applyInPandasWithState``, with ``has_loop`` raised the moment a
     run reaches ``min_repeats`` (a live stuck-agent alert, not an
-    after-the-fact batch audit).
+    after-the-fact batch audit). ``max_run`` reports the longest run
+    the conversation has EVER shown (across all micro-batches so far).
 
     State per conversation is three scalars (last turn signature,
     current run length, max run) — bounded, no row buffering.  Each
@@ -181,7 +182,8 @@ def streaming_loop_monitor(
     import pandas as pd  # noqa: F401 (vectorized path)
 
     out_schema = (
-        f"{entity} string, {turn_idx} int, run_len long, has_loop boolean"
+        f"{entity} string, {turn_idx} int, run_len long, max_run long, "
+        "has_loop boolean"
     )
     state_schema = "sig string, run long, mx long"
 
@@ -201,6 +203,7 @@ def streaming_loop_monitor(
             runs = run_in_grp + (grp == 0) * run
             out = pdf[[entity, turn_idx]].reset_index(drop=True)
             out["run_len"] = runs.astype("int64")
+            out["max_run"] = runs.cummax().clip(lower=mx).astype("int64")
             out["has_loop"] = runs >= int(min_repeats)
             yield out
             sig = cur.iloc[-1]

@@ -303,11 +303,13 @@ def expanding_target_encode(
     decimal_scale: int | None = None,
 ) -> DataFrame:
     """Leakage-free point-in-time target encoding: each row's code is
-    the mean of ``target`` over STRICTLY EARLIER rows of the same
-    category (null where the category has no history yet) — the
-    expanding-window analog of :class:`TargetEncoder` that satisfies
-    the zero-temporal-leakage contract (north rule; no feature reads
-    rows at or after its own anchor).
+    the mean of ``target`` over rows of the same category whose
+    ``order`` value is STRICTLY SMALLER (null where the category has no
+    history yet) — the expanding-window analog of :class:`TargetEncoder`
+    that satisfies the zero-temporal-leakage contract (north rule; no
+    feature reads rows at or after its own anchor). Ties are peer-aware:
+    rows sharing the exact ``order`` tuple see the same history and
+    NEVER each other's target, under any partitioning or tie order.
 
     Scale design — a plain ``Window.partitionBy(column)`` would hand
     each category's ENTIRE history to one task (categories are often
@@ -355,18 +357,31 @@ def expanding_target_encode(
         F.coalesce(F.sum("__s").over(w_prev), zero_s).alias("__prev_s"),
         F.coalesce(F.sum("__c").over(w_prev), F.lit(0)).alias("__prev_c"),
     )
-    w_in = (
-        Window.partitionBy(column, "__b")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # "strictly earlier" must mean strictly smaller ORDER VALUE, not
+    # "previous row in some tie order": a ROWS (unbounded, -1) frame
+    # over a non-unique ``order`` lets equal-order rows read each
+    # other's target nondeterministically — leakage at the anchor
+    # timestamp. RANGE frames are peer-aware: cum-through-peers minus
+    # the peer group itself = the strictly-earlier prefix, stable under
+    # any tie order and any partitioning. Both windows share one
+    # exchange + sort on (column, __b, *order).
+    w_le = Window.partitionBy(column, "__b").orderBy(*order_cols).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_eq = Window.partitionBy(column, "__b").orderBy(*order_cols).rangeBetween(
+        Window.currentRow, Window.currentRow
     )
     joined = d.join(
         F.broadcast(agg),
         (F.col(column) == F.col("__v")) & (F.col("__b") == F.col("__ab")),
         "left",
     ).drop("__v", "__ab")
-    cum_s = F.col("__prev_s") + F.coalesce(F.sum(tgt).over(w_in), zero_s)
-    cum_c = F.col("__prev_c") + F.coalesce(F.count(tgt).over(w_in), F.lit(0))
+    in_s = F.coalesce(F.sum(tgt).over(w_le), zero_s) - F.coalesce(
+        F.sum(tgt).over(w_eq), zero_s
+    )
+    in_c = F.count(tgt).over(w_le) - F.count(tgt).over(w_eq)
+    cum_s = F.col("__prev_s") + in_s
+    cum_c = F.col("__prev_c") + in_c
     return (
         joined.withColumn(
             out, F.when(cum_c > 0, cum_s.cast("double") / cum_c).cast("double")

@@ -297,8 +297,17 @@ def main() -> None:
     # its own section below when present.
     union_key = hashlib.sha256(_JOB.format(repo=REPO, data=shm_data).encode()).hexdigest()[:16]
     packed_key = hashlib.sha256(_JOB_PACKED.format(repo=REPO, data=shm_data).encode()).hexdigest()[:16]
-    crit = _min_by_key(hist_path, union_key) or results
+    crit = _min_by_key(hist_path, union_key)
     packed = _min_by_key(hist_path, packed_key)
+    if not crit:
+        # Never fall back to this invocation's results: with a fresh
+        # history (or an edited job text) they may be the PACKED
+        # variant, and BASELINE.md would then headline packed numbers
+        # as the union-tag criterion job — corrupting the evidence this
+        # file exists to keep honest.
+        print("no union-tag criterion attempts in history yet — "
+              "BASELINE.md not rewritten (run the default job first)")
+        return
 
     lo, hi = CRITERION_PAIR
     if lo not in crit or hi not in crit:
