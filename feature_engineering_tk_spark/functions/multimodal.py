@@ -5,8 +5,9 @@ Media payloads are opaque ``binary`` columns plus typed metadata
 schema, partition discipline, Arrow-batched UDF signatures, batch
 shapes — is real and tested. Codecs: ``decode_stub=True`` produces a
 deterministic fake feature vector from the bytes; ``decode_stub=False``
-runs a REAL vendored pure-numpy BMP codec (uncompressed 24/32-bit
-BI_RGB — decode, pixel-stat features, nearest-neighbour resize) and
+runs REAL vendored pure-numpy codecs for the uncompressed formats —
+BMP (24/32-bit BI_RGB: decode, pixel-stat features, nearest-neighbour
+resize) and WAV (8/16-bit PCM: decode, RMS/peak/ZCR features) — and
 raises ``NotImplementedError`` for compressed formats at the exact
 point where Pillow/torchaudio/pyav would plug in (absent from this
 container).
@@ -168,6 +169,95 @@ def _bmp_features(payload: bytes, dim: int) -> np.ndarray:
     return out
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Vendored pure-numpy WAV decoder (RIFF/WAVE, PCM 8-bit unsigned
+    or 16-bit signed, any channel count) → ((n_frames, n_channels)
+    float64 in [-1, 1], sample_rate).
+
+    The audio twin of :func:`decode_bmp`: one real uncompressed format
+    exercisable end-to-end with no audio library in the container;
+    torchaudio/soundfile remain the documented fast path for
+    compressed formats (mp3/flac/ogg) in a real deployment.
+    """
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"only PCM WAV supported, got format={audio_format}")
+    if n_channels < 1 or sample_rate <= 0:
+        raise ValueError(f"bad WAV header: channels={n_channels} rate={sample_rate}")
+    if bits == 16:
+        raw = np.frombuffer(data, "<i2", count=(len(data) // 2 // n_channels) * n_channels)
+        samples = raw.astype(np.float64) / 32768.0
+    elif bits == 8:
+        raw = np.frombuffer(data, np.uint8, count=(len(data) // n_channels) * n_channels)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
+    return samples.reshape(-1, n_channels), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames, n_channels) float in [-1, 1] → 16-bit PCM WAV bytes
+    (the test/synthesis twin of :func:`decode_wav`)."""
+    arr = np.atleast_2d(np.asarray(samples, np.float64))
+    if arr.ndim != 2:
+        raise ValueError("encode_wav expects (n_frames, n_channels)")
+    n_channels = arr.shape[1]
+    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    block_align = 2 * n_channels
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + int(sample_rate).to_bytes(4, "little")
+        + (int(sample_rate) * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _wav_features(payload: bytes, dim: int) -> np.ndarray:
+    """Real audio statistics from decoded PCM, padded/truncated to
+    ``dim``: [channels, sample_rate, duration_s, RMS, peak, zero-
+    crossing rate, mean] over the channel-mean signal."""
+    samples, rate = decode_wav(payload)
+    mono = samples.mean(axis=1)
+    n = mono.shape[0]
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    stats = [
+        float(samples.shape[1]),
+        float(rate),
+        float(n) / float(rate),
+        float(np.sqrt(np.mean(mono**2))) if n else 0.0,
+        float(np.abs(mono).max()) if n else 0.0,
+        zcr,
+        float(mono.mean()) if n else 0.0,
+    ]
+    out = np.zeros(dim, np.float32)
+    out[: min(dim, len(stats))] = np.asarray(stats[:dim], np.float32)
+    return out
+
+
 def _decode_image_stub(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic fake 'decode→embed': hash-seeded vector. Replace
     with Pillow decode + model forward in a real deployment."""
@@ -208,11 +298,13 @@ def extract_media_features(
                         feats.append(None)
                     elif mime == "image/bmp":
                         feats.append(_bmp_features(bytes(b), feature_dim))
+                    elif mime in ("audio/wav", "audio/x-wav"):
+                        feats.append(_wav_features(bytes(b), feature_dim))
                     else:
                         raise NotImplementedError(
                             f"real codec for {mime}: plug Pillow/torchaudio "
-                            "decode here (only image/bmp ships a vendored "
-                            "pure-numpy decoder)"
+                            "decode here (image/bmp and audio/wav ship "
+                            "vendored pure-numpy decoders)"
                         )
             out = pdf[keep_names].copy()
             out["feature"] = feats

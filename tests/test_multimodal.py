@@ -28,8 +28,11 @@ def test_extract_features_shape_and_determinism(media):
 
 
 def test_real_codec_path_is_gated(media):
+    # compressed formats (png/jpeg) have no vendored decoder; the real
+    # path must fail loudly at the documented plug-in point
+    compressed = media.filter(F.col("mime").isin("image/png", "image/jpeg"))
     with pytest.raises(Exception) as ei:
-        MM.extract_media_features(media, decode_stub=False).count()
+        MM.extract_media_features(compressed, decode_stub=False).count()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
@@ -111,6 +114,63 @@ def test_real_bmp_features_end_to_end(bmp_media):
                   rgb.min(), rgb.max()]
         assert np.allclose(np.asarray(feat)[: len(expect)], expect, atol=1e-4)
         assert np.all(np.asarray(feat)[len(expect):] == 0)
+
+
+def _test_tone(n=800, rate=8000, channels=1, freq=440.0):
+    t = np.arange(n, dtype=np.float64) / rate
+    mono = 0.5 * np.sin(2 * np.pi * freq * t)
+    return np.repeat(mono[:, None], channels, axis=1)
+
+
+def test_wav_roundtrip_and_variants():
+    tone = _test_tone(channels=2)
+    samples, rate = MM.decode_wav(MM.encode_wav(tone, 8000))
+    assert rate == 8000 and samples.shape == tone.shape
+    assert np.allclose(samples, tone, atol=1.0 / 32767)
+    # 8-bit unsigned PCM variant built by hand
+    mono8 = np.clip(np.round(_test_tone()[:, 0] * 127 + 128), 0, 255).astype(np.uint8)
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(mono8).to_bytes(4, "little") + mono8.tobytes())
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    dec, rate8 = MM.decode_wav(payload)
+    assert rate8 == 8000
+    assert np.allclose(dec[:, 0], (mono8.astype(np.float64) - 128) / 128)
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"not audio at all..............................")
+
+
+@pytest.fixture(scope="module")
+def wav_media(spark):
+    rows = []
+    for i in range(4):
+        tone = _test_tone(n=400 * (i + 1), rate=8000, freq=220.0 * (i + 1))
+        rows.append((i, "audio/wav", bytearray(MM.encode_wav(tone, 8000)),
+                     None, None, tone.shape[0] / 8000.0))
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_real_wav_features_end_to_end(wav_media):
+    """decode_stub=False produces REAL audio statistics through
+    mapInPandas for the vendored PCM WAV format."""
+    out = (
+        MM.extract_media_features(wav_media, feature_dim=16, decode_stub=False)
+        .toPandas()
+        .sort_values("media_id")
+    )
+    for i, feat in zip(out["media_id"], out["feature"]):
+        feat = np.asarray(feat)
+        n = 400 * (i + 1)
+        assert feat[0] == 1 and feat[1] == 8000
+        assert np.isclose(feat[2], n / 8000.0, atol=1e-6)
+        # RMS of a 0.5-amplitude sine ≈ 0.5/sqrt(2); peak ≈ 0.5
+        assert np.isclose(feat[3], 0.5 / np.sqrt(2), atol=0.01)
+        assert np.isclose(feat[4], 0.5, atol=0.01)
+        # ZCR of a k·220 Hz tone at 8 kHz ≈ 2·freq/rate
+        assert np.isclose(feat[5], 2 * 220.0 * (i + 1) / 8000.0, atol=0.02)
+        assert np.all(feat[7:] == 0)
 
 
 def test_real_bmp_resize_end_to_end(bmp_media):
