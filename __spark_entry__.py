@@ -3126,6 +3126,41 @@ def q_distinct_ngrams(spark, sf_dir):
     return distinct_ngrams(docs, "text", n=2, by="source")
 
 
+def q_bleu(spark, sf_dir):
+    """Sentence BLEU-4 (functions/text.py bleu_score): row-local
+    clipped n-gram precisions as exact integer match/total columns,
+    brevity penalty + geometric mean rounded to 9 decimals (the repo's
+    cross-engine libm convention). Pred/ref derived row-locally from
+    documents: tokens 1-8 vs 3-10, so every order has real overlap on
+    longer docs and honest zeros on short ones."""
+    from feature_engineering_tk_spark.functions.text import bleu_score
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 8), " ").alias("pred"),
+        F.array_join(F.slice(toks, 3, 8), " ").alias("ref"),
+    )
+    cols = ["doc_id", "n_pred", "n_ref"]
+    cols += [c for n in range(1, 5) for c in (f"match_{n}", f"total_{n}")]
+    return bleu_score(pairs, max_n=4).select(*cols, "brevity_penalty", "bleu")
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Generation novelty vs a reference corpus (functions/text.py
+    ngram_novelty): bigrams of src0 docs left-joined against the
+    DISTINCT bigram set of every other source — the join shuffles
+    8-byte hashes, never gram text; novelty is one exact integer
+    division per doc."""
+    from feature_engineering_tk_spark.functions.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    gen = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return ngram_novelty(gen, corpus, "text", n=2)
+
+
 def q_phrase_scan(spark, sf_dir):
     """Blocklist / refusal-phrase scan (functions/cleaning.py
     phrase_scan): case-folded substring flags, hit count, and the
@@ -3959,6 +3994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bradley_terry": q_bradley_terry,
         "qa_metrics": q_qa_metrics,
         "distinct_ngrams": q_distinct_ngrams,
+        "bleu": q_bleu,
+        "ngram_novelty": q_ngram_novelty,
         "tool_args": q_tool_args,
         "vocab_stats": q_vocab_stats,
         "zipf_table": q_zipf_table,
@@ -7534,6 +7571,119 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS total_grams,
                CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS distinct_ratio
           FROM g GROUP BY source
+    """
+    _bleu_grams = "\n".join(
+        f"""
+                 CASE WHEN len(p) >= {n}
+                      THEN list_transform(generate_series(1, len(p) - {n - 1}),
+                             i -> array_to_string(p[i:i+{n - 1}], ' '))
+                      ELSE CAST([] AS VARCHAR[]) END AS pg{n},
+                 CASE WHEN len(r) >= {n}
+                      THEN list_transform(generate_series(1, len(r) - {n - 1}),
+                             i -> array_to_string(r[i:i+{n - 1}], ' '))
+                      ELSE CAST([] AS VARCHAR[]) END AS rg{n},"""
+        for n in range(1, 5)
+    )
+    _bleu_counts = "\n".join(
+        f"""
+                 CAST(coalesce(list_sum(list_transform(list_distinct(pg{n}),
+                        t -> least(len(list_filter(pg{n}, x -> x = t)),
+                                   len(list_filter(rg{n}, x -> x = t))))), 0)
+                      AS BIGINT) AS match_{n},
+                 CAST(len(pg{n}) AS BIGINT) AS total_{n},"""
+        for n in range(1, 5)
+    )
+    d["bleu"] = rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+            FROM documents
+        ),
+        pr AS (
+          SELECT doc_id,
+                 array_to_string(toks[1:8], ' ') AS pred,
+                 array_to_string(toks[3:10], ' ') AS ref
+            FROM base
+        ),
+        tk AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(coalesce(pred, ''))) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(pred)), '\s+')
+                 END AS p,
+                 CASE WHEN trim(lower(coalesce(ref, ''))) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(ref)), '\s+')
+                 END AS r
+            FROM pr
+        ),
+        g AS (
+          SELECT doc_id, p, r,{_bleu_grams}
+                 CAST(len(p) AS BIGINT) AS n_pred,
+                 CAST(len(r) AS BIGINT) AS n_ref
+            FROM tk
+        ),
+        m AS (
+          SELECT doc_id, n_pred, n_ref,{_bleu_counts}
+                 CASE WHEN n_pred = 0 THEN 0.0
+                      WHEN n_pred > n_ref THEN 1.0
+                      ELSE exp(1.0 - CAST(n_ref AS DOUBLE) / n_pred)
+                 END AS bp
+            FROM g
+        )
+        SELECT doc_id, n_pred, n_ref,
+               match_1, total_1, match_2, total_2,
+               match_3, total_3, match_4, total_4,
+               round(bp, 9) AS brevity_penalty,
+               round(CASE WHEN match_1 = 0 OR total_1 = 0 OR match_2 = 0
+                               OR total_2 = 0 OR match_3 = 0 OR total_3 = 0
+                               OR match_4 = 0 OR total_4 = 0
+                          THEN 0.0
+                          ELSE bp * exp((ln(CAST(match_1 AS DOUBLE) / total_1)
+                                       + ln(CAST(match_2 AS DOUBLE) / total_2)
+                                       + ln(CAST(match_3 AS DOUBLE) / total_3)
+                                       + ln(CAST(match_4 AS DOUBLE) / total_4))
+                                       / 4.0)
+                     END, 9) AS bleu
+          FROM m
+    """
+    d["ngram_novelty"] = r"""
+        WITH tk AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                       '\s+') AS toks
+            FROM documents
+        ),
+        corpus AS (
+          SELECT DISTINCT unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+1], ' '))) AS gram
+            FROM tk WHERE source <> 'src0' AND len(toks) >= 2
+        ),
+        gen AS (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+1], ' '))) AS gram
+            FROM tk WHERE source = 'src0' AND len(toks) >= 2
+        ),
+        cnt AS (
+          SELECT doc_id, gram, count(*) AS c FROM gen GROUP BY 1, 2
+        ),
+        per AS (
+          SELECT cnt.doc_id,
+                 sum(CASE WHEN corpus.gram IS NULL THEN c ELSE 0 END) AS novel,
+                 sum(c) AS total
+            FROM cnt LEFT JOIN corpus USING (gram)
+           GROUP BY cnt.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(coalesce(per.novel, 0) AS BIGINT) AS novel_grams,
+               CAST(coalesce(per.total, 0) AS BIGINT) AS total_grams,
+               CASE WHEN coalesce(per.total, 0) > 0
+                    THEN CAST(per.novel AS DOUBLE) / per.total
+               END AS novelty
+          FROM (SELECT DISTINCT doc_id FROM tk WHERE source = 'src0') t
+          LEFT JOIN per ON t.doc_id = per.doc_id
     """
     d["tool_args"] = """
         WITH src AS (

@@ -207,6 +207,90 @@ def test_distinct_ngrams_invalid_n(spark):
         distinct_ngrams(df, n=0)
 
 
+# ---------------------------------------------------------------- BLEU
+
+
+def test_bleu_hand_values(spark):
+    import math
+
+    from feature_engineering_tk_spark.functions.text import bleu_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat sat on the mat"),
+            (2, "the the the the", "the cat"),
+            (3, "", "a b c"),
+            (4, "a b c d", "w x y z"),
+        ],
+        "id int, pred string, ref string",
+    )
+    out = {r.id: r for r in bleu_score(df, max_n=4).collect()}
+    # identical sentences: every precision 1, BP 1 → BLEU 1
+    assert out[1].bleu == 1.0 and out[1].brevity_penalty == 1.0
+    assert out[1].match_4 == 3 and out[1].total_4 == 3
+    # degenerate repetition: clipping caps match_1 at ref count min(4,1)=1
+    assert out[2].match_1 == 1 and out[2].total_1 == 4
+    assert out[2].bleu == 0.0  # no bigram match → unsmoothed zero
+    # empty prediction
+    assert out[3].n_pred == 0 and out[3].bleu == 0.0 and out[3].brevity_penalty == 0.0
+    # zero overlap
+    assert out[4].match_1 == 0 and out[4].bleu == 0.0
+
+
+def test_bleu_brevity_penalty_and_partial_overlap(spark):
+    import math
+
+    from feature_engineering_tk_spark.functions.text import bleu_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "a b c d e f")], "id int, pred string, ref string"
+    )
+    r = bleu_score(df, max_n=2).collect()[0]
+    # p1 = 3/3, p2 = 2/2, BP = exp(1 - 6/3)
+    assert (r.match_1, r.total_1, r.match_2, r.total_2) == (3, 3, 2, 2)
+    assert r.brevity_penalty == round(math.exp(1 - 6 / 3), 9)
+    assert r.bleu == round(math.exp(1 - 6 / 3) * 1.0, 9)
+
+
+def test_bleu_invalid_n(spark):
+    from feature_engineering_tk_spark.functions.text import bleu_score
+
+    with pytest.raises(ValueError):
+        bleu_score(spark.createDataFrame([("a", "a")], "pred string, ref string"), max_n=0)
+
+
+# ---------------------------------------------------------------- novelty
+
+
+def test_ngram_novelty_hand_values(spark):
+    from feature_engineering_tk_spark.functions.text import ngram_novelty
+
+    gen = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y"), (3, "q")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame([("a b e",), ("z z",)], "text string")
+    out = {r.doc_id: r for r in ngram_novelty(gen, corpus, n=2).collect()}
+    # doc 1: grams (a b) seen, (b c) novel → 1/2
+    assert out[1].novel_grams == 1 and out[1].total_grams == 2
+    assert out[1].novelty == 0.5
+    # doc 2: (x y) never in corpus → fully novel
+    assert out[2].novelty == 1.0
+    # doc 3: shorter than n → 0 grams, NULL novelty (row preserved)
+    assert out[3].total_grams == 0 and out[3].novelty is None
+
+
+def test_ngram_novelty_duplicate_grams_count_multiset(spark):
+    from feature_engineering_tk_spark.functions.text import ngram_novelty
+
+    gen = spark.createDataFrame([(1, "a b a b a b")], "doc_id int, text string")
+    corpus = spark.createDataFrame([("b a",)], "text string")
+    r = ngram_novelty(gen, corpus, n=2).collect()[0]
+    # grams: (a b)x3 novel, (b a)x2 seen → 3/5
+    assert (r.novel_grams, r.total_grams) == (3, 5)
+    assert r.novelty == 3 / 5
+
+
 # ---------------------------------------------------------------- pass@k
 
 
