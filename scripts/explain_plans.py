@@ -621,6 +621,56 @@ def main() -> None:
         )
     )
 
+    # 28. BLEU must be a pure row-local projection (zero exchanges);
+    # ngram_novelty's fat gram-instance table must shuffle exactly once
+    # (on the 8-byte hash), with the corpus reduced to distinct hashes
+    from feature_engineering_tk_spark.functions.text import bleu_score, ngram_novelty
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 8), " ").alias("pred"),
+        F.array_join(F.slice(toks, 3, 8), " ").alias("ref"),
+    )
+    p = plan_of(bleu_score(pairs, max_n=4))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    has_python = "Python" in p or "ArrowEval" in p
+    sections.append(
+        (
+            "bleu_score (sentence BLEU-4)",
+            p,
+            [
+                f"exchanges={n_ex} (want 0 — clipped counts are row-local array exprs)",
+                f"python_nodes={has_python} (want False — JVM higher-order functions)",
+            ],
+        )
+    )
+
+    nov = ngram_novelty(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+        "text",
+        n=2,
+    )
+    p = plan_of(nov)
+    # formatted plans carry partition keys on "Arguments:" lines
+    gram_text_shuffled = bool(re.search(r"hashpartitioning\(_g", p))
+    n_hash_ex = len(re.findall(r"hashpartitioning\(_h", p))
+    sections.append(
+        (
+            "ngram_novelty (corpus n-gram reuse)",
+            p,
+            [
+                f"gram_text_shuffled={gram_text_shuffled} (want False — only 8-byte hashes cross the wire)",
+                f"hash_exchanges={n_hash_ex} (want <=2 — corpus distinct + gen instances at most "
+                "once each; at toy SF the broadcast of the distinct corpus side leaves the gen "
+                "grams unshuffled entirely, and a 100 TB corpus flips to a shuffled hash join "
+                "on the same 8-byte key)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
