@@ -3524,6 +3524,34 @@ def q_embedding_shift(spark, sf_dir):
     )
 
 
+def q_adjacent_similarity(spark, sf_dir):
+    """Topic-boundary primitive (functions/embeddings.py
+    adjacent_similarity): cosine of each embedding vs its predecessor
+    within a label sequence — ONE partitioned window carries the
+    vector once; dot/norm are row-local left-fold array expressions
+    rounded to 6 (cosine_topk convention). Boundary = cos < 0.1."""
+    from feature_engineering_tk_spark.functions.embeddings import adjacent_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return adjacent_similarity(
+        emb, "embedding", order=["vec_id"], by="label", threshold=0.1
+    ).select("vec_id", "label", "prev_cosine", "is_boundary")
+
+
+def q_dataset_fingerprint(spark, sf_dir):
+    """Order-invariant snapshot checksum (sources/tables.py
+    dataset_fingerprint): per-row md5-60bit hashes of a unit-separator
+    canonical rendering, summed in DECIMAL(38,0) mod 2^61-1 — one
+    map-side-combined scalar agg; any partitioning yields the
+    identical value."""
+    from feature_engineering_tk_spark.sources.tables import dataset_fingerprint
+
+    orders = _t(spark, sf_dir, "orders")
+    return dataset_fingerprint(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderpriority"], hash_mode="md5"
+    )
+
+
 def q_rows_since_event(spark, sf_dir):
     """Point-in-time recency feature (operators/window_features.py
     rows_since_event): rows back to the most recent PRIOR 'error'
@@ -4017,6 +4045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_since_event": q_rows_since_event,
         "conversation_outcome": q_conversation_outcome,
         "embedding_shift": q_embedding_shift,
+        "adjacent_similarity": q_adjacent_similarity,
+        "dataset_fingerprint": q_dataset_fingerprint,
         "special_token_rate": q_special_token_rate,
         "tool_cooccurrence": q_tool_cooccurrence,
         "contrastive_triplets": q_contrastive_triplets,
@@ -8217,6 +8247,59 @@ def oracle_sql() -> dict[str, str]:
                END AS mean_cosine
           FROM ea JOIN eb USING (p)
     """
+    d["adjacent_similarity"] = """
+        WITH w AS (
+          SELECT vec_id, label, embedding,
+                 lag(embedding) OVER (PARTITION BY label
+                                      ORDER BY vec_id) AS prev
+            FROM embeddings
+        ),
+        s AS (
+          SELECT vec_id, label,
+                 CASE WHEN prev IS NOT NULL THEN
+                   list_sum(list_transform(list_zip(embedding, prev),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 END AS dp,
+                 sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc,
+                 CASE WHEN prev IS NOT NULL THEN
+                   sqrt(list_sum(list_transform(prev,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 END AS np
+            FROM w
+        ),
+        c AS (
+          SELECT vec_id, label,
+                 CASE WHEN np IS NOT NULL AND nc * np > 0
+                      THEN round(dp / (nc * np), 6)
+                 END AS prev_cosine
+            FROM s
+        )
+        SELECT vec_id, label, prev_cosine,
+               coalesce(prev_cosine < 0.1, false) AS is_boundary
+          FROM c
+    """
+    d["dataset_fingerprint"] = (
+        """
+        WITH h AS (
+          SELECT """
+        + _h60_sql(
+            "concat_ws(chr(31), "
+            "coalesce(CAST(o_orderkey AS VARCHAR), chr(0)), "
+            "coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)), "
+            "coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)))"
+        )
+        + """ AS hv
+            FROM orders
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(
+                 ((sum(CAST(hv AS HUGEINT)) % 2305843009213693951)
+                   + 2305843009213693951) % 2305843009213693951,
+                 0) AS BIGINT) AS fingerprint
+          FROM h
+    """
+    )
     d["position_bias"] = _battles_cte + """
         , g AS (
           SELECT CAST(count(*) AS BIGINT) AS n_battles,

@@ -228,3 +228,53 @@ def embedding_shift(
             ),
         ).alias("mean_cosine"),
     )
+
+
+def adjacent_similarity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    order: list | None = None,
+    by: str | None = None,
+    threshold: float | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cosine similarity between each row's embedding and the PREVIOUS
+    row's in ``order`` — the topic-segmentation primitive for
+    transcripts (TextTiling, Hearst 1997, with embeddings in place of
+    word counts): a turn whose embedding turns away from its
+    predecessor marks a topic boundary.
+
+    Appends ``prev_cosine`` (NULL on each group's first row or when
+    either vector has zero norm) and, when ``threshold`` is given,
+    ``is_boundary`` (true iff ``prev_cosine`` is non-NULL and below
+    the threshold — first rows are starts, not boundaries).
+
+    Scale shape: ONE window over ``partitionBy(by)`` (a conversation
+    never spans partitions; pass ``by=None`` only for toy sequences —
+    it degrades to a single-partition sort); the lag carries the
+    d-float array once, and the dot/norm folds are row-local
+    ``zip_with``/``aggregate`` expressions matching similarity.py's
+    left-to-right summation, rounded to ``decimals`` (the repo's
+    cross-engine float convention).
+    """
+    from pyspark.sql import Window
+
+    from feature_engineering_tk_spark.functions.similarity import dot, l2_norm
+
+    order = order or ["vec_id"]
+    w = (Window.partitionBy(by) if by else Window.partitionBy()).orderBy(*order)
+    prev = F.lag(F.col(vec_col)).over(w)
+    out = df.withColumn("_prev", prev)
+    cur_c, prev_c = F.col(vec_col), F.col("_prev")
+    denom = l2_norm(cur_c) * l2_norm(prev_c)
+    cos = F.when(
+        prev_c.isNotNull() & (denom > 0),
+        F.round(dot(cur_c, prev_c) / denom, decimals),
+    )
+    out = out.withColumn("prev_cosine", cos).drop("_prev")
+    if threshold is not None:
+        out = out.withColumn(
+            "is_boundary",
+            F.coalesce(F.col("prev_cosine") < F.lit(float(threshold)), F.lit(False)),
+        )
+    return out

@@ -88,3 +88,57 @@ def ensure_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     if missing:
         raise ValueError(f"input table missing columns: {missing}")
     return df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+
+
+_MERSENNE_61 = 2305843009213693951  # 2^61 - 1
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Order- and partition-invariant content checksum: ONE row
+    ``(n_rows, fingerprint)`` where ``fingerprint`` is the SUM of
+    per-row hashes mod 2^61-1 — addition commutes, so any partitioning,
+    row order, shuffle plan, or cluster size yields the identical
+    value.  The snapshot-integrity primitive for 100 TB corpora: two
+    exports match iff their fingerprints (and row counts) match,
+    without sorting a single byte.
+
+    ``hash_mode='xxhash64'`` hashes the typed columns directly (JVM
+    fast path, null-safe); ``'md5'`` hashes a unit-separator-joined
+    string rendering (NULL -> ``\\x00`` sentinel), exactly replayable
+    in DuckDB/pandas for oracle verification — callers must pass
+    columns with engine-stable string casts (ints/strings/dates/
+    timestamps; avoid raw doubles).
+
+    Scale shape: one scalar aggregate with map-side partial sums; the
+    interim sum rides in DECIMAL(38,0) so no row count can overflow
+    it (10^12 rows x 2^63 < 10^38).
+    """
+    from feature_engineering_tk_spark.operators.dedup import _hash60
+
+    cols = cols or df.columns
+    if hash_mode == "xxhash64":
+        h = F.xxhash64(*[F.col(c) for c in cols])
+    elif hash_mode == "md5":
+        # unit-separator join: field boundaries never collide
+        canon = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+        )
+        h = _hash60(canon)
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).alias("_s"),
+    )
+    p = F.lit(_MERSENNE_61).cast("decimal(38,0)")
+    return agg.select(
+        "n_rows",
+        F.coalesce(
+            F.pmod(F.col("_s"), p).cast("long"), F.lit(0).cast("long")
+        ).alias("fingerprint"),
+    )

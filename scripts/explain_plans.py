@@ -671,6 +671,39 @@ def main() -> None:
         )
     )
 
+    # 29. adjacent_similarity: ONE label-partitioned window (never a
+    # single-partition sort); dataset_fingerprint: one partial-agg
+    # scalar, no exchange beyond the final single-partition gather
+    from feature_engineering_tk_spark.functions.embeddings import adjacent_similarity
+    from feature_engineering_tk_spark.sources.tables import dataset_fingerprint
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(adjacent_similarity(emb, by="label", threshold=0.1))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    n_single = len(re.findall(r"SinglePartition", p))
+    sections.append(
+        (
+            "adjacent_similarity (topic-boundary cosine)",
+            p,
+            [
+                f"exchanges={n_ex} (want 1 — one label-partitioned window)",
+                f"single_partition_exchanges={n_single} (want 0 — by= keeps sorts partition-local)",
+            ],
+        )
+    )
+
+    p = plan_of(dataset_fingerprint(orders, ["o_orderkey", "o_orderstatus"], hash_mode="md5"))
+    n_partial = len(set(re.findall(r"HashAggregate \((\d+)\)", p)))
+    sections.append(
+        (
+            "dataset_fingerprint (order-invariant checksum)",
+            p,
+            [
+                f"hash_aggregates={n_partial} (want 2 — map-side partial sum + final merge)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")

@@ -167,3 +167,30 @@ def test_contrastive_triplets_hand_values(spark):
     assert one.neg_cos > one.pos_cos  # a genuinely hard negative
     four = rows[4]
     assert four.pos_id == 3  # only same-group peer
+
+
+def test_adjacent_similarity_hand_values(spark):
+    import math
+
+    from feature_engineering_tk_spark.functions.embeddings import adjacent_similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0]),
+            (2, "a", [1.0, 0.0]),   # identical to prev -> cos 1
+            (3, "a", [0.0, 1.0]),   # orthogonal to prev -> cos 0
+            (4, "b", [1.0, 1.0]),   # first in its group -> NULL
+            (5, "b", [1.0, 0.0]),   # cos = 1/sqrt(2)
+            (6, "b", [0.0, 0.0]),   # zero norm -> NULL
+        ],
+        "vec_id bigint, label string, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in adjacent_similarity(
+        df, "embedding", order=["vec_id"], by="label", threshold=0.5
+    ).collect()}
+    assert out[1].prev_cosine is None and out[1].is_boundary is False
+    assert out[2].prev_cosine == 1.0 and out[2].is_boundary is False
+    assert out[3].prev_cosine == 0.0 and out[3].is_boundary is True
+    assert out[4].prev_cosine is None
+    assert out[5].prev_cosine == round(1 / math.sqrt(2), 6)
+    assert out[6].prev_cosine is None and out[6].is_boundary is False

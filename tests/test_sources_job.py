@@ -85,3 +85,34 @@ def test_feature_job_end_to_end_and_resume(spark, tmp_path):
         assert past, f"no past tool call for {a.conv_id}"
         latest = max(past, key=lambda t: t.ts)
         assert a.last_tool == latest.tool
+
+
+def test_dataset_fingerprint_order_invariant(spark):
+    from feature_engineering_tk_spark.sources.tables import dataset_fingerprint
+
+    rows = [(i, f"s{i % 3}") for i in range(50)]
+    a = spark.createDataFrame(rows, "id bigint, s string")
+    b = spark.createDataFrame(list(reversed(rows)), "id bigint, s string").repartition(7)
+    for mode in ("xxhash64", "md5"):
+        fa = dataset_fingerprint(a, hash_mode=mode).collect()[0]
+        fb = dataset_fingerprint(b, hash_mode=mode).collect()[0]
+        assert fa.n_rows == 50 and (fa.n_rows, fa.fingerprint) == (fb.n_rows, fb.fingerprint)
+    # any single-value change moves the checksum
+    c = spark.createDataFrame(rows[:-1] + [(49, "CHANGED")], "id bigint, s string")
+    assert (
+        dataset_fingerprint(c, hash_mode="md5").collect()[0].fingerprint
+        != dataset_fingerprint(a, hash_mode="md5").collect()[0].fingerprint
+    )
+
+
+def test_dataset_fingerprint_null_and_empty(spark):
+    from feature_engineering_tk_spark.sources.tables import dataset_fingerprint
+
+    df = spark.createDataFrame([(1, None), (None, "x")], "id bigint, s string")
+    r = dataset_fingerprint(df, hash_mode="md5").collect()[0]
+    assert r.n_rows == 2 and r.fingerprint >= 0
+    empty = df.filter("id = 999")
+    r0 = dataset_fingerprint(empty, hash_mode="md5").collect()[0]
+    assert r0.n_rows == 0 and r0.fingerprint == 0
+    with pytest.raises(ValueError):
+        dataset_fingerprint(df, hash_mode="sha9000")
