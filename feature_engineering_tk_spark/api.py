@@ -812,6 +812,13 @@ class TranscriptAnalyzer:
 
         return tool_transitions(self.df, **kw)
 
+    def fingerprint(self, cols: list[str] | None = None, **kw):
+        """Order/partition-invariant snapshot checksum of the held
+        transcript table (sources/tables.py dataset_fingerprint)."""
+        from feature_engineering_tk_spark.sources.tables import dataset_fingerprint
+
+        return dataset_fingerprint(self.df, cols, **kw)
+
 
 class EvalSuite:
     """Eval-analytics surface (operators/evals.py + friends) in the
@@ -871,3 +878,19 @@ class EvalSuite:
         from feature_engineering_tk_spark.operators.evals import calibration_bins
 
         return calibration_bins(self.df, **kw)
+
+    def qa_metrics(self, **kw):
+        from feature_engineering_tk_spark.functions.text import qa_metrics
+
+        return qa_metrics(self.df, **kw)
+
+    def bleu(self, **kw):
+        from feature_engineering_tk_spark.functions.text import bleu_score
+
+        return bleu_score(self.df, **kw)
+
+    def ngram_novelty(self, corpus: DataFrame, **kw):
+        """Novelty of the held generations vs a reference ``corpus``."""
+        from feature_engineering_tk_spark.functions.text import ngram_novelty
+
+        return ngram_novelty(self.df, corpus, **kw)

@@ -184,6 +184,32 @@ def test_eval_suite_facade(spark):
     pb = es.position_bias().first()
     assert pb.n_a_wins == 2 and pb.n_b_wins == 1
 
+    pairs = spark.createDataFrame(
+        [("a b c", "a b c"), ("x", "y")], "pred string, ref string"
+    )
+    gen = fe.EvalSuite(pairs)
+    b = gen.bleu(max_n=2).collect()
+    assert {r.bleu for r in b} == {1.0, 0.0}
+    assert gen.qa_metrics().filter("exact_match = 1").count() == 1
+    nov = fe.EvalSuite(
+        spark.createDataFrame([(1, "a b q")], "doc_id int, text string")
+    ).ngram_novelty(spark.createDataFrame([("a b",)], "text string"), n=2)
+    r = nov.first()
+    assert (r.novel_grams, r.total_grams) == (1, 2)
+
+
+def test_transcript_fingerprint_facade(spark):
+    import feature_engineering_tk_spark as fe
+
+    df = spark.createDataFrame(
+        [("a", 0, "user"), ("a", 1, "assistant")],
+        "conv_id string, turn_idx int, role string",
+    )
+    ta = fe.TranscriptAnalyzer(df)
+    f1 = ta.fingerprint(hash_mode="md5").first()
+    f2 = fe.TranscriptAnalyzer(df.repartition(5)).fingerprint(hash_mode="md5").first()
+    assert f1.n_rows == 2 and (f1.fingerprint, f1.n_rows) == (f2.fingerprint, f2.n_rows)
+
 
 def test_feature_engineer_suggested_encoders(mixed_df):
     """The facade exposes the encoders the reference's suggestion engine
