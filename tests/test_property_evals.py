@@ -127,3 +127,73 @@ def test_cohen_kappa_matches_bruteforce(spark, ratings):
     assert row.n_items == n and row.po == agree / n
     den = n * n - pe_num
     assert row.kappa == (0.0 if den == 0 else (agree * n - pe_num) / den)
+
+
+@given(pairs=st.lists(st.tuples(words, words), min_size=1, max_size=10))
+@SET
+def test_bleu_matches_bruteforce(spark, pairs):
+    from feature_engineering_tk_spark.functions.text import bleu_score
+
+    max_n = 3
+    df = spark.createDataFrame(
+        [(i, p, r) for i, (p, r) in enumerate(pairs)], "id int, pred string, ref string"
+    )
+    got = {r.id: r for r in bleu_score(df, max_n=max_n).collect()}
+
+    def grams(toks, n):
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    for i, (p, r) in enumerate(pairs):
+        pt, rt = p.lower().split(), r.lower().split()
+        row = got[i]
+        logs, zero = [], False
+        for n in range(1, max_n + 1):
+            pg, rg = grams(pt, n), grams(rt, n)
+            clip = sum((Counter(pg) & Counter(rg)).values())
+            assert row[f"match_{n}"] == clip
+            assert row[f"total_{n}"] == len(pg)
+            if clip == 0 or not pg:
+                zero = True
+            else:
+                logs.append(math.log(clip / len(pg)))
+        if not pt:
+            exp_bp = 0.0
+        elif len(pt) > len(rt):
+            exp_bp = 1.0
+        else:
+            exp_bp = math.exp(1.0 - len(rt) / len(pt))
+        assert row.brevity_penalty == round(exp_bp, 9)
+        exp = 0.0 if zero else exp_bp * math.exp(sum(logs) / max_n)
+        assert abs(row.bleu - round(exp, 9)) <= 1e-9
+
+
+@given(
+    gen=st.lists(words, min_size=1, max_size=8),
+    corpus=st.lists(words, min_size=0, max_size=8),
+)
+@SET
+def test_ngram_novelty_matches_bruteforce(spark, gen, corpus):
+    from feature_engineering_tk_spark.functions.text import ngram_novelty
+
+    n = 2
+    gdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(gen)], "doc_id int, text string"
+    )
+    cdf = spark.createDataFrame([(t,) for t in corpus], "text string")
+
+    def grams(text):
+        toks = text.lower().split()
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    seen = {g for t in corpus for g in grams(t)}
+    got = {r.doc_id: r for r in ngram_novelty(gdf, cdf, n=n).collect()}
+    assert set(got) == set(range(len(gen)))  # short docs preserved
+    for i, t in enumerate(gen):
+        gs = grams(t)
+        novel = sum(1 for g in gs if g not in seen)
+        assert got[i].total_grams == len(gs)
+        assert got[i].novel_grams == novel
+        if gs:
+            assert got[i].novelty == novel / len(gs)
+        else:
+            assert got[i].novelty is None
