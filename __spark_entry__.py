@@ -3825,6 +3825,134 @@ def q_yeojohnson(spark, sf_dir):
     return out.select("event_id", F.round("value_yj", 6).alias("value_yj"))
 
 
+def _scored_events(spark, sf_dir):
+    """Shared score/label derivation for the classifier-evaluation
+    family (same construction as calibration_bins): score = fractional
+    part of value (exact float subtraction), label = user_id parity."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("value").isNotNull()).select(
+        (F.col("value") - F.floor(F.col("value"))).alias("score"),
+        (F.col("user_id") % 2).cast("int").alias("label"),
+    )
+
+
+def q_roc_auc(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC (analysis/classification.py
+    roc_auc): Mann-Whitney pair-count identity over the distinct-score
+    prefix-sum table — integer numerator/denominator, ONE double
+    division, no global sort. The oracle uses the independent midrank
+    formulation (rank + tie-count windows); both reduce to the same
+    exact integers, so the match is bit-level."""
+    from feature_engineering_tk_spark.analysis.classification import roc_auc
+
+    return roc_auc(_scored_events(spark, sf_dir), "score", "label")
+
+
+def q_roc_curve(spark, sf_dir):
+    """Per-distinct-threshold ROC operating points
+    (analysis/classification.py roc_curve): (tp, fp, tpr, fpr,
+    precision), every rate a single integer division — exact."""
+    from feature_engineering_tk_spark.analysis.classification import roc_curve
+
+    out = roc_curve(_scored_events(spark, sf_dir), "score", "label")
+    return out.select(
+        F.round("threshold", 9).alias("threshold"),
+        "tp",
+        "fp",
+        "tpr",
+        "fpr",
+        "precision",
+    )
+
+
+def q_average_precision(spark, sf_dir):
+    """Step-interpolated average precision (PR-AUC,
+    analysis/classification.py average_precision): per-threshold
+    precision weighted by recall gain; per-term integer divisions,
+    double-rounded at the comparison boundary."""
+    from feature_engineering_tk_spark.analysis.classification import average_precision
+
+    out = average_precision(_scored_events(spark, sf_dir), "score", "label")
+    return out.select(
+        "n_pos", "n_neg", F.round("average_precision", 6).alias("average_precision")
+    )
+
+
+def q_confusion_threshold(spark, sf_dir):
+    """Confusion matrix + accuracy/precision/recall/F1/MCC at
+    threshold 0.5 (analysis/classification.py confusion_at_threshold):
+    one map-side-combined aggregation pass; overflow-safe double
+    products inside MCC."""
+    from feature_engineering_tk_spark.analysis.classification import (
+        confusion_at_threshold,
+    )
+
+    return confusion_at_threshold(_scored_events(spark, sf_dir), "score", "label", 0.5)
+
+
+def q_log_loss(spark, sf_dir):
+    """Proper-scoring-rule summary (analysis/classification.py
+    log_loss_brier): clamped log-loss + Brier score, one aggregation
+    pass; sums rounded at the boundary."""
+    from feature_engineering_tk_spark.analysis.classification import log_loss_brier
+
+    out = log_loss_brier(_scored_events(spark, sf_dir), "score", "label")
+    return out.select(
+        "n",
+        F.round("log_loss", 6).alias("log_loss"),
+        F.round("brier", 6).alias("brier"),
+    )
+
+
+def q_gains_lift(spark, sf_dir):
+    """Decile gains/lift table (analysis/classification.py
+    gains_table): exact-quantile score buckets (bit-identical to
+    DuckDB quantile_cont), one groupBy to 10 rows, suffix sums over
+    the aggregate-sized bucket table (never replicating row data)."""
+    from feature_engineering_tk_spark.analysis.classification import gains_table
+
+    out = gains_table(_scored_events(spark, sf_dir), "score", "label", n_buckets=10)
+    return out.select(
+        "bucket",
+        "n",
+        "n_pos",
+        "pos_rate",
+        "cum_n",
+        "cum_pos",
+        "cum_capture",
+        "lift",
+    )
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact top-20 corpus tokens (operators/frequency.py
+    heavy_hitters): map-side-combined token counts, deterministic
+    (count desc, token asc) TakeOrdered — only k rows reach the
+    driver."""
+    from feature_engineering_tk_spark.operators.frequency import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    return heavy_hitters(toks, "token", k=20)
+
+
+def q_frequency_spectrum(spark, sf_dir):
+    """Vocabulary count-of-counts (operators/frequency.py
+    frequency_spectrum): how many distinct tokens occur exactly f
+    times (the Good-Turing spectrum driving tokenizer min-frequency
+    and dedup decisions); two stacked map-side-combined groupBys,
+    aggregate-sized result."""
+    from feature_engineering_tk_spark.operators.frequency import frequency_spectrum
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    return frequency_spectrum(toks, "token")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4069,6 +4197,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yeojohnson": q_yeojohnson,
         "woe_encode": q_woe_encode,
         "hashing_encode": q_hashing_encode,
+        "roc_auc": q_roc_auc,
+        "roc_curve": q_roc_curve,
+        "average_precision": q_average_precision,
+        "confusion_threshold": q_confusion_threshold,
+        "log_loss": q_log_loss,
+        "gains_lift": q_gains_lift,
+        "heavy_hitters": q_heavy_hitters,
+        "frequency_spectrum": q_frequency_spectrum,
     }
 
 
@@ -8605,5 +8741,179 @@ def oracle_sql() -> dict[str, str]:
                  {_h60_sql("concat('v1', chr(31), 'user_id', chr(31), CAST(user_id AS VARCHAR))")} % 997
                END AS user_id_hash
         FROM events
+    """
+    _scored = """
+          SELECT value - floor(value) AS score,
+                 CAST(user_id % 2 AS INT) AS label
+            FROM events
+           WHERE value IS NOT NULL AND user_id IS NOT NULL
+    """
+    d["roc_auc"] = f"""
+        WITH s AS ({_scored}),
+        r AS (
+          SELECT label,
+                 2 * rank() OVER (ORDER BY score)
+                 + count(*) OVER (PARTITION BY score) - 1 AS mr2
+            FROM s
+        ),
+        a AS (
+          SELECT sum(CASE WHEN label = 1 THEN mr2 END) AS rp2,
+                 CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+            FROM r
+        )
+        SELECT n_pos, n_neg,
+               CAST(rp2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+          FROM a
+    """
+    d["roc_curve"] = f"""
+        WITH s AS ({_scored}),
+        g AS (
+          SELECT score,
+                 CAST(count(*) FILTER (WHERE label = 1) AS BIGINT) AS cp,
+                 CAST(count(*) FILTER (WHERE label = 0) AS BIGINT) AS cn
+            FROM s GROUP BY score
+        ),
+        c AS (
+          SELECT score,
+                 CAST(sum(cp) OVER (ORDER BY score DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+                 CAST(sum(cn) OVER (ORDER BY score DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+            FROM g
+        ),
+        t AS (SELECT sum(cp) AS p, sum(cn) AS nn FROM g)
+        SELECT round(score, 9) AS threshold, tp, fp,
+               CAST(tp AS DOUBLE) / p AS tpr,
+               CAST(fp AS DOUBLE) / nn AS fpr,
+               CAST(tp AS DOUBLE) / (tp + fp) AS "precision"
+          FROM c, t
+    """
+    d["average_precision"] = f"""
+        WITH s AS ({_scored}),
+        g AS (
+          SELECT score,
+                 CAST(count(*) FILTER (WHERE label = 1) AS BIGINT) AS cp,
+                 CAST(count(*) AS BIGINT) AS c
+            FROM s GROUP BY score
+        ),
+        c AS (
+          SELECT cp,
+                 CAST(sum(cp) OVER (ORDER BY score DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+                 CAST(sum(c) OVER (ORDER BY score DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+            FROM g
+        ),
+        t AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+                     CAST(sum(c - cp) AS BIGINT) AS n_neg FROM g)
+        SELECT n_pos, n_neg,
+               round(sum(CAST(cp AS DOUBLE) * CAST(tp AS DOUBLE)
+                         / CAST(pp AS DOUBLE)) / n_pos, 6) AS average_precision
+          FROM c, t GROUP BY n_pos, n_neg
+    """
+    d["confusion_threshold"] = f"""
+        WITH s AS ({_scored}),
+        a AS (
+          SELECT CAST(sum(CASE WHEN score >= 0.5 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN score >= 0.5 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN score < 0.5 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(sum(CASE WHEN score < 0.5 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM s
+        ),
+        m AS (
+          SELECT tp, fp, fn, tn,
+                 sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS den
+            FROM a
+        )
+        SELECT tp, fp, fn, tn,
+               CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy,
+               CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS "precision",
+               CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+               CASE WHEN 2 * tp + fp + fn > 0
+                    THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1,
+               CASE WHEN den > 0
+                    THEN (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                          - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) / den END AS mcc
+          FROM m
+    """
+    d["log_loss"] = f"""
+        WITH s AS ({_scored}),
+        p AS (
+          SELECT least(greatest(score, 1e-15), 1.0 - 1e-15) AS pr,
+                 CAST(label AS DOUBLE) AS y, score
+            FROM s
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(sum(-(y * ln(pr) + (1.0 - y) * ln(1.0 - pr))) / count(*), 6) AS log_loss,
+               round(sum((score - y) * (score - y)) / count(*), 6) AS brier
+          FROM p
+    """
+    d["gains_lift"] = f"""
+        WITH s AS ({_scored}),
+        e AS (
+          SELECT quantile_cont(score, 0.1) AS e1, quantile_cont(score, 0.2) AS e2,
+                 quantile_cont(score, 0.3) AS e3, quantile_cont(score, 0.4) AS e4,
+                 quantile_cont(score, 0.5) AS e5, quantile_cont(score, 0.6) AS e6,
+                 quantile_cont(score, 0.7) AS e7, quantile_cont(score, 0.8) AS e8,
+                 quantile_cont(score, 0.9) AS e9
+            FROM s
+        ),
+        b AS (
+          SELECT 10 - (CAST(score > e1 AS INT) + CAST(score > e2 AS INT)
+                     + CAST(score > e3 AS INT) + CAST(score > e4 AS INT)
+                     + CAST(score > e5 AS INT) + CAST(score > e6 AS INT)
+                     + CAST(score > e7 AS INT) + CAST(score > e8 AS INT)
+                     + CAST(score > e9 AS INT)) AS bucket,
+                 label
+            FROM s, e
+        ),
+        g AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(label) AS BIGINT) AS n_pos
+            FROM b GROUP BY bucket
+        ),
+        t AS (SELECT sum(n) AS tot_n, sum(n_pos) AS tot_p FROM g),
+        c AS (
+          SELECT g.bucket, g.n, g.n_pos,
+                 CAST(sum(g2.n) AS BIGINT) AS cum_n,
+                 CAST(sum(g2.n_pos) AS BIGINT) AS cum_pos
+            FROM g JOIN g AS g2 ON g2.bucket <= g.bucket
+           GROUP BY g.bucket, g.n, g.n_pos
+        )
+        SELECT bucket, n, n_pos,
+               CAST(n_pos AS DOUBLE) / n AS pos_rate,
+               cum_n, cum_pos,
+               CAST(cum_pos AS DOUBLE) / tot_p AS cum_capture,
+               (CAST(cum_pos AS DOUBLE) / cum_n)
+               / (CAST(tot_p AS DOUBLE) / tot_n) AS lift
+          FROM c, t
+    """
+    _tokens = """
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents
+           WHERE text IS NOT NULL
+    """
+    d["heavy_hitters"] = f"""
+        WITH tok AS ({_tokens}),
+        c AS (
+          SELECT token AS value, CAST(count(*) AS BIGINT) AS n_rows
+            FROM tok WHERE token <> '' GROUP BY token
+        ),
+        t AS (SELECT sum(n_rows) AS tot FROM c),
+        k AS (SELECT value, n_rows FROM c ORDER BY n_rows DESC, value ASC LIMIT 20)
+        SELECT value, n_rows, CAST(n_rows AS DOUBLE) / tot AS share FROM k, t
+    """
+    d["frequency_spectrum"] = f"""
+        WITH tok AS ({_tokens}),
+        c AS (
+          SELECT token, count(*) AS f
+            FROM tok WHERE token <> '' GROUP BY token
+        )
+        SELECT CAST(f AS BIGINT) AS frequency,
+               CAST(count(*) AS BIGINT) AS n_values
+          FROM c GROUP BY f
     """
     return d

@@ -1,0 +1,156 @@
+"""Frequency analysis over categorical / token columns at corpus scale.
+
+The reference's cardinality checks (`data_analysis.py` value_counts
+summaries) assume pandas can hold the value spectrum.  At 100 TB the
+useful primitives are:
+
+- **heavy_hitters** — exact top-k by frequency: one map-side-combined
+  groupBy, then TakeOrdered on (count desc, value asc) — only k rows
+  ever reach the driver, deterministic under ties.
+- **frequency_spectrum** — the count-of-counts table (how many values
+  occur exactly f times — the Good-Turing spectrum, the first thing a
+  tokenizer or dedup audit looks at): two stacked map-side-combined
+  groupBys, result bounded by #distinct frequencies (≪ n).
+- **misra_gries** — the mergeable deterministic heavy-hitter SKETCH
+  for the stream/singlepass path: each partition summarises itself
+  with a width-w Misra-Gries table inside one Arrow-batched
+  ``mapInPandas`` (no shuffle of raw values), partial tables merge by
+  value with the standard offset-decrement; the classic guarantee
+  (true_count − n/width ≤ estimate ≤ true_count) survives merging.
+  Use when the value column is too hot to groupBy at full width
+  (adversarial token floods); ``heavy_hitters`` is the exact path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+
+
+def _require(df: DataFrame, column: str) -> None:
+    if column not in df.columns:
+        raise ColumnNotFoundError(column, df.columns)
+
+
+def heavy_hitters(df: DataFrame, column: str, k: int = 20) -> DataFrame:
+    """Exact top-k most frequent values of ``column`` (nulls excluded):
+    (value, n_rows, share).  Deterministic tie-break: count descending,
+    value ascending.  share = n_rows / non-null total.
+
+    Scale: groupBy with map-side partial counts (the shuffle carries
+    one row per distinct value per mapper at most), then a global
+    TakeOrdered of k rows — the full spectrum never sits on one node.
+    """
+    _require(df, column)
+    v = F.col(column)
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = counts.agg(F.sum("n_rows").alias("_t"))
+    return (
+        counts.orderBy(F.desc("n_rows"), F.asc("value"))
+        .limit(k)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "value",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("_t")).alias("share"),
+        )
+    )
+
+
+def frequency_spectrum(df: DataFrame, column: str) -> DataFrame:
+    """Count-of-counts (Good-Turing spectrum): one row per distinct
+    occurrence frequency f — (frequency, n_values) = how many distinct
+    values of ``column`` occur exactly f times.  Singleton mass
+    (f = 1) is the headline number for dedup and tokenizer-vocabulary
+    decisions.
+
+    Two stacked groupBys, both map-side combined; the result is
+    bounded by the number of DISTINCT frequencies (≤ √(2n), usually
+    tens), so it is aggregate-sized regardless of corpus size.
+    """
+    _require(df, column)
+    v = F.col(column)
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    return (
+        counts.groupBy(F.col("_f").alias("frequency"))
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )
+
+
+def _mg_update(table: dict, key: str, inc: int, width: int) -> None:
+    """Textbook Misra-Gries update with weighted increments."""
+    if key in table:
+        table[key] += inc
+        return
+    if len(table) < width:
+        table[key] = inc
+        return
+    # decrement all by the largest amount the smallest counter allows
+    dec = min(inc, min(table.values()))
+    for t in list(table):
+        table[t] -= dec
+        if table[t] <= 0:
+            del table[t]
+    if inc - dec > 0:
+        table[key] = inc - dec
+
+
+def misra_gries(df: DataFrame, column: str, width: int = 64) -> list[tuple[str, int]]:
+    """Mergeable Misra-Gries heavy-hitter sketch of ``column``.
+
+    Each partition builds a width-``width`` summary vectorized
+    (pandas ``value_counts`` per Arrow batch, folded into the MG
+    table), emitting ≤ width (value, weight) rows — raw values never
+    shuffle.  Partials merge into one width-limited table with the
+    same weighted update, preserving the deterministic guarantee
+    ``true − n/width ≤ estimate ≤ true`` (Agarwal et al., "Mergeable
+    Summaries", PODS 2012).
+
+    Returns the merged sketch as (value, estimate) sorted by estimate
+    descending then value — driver-sized by construction (≤ width
+    entries).  For exact answers use :func:`heavy_hitters`; this is
+    the one-pass / streaming-shaped path.
+    """
+    _require(df, column)
+    w = int(width)
+    if w < 1:
+        raise ValueError("width must be >= 1")
+
+    out_schema = StructType(
+        [StructField("value", StringType()), StructField("weight", LongType())]
+    )
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table: dict = {}
+        for pdf in batches:
+            vc = pdf[column].dropna().astype(str).value_counts()
+            for key, cnt in vc.items():
+                _mg_update(table, key, int(cnt), w)
+        yield pd.DataFrame(
+            {"value": list(table.keys()), "weight": list(table.values())}
+        )
+
+    partials = (
+        df.select(F.col(column).cast("string").alias(column))
+        .mapInPandas(summarize, schema=out_schema)
+        .collect()
+    )
+    merged: dict = {}
+    # deterministic merge order regardless of task completion order
+    for r in sorted(partials, key=lambda r: (-r["weight"], r["value"])):
+        _mg_update(merged, r["value"], int(r["weight"]), w)
+    return sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
