@@ -597,6 +597,16 @@ class DataAnalyzer:
 
         return get_cardinality_info(self.df, columns, exact)
 
+    def heavy_hitters(self, column: str, k: int = 20):
+        from feature_engineering_tk_spark.operators.frequency import heavy_hitters
+
+        return heavy_hitters(self.df, column, k)
+
+    def frequency_spectrum(self, column: str):
+        from feature_engineering_tk_spark.operators.frequency import frequency_spectrum
+
+        return frequency_spectrum(self.df, column)
+
     def get_correlation_matrix(self, columns=None, method: str = "pearson"):
         from feature_engineering_tk_spark.analysis.eda import correlation_matrix
 
@@ -894,3 +904,44 @@ class EvalSuite:
         from feature_engineering_tk_spark.functions.text import ngram_novelty
 
         return ngram_novelty(self.df, corpus, **kw)
+
+    def roc_auc(self, score: str, label: str):
+        from feature_engineering_tk_spark.analysis.classification import roc_auc
+
+        return roc_auc(self.df, score, label)
+
+    def roc_curve(self, score: str, label: str):
+        from feature_engineering_tk_spark.analysis.classification import roc_curve
+
+        return roc_curve(self.df, score, label)
+
+    def average_precision(self, score: str, label: str):
+        from feature_engineering_tk_spark.analysis.classification import (
+            average_precision,
+        )
+
+        return average_precision(self.df, score, label)
+
+    def confusion(self, score: str, label: str, threshold: float = 0.5):
+        from feature_engineering_tk_spark.analysis.classification import (
+            confusion_at_threshold,
+        )
+
+        return confusion_at_threshold(self.df, score, label, threshold)
+
+    def log_loss(self, score: str, label: str, **kw):
+        from feature_engineering_tk_spark.analysis.classification import log_loss_brier
+
+        return log_loss_brier(self.df, score, label, **kw)
+
+    def gains(self, score: str, label: str, n_buckets: int = 10):
+        from feature_engineering_tk_spark.analysis.classification import gains_table
+
+        return gains_table(self.df, score, label, n_buckets)
+
+    def score_ks(self, score: str, label: str):
+        from feature_engineering_tk_spark.analysis.classification import (
+            score_separation_ks,
+        )
+
+        return score_separation_ks(self.df, score, label)

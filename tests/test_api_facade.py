@@ -198,6 +198,32 @@ def test_eval_suite_facade(spark):
     assert (r.novel_grams, r.total_grams) == (1, 2)
 
 
+def test_classifier_metrics_facade(spark):
+    import feature_engineering_tk_spark as fe
+
+    scored = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.3, 0), (0.2, 0), (0.6, 0), (0.4, 1)],
+        "score double, label int",
+    )
+    es = fe.EvalSuite(scored)
+    auc = es.roc_auc("score", "label").first()
+    assert auc["n_pos"] == 3 and auc["n_neg"] == 3
+    # pairs: (.9,.8,.4) vs (.3,.2,.6): concordant 8/9 (.4 loses to .6)
+    assert auc["auc"] == pytest.approx(8 / 9)
+    cm = es.confusion("score", "label", 0.5).first()
+    assert (cm["tp"], cm["fp"], cm["fn"], cm["tn"]) == (2, 1, 1, 2)
+    assert es.roc_curve("score", "label").count() == 6
+    assert es.average_precision("score", "label").first()["n_pos"] == 3
+    assert es.log_loss("score", "label").first()["n"] == 6
+    an = fe.DataAnalyzer(
+        spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    )
+    hh = an.heavy_hitters("v", k=1).first()
+    assert (hh["value"], hh["n_rows"]) == ("a", 2)
+    spec = {r["frequency"]: r["n_values"] for r in an.frequency_spectrum("v").collect()}
+    assert spec == {2: 1, 1: 1}
+
+
 def test_transcript_fingerprint_facade(spark):
     import feature_engineering_tk_spark as fe
 
