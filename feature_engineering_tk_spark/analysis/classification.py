@@ -263,6 +263,10 @@ def gains_table(df: DataFrame, score: str, label: str, n_buckets: int = 10) -> D
     per = rows.select(bucket, (y.cast("int") != 0).cast("bigint").alias("_pos")).groupBy(
         "bucket"
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("_pos").alias("n_pos"))
+    # per is ≤ n_buckets rows but its lineage holds the full row-table
+    # scan; materialize once so the suffix-sum self-join and the totals
+    # below reuse the aggregate instead of re-scanning the corpus
+    per = per.localCheckpoint(eager=True)
     tot = per.agg(
         F.sum("n").alias("_tn"), F.sum("n_pos").alias("_tp")
     )

@@ -704,6 +704,83 @@ def main() -> None:
         )
     )
 
+    # 30. classifier evaluation: AUC/curve ride the drift prefix-sum
+    # core (no global-sort window, no single-partition exchange before
+    # the final scalar gather); gains_table must keep the funnel
+    # suffix-sum shape (no cartesian product, row table scanned once)
+    from feature_engineering_tk_spark.analysis.classification import (
+        gains_table,
+        roc_curve,
+    )
+
+    scored = ev.select(
+        (F.col("value") / F.lit(1000.0)).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    p = plan_of(roc_curve(scored, "score", "label"))
+    n_single = len(re.findall(r"Exchange SinglePartition", p))
+    n_sortglobal = len(set(re.findall(r"Sort \((\d+)\)[^\n]*global=true", p)))
+    sections.append(
+        (
+            "roc_curve (Mann-Whitney prefix-sum core)",
+            p,
+            [
+                f"single_partition_exchanges={n_single} (want 0 — thresholds stay range-partitioned)",
+                f"global_sorts={n_sortglobal} (want 0 — no whole-corpus sort to rank scores)",
+            ],
+        )
+    )
+
+    p = plan_of(gains_table(scored, "score", "label", n_buckets=4))
+    n_cart = len(set(re.findall(r"CartesianProduct\s*\((\d+)\)", p)))
+    n_scans = len(set(re.findall(r"Scan parquet\s*\((\d+)\)", p)))
+    sections.append(
+        (
+            "gains_table (decile lift, suffix-sum)",
+            p,
+            [
+                f"cartesian_products={n_cart} (want <=1 — only the broadcast of the 1-row totals)",
+                f"event_table_scans={n_scans} (want 0 — the checkpointed bucket aggregate "
+                "replaces the corpus scan; cumulation is bucket-table-sized)",
+            ],
+        )
+    )
+
+    # 31. frequency: heavy_hitters ends in TakeOrdered (k rows to the
+    # driver, never a global sort of the spectrum); frequency_spectrum
+    # is two stacked map-side-combined aggregates
+    from feature_engineering_tk_spark.operators.frequency import (
+        frequency_spectrum,
+        heavy_hitters,
+    )
+
+    p = plan_of(heavy_hitters(ev, "event_type", k=5))
+    has_topk = "TakeOrderedAndProject" in p
+    n_sortglobal = len(set(re.findall(r"Sort \((\d+)\)[^\n]*global=true", p)))
+    sections.append(
+        (
+            "heavy_hitters (exact top-k)",
+            p,
+            [
+                f"take_ordered={has_topk} (want True — per-partition heaps, k rows gathered)",
+                f"global_sorts={n_sortglobal} (want 0)",
+            ],
+        )
+    )
+
+    p = plan_of(frequency_spectrum(ev, "event_type"))
+    n_aggs = len(set(re.findall(r"HashAggregate \((\d+)\)", p)))
+    sections.append(
+        (
+            "frequency_spectrum (Good-Turing count-of-counts)",
+            p,
+            [
+                f"hash_aggregates={n_aggs} (want 4 — partial+final for each of the two stacked "
+                "groupBys, all map-side combined)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
