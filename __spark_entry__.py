@@ -3953,6 +3953,130 @@ def q_frequency_spectrum(spark, sf_dir):
     return frequency_spectrum(toks, "token")
 
 
+def _predicted_events(spark, sf_dir):
+    """Shared (pred, y) derivation for the regression-evaluation
+    family: a deterministic affine 'model' of the value column so both
+    engines compute identical row-wise doubles."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("value").isNotNull()).select(
+        (F.col("value") * 0.9 + 3).alias("pred"), F.col("value").alias("y")
+    )
+
+
+def q_regression_eval(spark, sf_dir):
+    """Regression-model scorecard (analysis/regression.py
+    regression_metrics): mae/rmse/r2/bias/mape from one map-side-
+    combined aggregation pass over Σe, Σ|e|, Σe², Σy, Σy² partials —
+    no shuffle of rows, sums rounded at the comparison boundary."""
+    from feature_engineering_tk_spark.analysis.regression import regression_metrics
+
+    out = regression_metrics(_predicted_events(spark, sf_dir), "pred", "y")
+    return out.select(
+        "n",
+        F.round("mae", 6).alias("mae"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("r2", 6).alias("r2"),
+        F.round("mean_error", 6).alias("mean_error"),
+        F.round("mape", 6).alias("mape"),
+        "n_mape",
+    )
+
+
+def q_residual_quantiles(spark, sf_dir):
+    """Signed-error tail profile (analysis/regression.py
+    residual_quantiles): exact distributed percentiles of pred−target
+    (bit-identical to DuckDB quantile_cont) — the calibration view the
+    mean error hides."""
+    from feature_engineering_tk_spark.analysis.regression import residual_quantiles
+
+    out = residual_quantiles(_predicted_events(spark, sf_dir), "pred", "y")
+    return out.select("p", F.round("error_q", 6).alias("error_q"))
+
+
+def q_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha (analysis/agreement.py krippendorff_alpha)
+    on a synthetic annotation table (item=user, rater=event_type,
+    label=value tercile-ish band) with naturally MISSING ratings —
+    the missing-tolerant agreement coefficient Fleiss' completeness
+    filter cannot provide.  Exact-integer coincidence sums grouped by
+    distinct rater count; float work is driver-sized."""
+    from feature_engineering_tk_spark.analysis.agreement import krippendorff_alpha
+
+    ev = _t(spark, sf_dir, "events")
+    ann = ev.where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("user_id").alias("item"),
+        F.col("event_type").alias("rater"),
+        F.when(F.col("value") < 20, F.lit("low"))
+        .when(F.col("value") < 60, F.lit("mid"))
+        .otherwise(F.lit("high"))
+        .alias("lab"),
+    )
+    out = krippendorff_alpha(ann, item="item", rater="rater", label="lab")
+    return out.select(
+        "n_pairable",
+        "n_items",
+        F.round("d_o", 6).alias("d_o"),
+        F.round("d_e", 6).alias("d_e"),
+        F.round("alpha", 6).alias("alpha"),
+    )
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier fences (transforms/outliers.py
+    OutlierDetector method='mad'): median ± 3·1.4826·MAD via two exact
+    percentile passes (bit-identical to quantile_cont), then a
+    row-local flag aggregation."""
+    from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
+
+    ev = _t(spark, sf_dir, "events")
+    det = OutlierDetector(method="mad", threshold=3.0).fit(ev, ["value"])
+    b = det.state_["bounds"]["value"]
+    flagged = det.flag(ev, ["value"])
+    return flagged.agg(
+        F.lit(round(b["lo"], 6)).alias("lo"),
+        F.lit(round(b["hi"], 6)).alias("hi"),
+        F.sum("value_is_outlier").cast("bigint").alias("n_outliers"),
+        F.count("value").alias("n_rows"),
+    )
+
+
+def q_temporal_split(spark, sf_dir):
+    """Chronological train/val/test fold sizes with a 2-day embargo
+    before each cut (operators/sampling.py temporal_split): the purged
+    split that keeps windowed-feature information from crossing fold
+    boundaries (north rule: zero temporal leakage).  Pure row-local
+    CASE — zero shuffle before the count."""
+    from feature_engineering_tk_spark.operators.sampling import temporal_split
+
+    ev = _t(spark, sf_dir, "events")
+    out = temporal_split(
+        ev, "ts", "2024-01-20", "2024-01-26", embargo_seconds=2 * 86400
+    )
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL distinct-count accuracy gauge (operators/frequency.py
+    approx_distinct, the ann_recall pattern): per event_type, the
+    DataSketches HLL estimate must land within 5% of the exact
+    distinct-user count — verified at test SF so the sketch can be
+    trusted alone at corpus SF, where exact count_distinct would
+    shuffle the whole id spectrum."""
+    from feature_engineering_tk_spark.operators.frequency import approx_distinct
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    out = approx_distinct(ev, "user_id", by="event_type", check_rel_error=0.05)
+    return out.select(
+        "event_type", "n_distinct_exact", F.col("within_tol").cast("int").alias("within_tol")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4205,6 +4329,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains_lift": q_gains_lift,
         "heavy_hitters": q_heavy_hitters,
         "frequency_spectrum": q_frequency_spectrum,
+        "regression_eval": q_regression_eval,
+        "residual_quantiles": q_residual_quantiles,
+        "krippendorff": q_krippendorff,
+        "mad_outliers": q_mad_outliers,
+        "temporal_split": q_temporal_split,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -8915,5 +9045,110 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(f AS BIGINT) AS frequency,
                CAST(count(*) AS BIGINT) AS n_values
           FROM c GROUP BY f
+    """
+    _pred = """
+          SELECT value * 0.9 + 3 AS pred, value AS y
+            FROM events WHERE value IS NOT NULL
+    """
+    d["regression_eval"] = f"""
+        WITH s AS ({_pred}),
+        a AS (
+          SELECT count(*) AS n,
+                 sum(abs(pred - y)) AS sae,
+                 sum((pred - y) * (pred - y)) AS sse,
+                 sum(pred - y) AS se,
+                 sum(y) AS sy,
+                 sum(y * y) AS syy,
+                 sum(CASE WHEN y <> 0 THEN abs(pred - y) / abs(y) END) AS sape,
+                 sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS nm
+            FROM s
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(sae / n, 6) AS mae,
+               round(sqrt(sse / n), 6) AS rmse,
+               round(1 - sse / (syy - sy * sy / n), 6) AS r2,
+               round(se / n, 6) AS mean_error,
+               round(sape / nm, 6) AS mape,
+               CAST(nm AS BIGINT) AS n_mape
+          FROM a
+    """
+    d["residual_quantiles"] = f"""
+        WITH s AS ({_pred}),
+        e AS (SELECT pred - y AS err FROM s),
+        q AS (
+          SELECT quantile_cont(err, 0.05) AS q05, quantile_cont(err, 0.25) AS q25,
+                 quantile_cont(err, 0.5) AS q50, quantile_cont(err, 0.75) AS q75,
+                 quantile_cont(err, 0.95) AS q95
+            FROM e
+        )
+        SELECT 0.05 AS p, round(q05, 6) AS error_q FROM q
+        UNION ALL SELECT 0.25, round(q25, 6) FROM q
+        UNION ALL SELECT 0.5, round(q50, 6) FROM q
+        UNION ALL SELECT 0.75, round(q75, 6) FROM q
+        UNION ALL SELECT 0.95, round(q95, 6) FROM q
+    """
+    d["krippendorff"] = """
+        WITH ann AS (
+          SELECT user_id AS item, event_type AS rater,
+                 CASE WHEN value < 20 THEN 'low'
+                      WHEN value < 60 THEN 'mid'
+                      ELSE 'high' END AS lab
+            FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             AND value IS NOT NULL
+        ),
+        one AS (SELECT item, rater, min(lab) AS l FROM ann GROUP BY 1, 2),
+        cnt AS (SELECT item, l, count(*) AS c FROM one GROUP BY 1, 2),
+        per AS (SELECT item, sum(c) AS m, sum(c * c) AS s2 FROM cnt GROUP BY 1),
+        kept AS (SELECT * FROM per WHERE m >= 2),
+        bym AS (SELECT m, sum(m * m - s2) AS num FROM kept GROUP BY m),
+        do_ AS (SELECT sum(CAST(num AS DOUBLE) / (m - 1)) AS a FROM bym),
+        lbl AS (
+          SELECT l, sum(c) AS cl
+            FROM cnt JOIN kept USING (item) GROUP BY l
+        ),
+        tot AS (SELECT sum(cl) AS n, sum(cl * cl) AS s FROM lbl),
+        ni AS (SELECT count(*) AS n_items FROM kept)
+        SELECT CAST(n AS BIGINT) AS n_pairable,
+               CAST(n_items AS BIGINT) AS n_items,
+               round(a / n, 6) AS d_o,
+               round((n * n - s) / (n * (n - 1.0)), 6) AS d_e,
+               round(1 - (n - 1) * a / (n * n - s), 6) AS alpha
+          FROM do_, tot, ni
+    """
+    d["mad_outliers"] = """
+        WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+        mad AS (
+          SELECT quantile_cont(abs(value - m), 0.5) AS d FROM events, med
+        ),
+        b AS (
+          SELECT round(m - 3 * 1.4826 * d, 6) AS lo,
+                 round(m + 3 * 1.4826 * d, 6) AS hi,
+                 m - 3 * 1.4826 * d AS rlo,
+                 m + 3 * 1.4826 * d AS rhi
+            FROM med, mad
+        )
+        SELECT lo, hi,
+               CAST(sum(CASE WHEN value < rlo OR value > rhi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               CAST(count(value) AS BIGINT) AS n_rows
+          FROM events, b GROUP BY lo, hi
+    """
+    d["temporal_split"] = """
+        SELECT CASE WHEN ts >= TIMESTAMP '2024-01-26' THEN 'test'
+                    WHEN ts >= TIMESTAMP '2024-01-24' THEN 'embargo'
+                    WHEN ts >= TIMESTAMP '2024-01-20' THEN 'val'
+                    WHEN ts >= TIMESTAMP '2024-01-18' THEN 'embargo'
+                    ELSE 'train' END AS split,
+               CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY split
+    """
+    d["approx_distinct"] = """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+               1 AS within_tol
+          FROM events
+         WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+         GROUP BY event_type
     """
     return d

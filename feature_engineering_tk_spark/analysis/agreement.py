@@ -130,3 +130,87 @@ def fleiss_kappa(
         [(n_items, p_bar, p_e, kappa)],
         "n_items bigint, p_bar double, p_e double, kappa double",
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item: str = "item_id",
+    rater: str = "rater_id",
+    label: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha for nominal labels — the agreement
+    coefficient that tolerates MISSING ratings (any number of raters
+    per item, items rated once are simply unpairable), which is the
+    real shape of crowdsourced / model-judge annotation tables where
+    Fleiss' equal-n completeness filter would discard most of the
+    data.
+
+    Coincidence-matrix formulation (Krippendorff 2004): with n_il =
+    ratings of label l on item i and m_i = Σ_l n_il over items with
+    m_i ≥ 2,
+
+        alpha = 1 − (n−1) · Σ_i (m_i² − Σ_l n_il²)/(m_i − 1)
+                    ───────────────────────────────────────
+                            n² − Σ_l n_l²
+
+    where n_l = Σ_i n_il and n = Σ_l n_l count PAIRABLE ratings.
+    Every sum is an exact integer except the per-item division by
+    (m_i − 1); grouping items by m_i first makes that a division of
+    one exact integer per DISTINCT rater count (a handful of rows),
+    so the float work is driver-sized and order-independent.
+
+    Duplicate ratings by one rater on one item resolve to the MIN
+    label (the cohen_kappa convention).  Returns a 1-row DataFrame
+    ``(n_pairable, n_items, d_o, d_e, alpha)`` with d_o/d_e the
+    observed/expected disagreement rates.  All-agree data gives
+    alpha = 1; d_e = 0 (one label in the whole table) returns alpha
+    0.0 by the degenerate-chance convention shared with the kappas.
+
+    Scale shape: one groupBy(item, rater), one groupBy(item, label),
+    one groupBy(item), one groupBy(label) — all map-side combined and
+    keyed, never unpartitioned; driver traffic is bounded by the
+    label vocabulary plus the distinct-m table.
+    """
+    one = (
+        df.where(F.col(item).isNotNull() & F.col(rater).isNotNull() & F.col(label).isNotNull())
+        .groupBy(item, rater)
+        .agg(F.min(label).alias("_l"))
+    )
+    counts = one.groupBy(item, "_l").agg(F.count(F.lit(1)).alias("_c"))
+    counts = counts.persist()
+    try:
+        per_item = counts.groupBy(item).agg(
+            F.sum("_c").alias("_m"), F.sum(F.col("_c") * F.col("_c")).alias("_s2")
+        )
+        kept = per_item.where(F.col("_m") >= 2)
+        # one exact-integer numerator per DISTINCT rater count
+        by_m = (
+            kept.groupBy("_m")
+            .agg(F.sum(F.col("_m") * F.col("_m") - F.col("_s2")).alias("_num"),
+                 F.count(F.lit(1)).alias("_k"))
+            .collect()
+        )
+        if not by_m:
+            raise InsufficientDataError("krippendorff_alpha", 2, 0)
+        totals = (
+            counts.join(kept.select(item), on=item)
+            .groupBy("_l")
+            .agg(F.sum("_c").alias("_cl"))
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    n_items = sum(int(r["_k"]) for r in by_m)
+    n = sum(int(r["_cl"]) for r in totals)
+    sum_nl2 = sum(int(r["_cl"]) ** 2 for r in totals)
+    # deterministic driver-side summation order (sorted by m)
+    do_sum = sum(int(r["_num"]) / (int(r["_m"]) - 1) for r in sorted(by_m, key=lambda r: r["_m"]))
+    de_num = n * n - sum_nl2
+    d_o = do_sum / n
+    d_e = de_num / (n * (n - 1)) if n > 1 else 0.0
+    alpha = 0.0 if de_num == 0 else 1.0 - (n - 1) * do_sum / de_num
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, n_items, d_o, d_e, alpha)],
+        "n_pairable bigint, n_items bigint, d_o double, d_e double, alpha double",
+    )

@@ -281,3 +281,60 @@ def token_budget_sample(
         "cum_tokens", F.sum("n_tokens").over(w)
     )
     return out.where(F.col("cum_tokens") <= budget)
+
+
+def temporal_split(
+    df: DataFrame,
+    ts: str,
+    val_start,
+    test_start,
+    embargo_seconds: float = 0.0,
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-safe chronological train/val/test tagging with an
+    embargo gap: rows get ``out`` ∈ {'train','val','test','embargo'}
+    by comparing ``ts`` against the two cut timestamps, and rows in
+    the ``embargo_seconds`` window strictly BEFORE each cut are tagged
+    'embargo' instead of landing in the earlier fold.
+
+    Why the embargo: with windowed / rolling features, a training row
+    just before the validation cut carries aggregates over the same
+    raw events a validation row reads — information crosses the cut
+    even though the timestamps don't.  Quarantining one maximum
+    feature-window width of history before each cut (the purged
+    train/test split of de Prado 2018, ch. 7) severs that path.  Rows
+    are TAGGED, never dropped — downstream filters choose, and no row
+    silently vanishes from lineage counts.
+
+    The north rule's zero-temporal-leakage invariant applied to fold
+    construction: the hash splitter (group_split) keeps conversations
+    intact but mixes time; this keeps time intact — evaluating a
+    model on the future of its training data, the only deployment-
+    faithful protocol for drifting corpora.
+
+    Scale shape: one pure row-local CASE expression — zero shuffle,
+    fully codegen, pushes into the scan when filtered on.
+    ``val_start``/``test_start`` accept anything Spark casts to
+    timestamp (ISO strings, datetimes); val_start must precede
+    test_start.
+    """
+    if embargo_seconds < 0:
+        raise ValueError("embargo_seconds must be >= 0")
+    t = F.col(ts).cast("timestamp")
+    v_cut = F.lit(val_start).cast("timestamp")
+    t_cut = F.lit(test_start).cast("timestamp")
+    emb = F.lit(float(embargo_seconds))
+    v_emb = F.timestamp_micros(
+        F.unix_micros(v_cut) - (emb * 1_000_000).cast("long")
+    )
+    t_emb = F.timestamp_micros(
+        F.unix_micros(t_cut) - (emb * 1_000_000).cast("long")
+    )
+    tag = (
+        F.when(t >= t_cut, F.lit("test"))
+        .when(t >= t_emb, F.lit("embargo"))
+        .when(t >= v_cut, F.lit("val"))
+        .when(t >= v_emb, F.lit("embargo"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(out, tag)

@@ -5,6 +5,15 @@
   fence = [Q1 - k·IQR, Q3 + k·IQR], default k=1.5.
 - zscore: |x-mean|/std > t, std ddof=1 (``stddev_samp``), zero-std
   columns skipped (never flagged).
+- mad: robust z via the median absolute deviation — fence =
+  median ± t·1.4826·MAD (1.4826 = 1/Φ⁻¹(0.75), the consistency
+  constant that makes MAD estimate σ under normality).  Survives up
+  to 50% contamination where mean/std (zscore) break down at ~0% and
+  quartiles (IQR) at 25% — the right detector for corpus-quality
+  columns with heavy junk tails.  Zero-MAD columns skipped like
+  zero-std.  Extends the reference's iqr/zscore pair
+  (data_analysis.py:96-141); fit is TWO aggregate jobs (median pass,
+  then |x−median| median pass), both exact percentiles.
 - actions: remove (masks OR-combined across columns, applied once —
   the reference's single-pass optimization), cap (clamp at the fence),
   replace with median/mean/null.
@@ -22,10 +31,10 @@ from feature_engineering_tk_spark.transforms.state import FittedStateMixin
 
 class OutlierDetector(FittedStateMixin):
     def __init__(self, method: str = "iqr", factor: float = 1.5, threshold: float = 3.0):
-        if method not in ("iqr", "zscore"):
+        if method not in ("iqr", "zscore", "mad"):
             from feature_engineering_tk_spark.exceptions import InvalidMethodError
 
-            raise InvalidMethodError(method, ["iqr", "zscore"])
+            raise InvalidMethodError(method, ["iqr", "zscore", "mad"])
         self.method = method
         self.factor = factor  # IQR multiplier
         self.threshold = threshold  # zscore cutoff
@@ -42,15 +51,36 @@ class OutlierDetector(FittedStateMixin):
                     F.percentile(F.col(c), F.lit(0.25)).alias(f"{c}__q1"),
                     F.percentile(F.col(c), F.lit(0.75)).alias(f"{c}__q3"),
                 ]
+            elif self.method == "mad":
+                aggs += [F.percentile(F.col(c), F.lit(0.5)).alias(f"{c}__med")]
             else:
                 aggs += [F.avg(c).alias(f"{c}__m"), F.stddev_samp(c).alias(f"{c}__s")]
         row = df.agg(*aggs).first()
+        mads = {}
+        if self.method == "mad":
+            # second pass: median of |x − median| per column, one agg job
+            dev_aggs = [
+                F.percentile(
+                    F.abs(F.col(c) - F.lit(row[f"{c}__med"])), F.lit(0.5)
+                ).alias(f"{c}__mad")
+                for c in columns
+                if row[f"{c}__med"] is not None
+            ]
+            mads = dict(df.agg(*dev_aggs).first().asDict()) if dev_aggs else {}
         bounds = {}
         for c in columns:
             if self.method == "iqr":
                 q1, q3 = row[f"{c}__q1"], row[f"{c}__q3"]
                 iqr = q3 - q1
                 bounds[c] = {"lo": q1 - self.factor * iqr, "hi": q3 + self.factor * iqr}
+            elif self.method == "mad":
+                med = row[f"{c}__med"]
+                mad = mads.get(f"{c}__mad")
+                if med is None or not mad:  # all-null or zero-MAD skip
+                    bounds[c] = None
+                else:
+                    half = self.threshold * 1.4826 * mad
+                    bounds[c] = {"lo": med - half, "hi": med + half}
             else:
                 m, s = row[f"{c}__m"], row[f"{c}__s"]
                 if s is None or s == 0:
