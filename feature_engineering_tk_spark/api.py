@@ -233,6 +233,28 @@ class DataPreprocessor(_Tracked):
         self._record("apply_custom_function", column=column, out=out)
         return self
 
+    def temporal_split(
+        self,
+        ts: str,
+        val_start,
+        test_start,
+        embargo_seconds: float = 0.0,
+        out: str = "split",
+    ) -> "DataPreprocessor":
+        from feature_engineering_tk_spark.operators.sampling import temporal_split
+
+        self.df = temporal_split(
+            self.df, ts, val_start, test_start, embargo_seconds=embargo_seconds, out=out
+        )
+        self._record(
+            "temporal_split",
+            ts=ts,
+            val_start=val_start,
+            test_start=test_start,
+            embargo_seconds=embargo_seconds,
+        )
+        return self
+
     def sample_data(self, n=None, frac=None, seed: int = 42) -> "DataPreprocessor":
         from feature_engineering_tk_spark.operators.rows import sample_data
 
@@ -643,6 +665,18 @@ class DataAnalyzer:
             self.df, [column]
         ).flag(self.df, [column])
 
+    def detect_outliers_mad(self, column: str, threshold: float = 3.0) -> DataFrame:
+        from feature_engineering_tk_spark.transforms.outliers import OutlierDetector
+
+        return OutlierDetector(method="mad", threshold=threshold).fit(
+            self.df, [column]
+        ).flag(self.df, [column])
+
+    def approx_distinct(self, column: str, by=None, **kw):
+        from feature_engineering_tk_spark.operators.frequency import approx_distinct
+
+        return approx_distinct(self.df, column, by=by, **kw)
+
     def detect_misclassified_categorical(
         self, max_unique: int = 20, max_ratio: float = 0.05
     ) -> list[dict]:
@@ -945,3 +979,28 @@ class EvalSuite:
         )
 
         return score_separation_ks(self.df, score, label)
+
+    def cohen_kappa(self, **kw):
+        from feature_engineering_tk_spark.analysis.agreement import cohen_kappa
+
+        return cohen_kappa(self.df, **kw)
+
+    def fleiss_kappa(self, **kw):
+        from feature_engineering_tk_spark.analysis.agreement import fleiss_kappa
+
+        return fleiss_kappa(self.df, **kw)
+
+    def krippendorff_alpha(self, **kw):
+        from feature_engineering_tk_spark.analysis.agreement import krippendorff_alpha
+
+        return krippendorff_alpha(self.df, **kw)
+
+    def regression_metrics(self, pred: str, target: str):
+        from feature_engineering_tk_spark.analysis.regression import regression_metrics
+
+        return regression_metrics(self.df, pred, target)
+
+    def residual_quantiles(self, pred: str, target: str, **kw):
+        from feature_engineering_tk_spark.analysis.regression import residual_quantiles
+
+        return residual_quantiles(self.df, pred, target, **kw)

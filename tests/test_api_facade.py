@@ -278,3 +278,42 @@ def test_feature_engineer_suggested_encoders(mixed_df):
     fe.apply_power_transform(["numeric2_rank_uniform"])
     assert "numeric2_rank_uniform_yj" in fe.df.columns
     assert "yeojohnson_scaler" in fe.scalers
+
+
+def test_round4_new_facades(spark):
+    import feature_engineering_tk_spark as fe
+    from pyspark.sql import functions as F
+
+    # regression + agreement on EvalSuite
+    scored = spark.createDataFrame(
+        [(3.0, 2.0), (1.0, 2.0), (8.0, 6.0), (4.0, 4.0)], "pred double, y double"
+    )
+    es = fe.EvalSuite(scored)
+    assert es.regression_metrics("pred", "y").first()["mae"] == pytest.approx(1.0)
+    assert es.residual_quantiles("pred", "y").count() == 5
+    ann = spark.createDataFrame(
+        [(0, "a", "x"), (0, "b", "x"), (1, "a", "y"), (1, "b", "y")],
+        "item_id int, rater_id string, label string",
+    )
+    ea = fe.EvalSuite(ann)
+    assert ea.krippendorff_alpha().first()["alpha"] == pytest.approx(1.0)
+    assert ea.cohen_kappa(rater_a="a", rater_b="b").first()["kappa"] == pytest.approx(1.0)
+    assert ea.fleiss_kappa().first()["kappa"] == pytest.approx(1.0)
+
+    # MAD + approx distinct on DataAnalyzer
+    df = spark.range(0, 500).select(
+        (F.col("id") % 97).cast("double").alias("v"),
+        (F.col("id") % 5).cast("string").alias("g"),
+    )
+    an = fe.DataAnalyzer(df)
+    assert "v_is_outlier" in an.detect_outliers_mad("v").columns
+    rows = an.approx_distinct("v", by="g", check_rel_error=0.05).collect()
+    assert len(rows) == 5 and all(r["within_tol"] for r in rows)
+
+    # temporal_split chains on DataPreprocessor and records history
+    ts_df = spark.createDataFrame(
+        [(f"2024-01-{d:02d}",) for d in range(1, 31)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    pp = fe.DataPreprocessor(ts_df).temporal_split("ts", "2024-01-15", "2024-01-25")
+    assert pp.df.where("split = 'val'").count() == 10
+    assert pp.operation_history[-1]["operation"] == "temporal_split"
