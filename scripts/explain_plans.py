@@ -781,6 +781,43 @@ def main() -> None:
         )
     )
 
+    # 32. temporal_split is a pure row-local CASE (zero exchanges, no
+    # Python); approx_distinct shuffles HLL sketch BYTES, never the id
+    # spectrum (ObjectHashAggregate partial+final, no expand/distinct)
+    from feature_engineering_tk_spark.operators.frequency import approx_distinct
+    from feature_engineering_tk_spark.operators.sampling import temporal_split
+
+    p = plan_of(
+        temporal_split(ev, "ts", "2024-01-20", "2024-01-26", embargo_seconds=86400)
+    )
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    has_python = "Python" in p or "ArrowEval" in p
+    sections.append(
+        (
+            "temporal_split (purged chronological folds)",
+            p,
+            [
+                f"exchanges={n_ex} (want 0 — row-local CASE over the scan)",
+                f"python_nodes={has_python} (want False — codegen timestamp comparisons)",
+            ],
+        )
+    )
+
+    p = plan_of(approx_distinct(ev, "user_id", by="event_type"))
+    n_obj = len(set(re.findall(r"ObjectHashAggregate \((\d+)\)", p)))
+    n_expand = len(set(re.findall(r"Expand \((\d+)\)", p)))
+    sections.append(
+        (
+            "approx_distinct (HLL sketch cardinality)",
+            p,
+            [
+                f"object_hash_aggregates={n_obj} (want 2 — partial sketches merge, "
+                "only KB-sized binaries cross the wire)",
+                f"expand_nodes={n_expand} (want 0 — no exact-distinct expansion of the id column)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
