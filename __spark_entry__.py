@@ -3963,6 +3963,26 @@ def _predicted_events(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup ingest gate (operators/dedup.py
+    minhash_index + dedup_against_index): the shard (doc_id % 5 = 0)
+    dedups against the persisted corpus LSH index via
+    signature-estimated Jaccard — the 100 TB corpus text is never
+    rescanned, only its 8-byte signature/bucket table joins.  md5
+    hash mode so DuckDB replays the full signature pipeline."""
+    from feature_engineering_tk_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    shard = d.filter(F.col("doc_id") % 5 == 0)
+    idx = minhash_index(corpus, hash_mode="md5")
+    surv, _updated = dedup_against_index(shard, idx, threshold=0.7, hash_mode="md5")
+    return surv.select("doc_id").orderBy("doc_id")
+
+
 def q_regression_eval(spark, sf_dir):
     """Regression-model scorecard (analysis/regression.py
     regression_metrics): mae/rmse/r2/bias/mape from one map-side-
@@ -4329,6 +4349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains_lift": q_gains_lift,
         "heavy_hitters": q_heavy_hitters,
         "frequency_spectrum": q_frequency_spectrum,
+        "dedup_incremental": q_dedup_incremental,
         "regression_eval": q_regression_eval,
         "residual_quantiles": q_residual_quantiles,
         "krippendorff": q_krippendorff,
@@ -4781,6 +4802,29 @@ def _generated_oracles() -> dict[str, str]:
         ORDER BY doc_id
     """
 
+    # incremental shard-vs-index gate: same signature/band chain, but
+    # candidates are new-shard × corpus-index only and verification is
+    # the SIGNATURE-estimated Jaccard (matching components / 32) — the
+    # index never stores text, so neither does the oracle's join
+    dedup_incremental = f"""
+        WITH {mh_ctes},
+        newb AS (SELECT doc_id AS nid, bucket FROM bands WHERE doc_id % 5 = 0),
+        oldb AS (SELECT doc_id AS oid, bucket FROM bands WHERE doc_id % 5 != 0),
+        icand AS (SELECT DISTINCT nid, oid FROM newb JOIN oldb USING (bucket)),
+        est AS (
+          SELECT nid,
+                 list_sum(list_transform(range(1, 33),
+                          i -> CASE WHEN sn.sig[i] = so.sig[i] THEN 1 ELSE 0 END)) / 32.0 AS e
+            FROM icand
+            JOIN sigarr sn ON sn.doc_id = nid
+            JOIN sigarr so ON so.doc_id = oid
+        ),
+        dupn AS (SELECT DISTINCT nid FROM est WHERE e >= 0.7)
+        SELECT doc_id FROM documents
+         WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT nid FROM dupn)
+         ORDER BY doc_id
+    """
+
     tfidf = f"""
         WITH src AS ({norm_src}),
         toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM src),
@@ -5206,6 +5250,7 @@ def _generated_oracles() -> dict[str, str]:
         "bootstrap_ci": bootstrap_ci,
         "multimodal_features": multimodal_features,
         "minhash_dedup": minhash_dedup,
+        "dedup_incremental": dedup_incremental,
         "simhash": simhash,
         "doc_fingerprint": doc_fingerprint,
         "embedding_neardup": embedding_neardup,

@@ -117,6 +117,18 @@ def minhash_signatures(
     return df.withColumn(out, sig)
 
 
+def _band_keys(sig: Column, bands: int, rows_per_band: int, hash_mode: str) -> Column:
+    """array<bigint> of banded-LSH bucket keys for a signature column."""
+
+    def _one(b: int) -> Column:
+        band_str = F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+        if hash_mode == "xxhash64":
+            return F.xxhash64(F.lit(b), band_str)
+        return _hash60(F.concat_ws("|", F.lit(b), band_str))
+
+    return F.array(*[_one(b) for b in range(bands)])
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -144,15 +156,7 @@ def minhash_lsh_candidates(
     can miss near-dup pairs BETWEEN distinct sub-groups that share a
     hot bucket; that residual recall loss is the documented price of
     boundedness (the other bands still get independent chances)."""
-    sig = F.col(sig_col)
-
-    def _band_key(b: int) -> Column:
-        band_str = F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band))
-        if hash_mode == "xxhash64":
-            return F.xxhash64(F.lit(b), band_str)
-        return _hash60(F.concat_ws("|", F.lit(b), band_str))
-
-    band_keys = F.array(*[_band_key(b) for b in range(bands)])
+    band_keys = _band_keys(F.col(sig_col), bands, rows_per_band, hash_mode)
     buckets = df.select(F.col(id_col), F.explode(band_keys).alias("bucket"))
     if max_bucket_size is not None:
         # exact bucket sizes: 8-byte keys, map-side partial agg — cheap
@@ -251,6 +255,106 @@ def minhash_lsh_dedup(
         .distinct()
     )
     return df.join(dups, id_col, "left_anti")
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Persistable LSH index of a corpus: one row per doc —
+    (id, minhash array<bigint>, buckets array<bigint>).
+
+    This is the incremental-ingest primitive: write this table once
+    per corpus snapshot (~(num_hashes + bands)·8 bytes per doc — a
+    10^12-doc index is ~0.3 TB, vs re-hosting the corpus text), and
+    every future crawl shard dedups against it via
+    :func:`dedup_against_index` without re-shingling a byte of the
+    existing corpus.  Zero shuffle to build: signatures and band keys
+    are row-local column expressions over the scan.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, num_hashes, shingle_n, seed, hash_mode=hash_mode
+    )
+    return sigs.select(
+        F.col(id_col),
+        F.col("minhash"),
+        _band_keys(F.col("minhash"), bands, rows_per_band, hash_mode).alias("buckets"),
+    )
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup gate: drop new-shard docs that near-match
+    the EXISTING corpus index, without touching the corpus text.
+
+    Returns ``(survivors, updated_index)``: the new docs that matched
+    no indexed doc, and ``index ∪ minhash_index(survivors)`` ready to
+    persist for the next shard.
+
+    Match verification uses the SIGNATURE-estimated Jaccard (matching
+    minhash components / num_hashes ≥ threshold) rather than exact
+    shingle Jaccard — deliberate: the index stores 8-byte signatures,
+    not text, so verification never rescans the 100 TB corpus.  The
+    estimate is unbiased with σ = √(J(1−J)/num_hashes) (≈0.08 at
+    J=0.7, 32 hashes); raise ``num_hashes`` for a tighter gate.  The
+    shard should be self-deduped first (``minhash_lsh_dedup``) — this
+    operator intentionally checks new-vs-index only, so the two
+    concerns compose and stay individually testable.
+
+    Shuffle profile: the bucket join moves (8-byte bucket, id) pairs;
+    signature arrays join only for candidate ids (candidate-sized,
+    not shard-sized); the corpus index is never re-bucketed — its
+    persisted ``buckets`` column is exploded in place.  Seed,
+    num_hashes, bands, and hash_mode must match the index's build
+    parameters; mismatched geometry yields silent recall loss, so
+    pipelines should persist those alongside the index.
+    """
+    new_idx = minhash_index(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n, seed, hash_mode
+    )
+    nb = new_idx.select(F.col(id_col).alias("_nid"), F.explode("buckets").alias("bucket"))
+    ob = index.select(F.col(id_col).alias("_oid"), F.explode("buckets").alias("bucket"))
+    cands = nb.join(ob, "bucket").select("_nid", "_oid").distinct()
+    ns = new_idx.select(F.col(id_col).alias("_nid"), F.col("minhash").alias("_nsig"))
+    os_ = index.select(F.col(id_col).alias("_oid"), F.col("minhash").alias("_osig"))
+    matches = (
+        cands.join(ns, "_nid")
+        .join(os_, "_oid")
+        .select(
+            "_nid",
+            (
+                F.aggregate(
+                    F.zip_with("_nsig", "_osig", lambda a, b: (a == b).cast("int")),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("_est"),
+        )
+        .where(F.col("_est") >= threshold)
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    survivors = new_df.join(matches, id_col, "left_anti")
+    updated = index.unionByName(new_idx.join(matches, id_col, "left_anti"))
+    return survivors, updated
 
 
 def ngram_contamination(

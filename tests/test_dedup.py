@@ -452,3 +452,41 @@ def test_corpus_diff_counts_and_jaccard(spark):
     assert s1.jaccard == 1 / 3
     s2 = rows["s2"]  # duplicate 'stable' in b counts once (distinct contents)
     assert (s2.n_a, s2.n_b, s2.n_kept, s2.jaccard) == (1, 1, 1, 1.0)
+
+
+def test_incremental_index_dedup(spark):
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs before the party"),
+        (3, "completely different text about distributed systems and shuffles"),
+    ]
+    corpus = spark.createDataFrame(base, "doc_id bigint, text string")
+    idx = minhash_index(corpus)
+    assert set(idx.columns) == {"doc_id", "minhash", "buckets"}
+    assert idx.count() == 3
+
+    shard = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            (11, "a genuinely novel document with entirely fresh vocabulary here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    surv, updated = dedup_against_index(shard, idx, threshold=0.7)
+    assert [r["doc_id"] for r in surv.collect()] == [11]  # exact copy of 1 dropped
+    assert updated.count() == 4  # corpus 3 + surviving 1
+    # updated index is self-consistent: re-running the same shard drops BOTH
+    surv2, _ = dedup_against_index(shard, updated, threshold=0.7)
+    assert surv2.count() == 0
+    # geometry must match: persisted buckets equal a rebuild
+    rebuilt = minhash_index(corpus)
+    a = {(r["doc_id"], tuple(r["buckets"])) for r in idx.collect()}
+    b = {(r["doc_id"], tuple(r["buckets"])) for r in rebuilt.collect()}
+    assert a == b
