@@ -81,6 +81,60 @@ def write_table(
     writer.parquet(ref)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str] | str,
+    n_buckets: int = 256,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Write ``df`` as a hash-BUCKETED (and bucket-sorted) table on
+    ``keys`` — the ingest-time co-location primitive.
+
+    Why this exists at 100 TB: every stage of the transcript feature
+    pipeline shuffles on ``conv_id`` (as-of join, window stack,
+    sessionize, conversation_dedup).  Bucketing the table ONCE at
+    ingest pays that shuffle exactly once — every later job's scan
+    comes out already hash-clustered on the key, so equi-joins between
+    two tables bucketed with the SAME count and groupBys on the bucket
+    key plan with ZERO Exchange nodes (verified in the plan audit /
+    ``tests/test_bucketed.py``).  ``sort_by`` (defaults to ``keys``)
+    additionally sorts within buckets, letting sort-merge joins skip
+    the per-task sort when files align.
+
+    Sizing: pick ``n_buckets`` so a bucket is a few hundred MB at the
+    corpus's full size (one task's comfortable working set), and keep
+    it FIXED across tables that join together — co-location only
+    applies when bucket counts match (Spark 3.1+ can coalesce a
+    multiple-of relationship; identical counts are the portable rule).
+
+    Storage notes: bucketing metadata lives in the catalog, so this
+    uses ``saveAsTable`` (pass ``path`` for an external table).  A
+    production deployment records it in the metastore / Iceberg
+    (where the equivalent is a ``bucket(n, key)`` partition transform
+    on the ``iceberg:`` path of write_table); the in-memory catalog
+    used in tests keeps it for the session.  Plain ``.parquet()``
+    writes CANNOT carry bucketing — that is a Spark limitation, not an
+    engine choice.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if not key_list:
+        raise ValueError("keys must be non-empty")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(int(n_buckets), *key_list)
+        .sortBy(*(sort_by or key_list))
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def ensure_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Enforce exact column names/order and cast to expected types;
     raise on missing columns (utils.py:53-72 validation analog)."""

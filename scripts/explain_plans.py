@@ -818,6 +818,41 @@ def main() -> None:
         )
     )
 
+    # 33. bucketed co-location: two tables bucketed on the same key +
+    # count join AND aggregate with ZERO exchanges — the ingest-time
+    # amortization of the pipeline's conv_id shuffle
+    import tempfile
+
+    from feature_engineering_tk_spark.sources.tables import write_bucketed
+
+    _btmp = tempfile.mkdtemp(prefix="plan_bucketed_")
+    write_bucketed(
+        ev.select("event_id", "user_id", "value"),
+        "plan_ev_b", "user_id", n_buckets=8, path=f"{_btmp}/ev",
+    )
+    write_bucketed(
+        ev.select("user_id", "event_type").distinct(),
+        "plan_et_b", "user_id", n_buckets=8, path=f"{_btmp}/et",
+    )
+    j = spark.table("plan_ev_b").hint("merge").join(spark.table("plan_et_b"), "user_id")
+    p = plan_of(j)
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    g = spark.table("plan_ev_b").groupBy("user_id").agg(F.sum("value"))
+    pg = plan_of(g)
+    n_ex_g = len(set(re.findall(r"Exchange \((\d+)\)", pg)))
+    sections.append(
+        (
+            "bucketed tables (co-located join + agg)",
+            p + "\n--- groupBy plan ---\n" + pg,
+            [
+                f"join_exchanges={n_ex} (want 0 — both sides pre-clustered by the bucket spec)",
+                f"agg_exchanges={n_ex_g} (want 0 — scan satisfies the grouping distribution)",
+            ],
+        )
+    )
+    spark.sql("DROP TABLE IF EXISTS plan_ev_b")
+    spark.sql("DROP TABLE IF EXISTS plan_et_b")
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
