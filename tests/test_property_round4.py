@@ -186,3 +186,94 @@ def test_tool_transitions_matches_bruteforce(spark, seqs):
     for k, n in counts.items():
         assert got[k][0] == n
         assert got[k][1] == n / totals[k[0]]  # one exact division
+
+
+# ---------------------------------------------------- krippendorff_alpha
+
+
+def _ref_krippendorff(ratings):
+    """Brute-force coincidence-matrix alpha over {(item, rater): label}."""
+    from collections import Counter, defaultdict
+
+    per_item = defaultdict(Counter)
+    for (item, _rater), lab in ratings.items():
+        per_item[item][lab] += 1
+    kept = {i: c for i, c in per_item.items() if sum(c.values()) >= 2}
+    if not kept:
+        return None
+    n_l = Counter()
+    for c in kept.values():
+        n_l.update(c)
+    n = sum(n_l.values())
+    do_sum = 0.0
+    for c in kept.values():
+        m = sum(c.values())
+        do_sum += (m * m - sum(v * v for v in c.values())) / (m - 1)
+    de_num = n * n - sum(v * v for v in n_l.values())
+    alpha = 0.0 if de_num == 0 else 1.0 - (n - 1) * do_sum / de_num
+    return n, len(kept), alpha
+
+
+@given(
+    st.dictionaries(
+        st.tuples(st.integers(0, 6), st.integers(0, 3)),  # (item, rater)
+        st.sampled_from(["x", "y", "z"]),
+        min_size=1,
+        max_size=24,
+    )
+)
+@SET
+def test_krippendorff_matches_bruteforce(spark, ratings):
+    from feature_engineering_tk_spark.analysis.agreement import krippendorff_alpha
+    from feature_engineering_tk_spark.exceptions import InsufficientDataError
+
+    df = spark.createDataFrame(
+        [(i, r, l) for (i, r), l in ratings.items()],
+        "item_id int, rater_id int, label string",
+    )
+    ref = _ref_krippendorff(ratings)
+    if ref is None:
+        with pytest.raises(InsufficientDataError):
+            krippendorff_alpha(df)
+        return
+    row = krippendorff_alpha(df).first()
+    assert (row["n_pairable"], row["n_items"]) == (ref[0], ref[1])
+    assert row["alpha"] == pytest.approx(ref[2], abs=1e-12)
+
+
+# ---------------------------------------------------- regression_metrics
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-50, 50).map(lambda v: v / 4.0),
+            st.integers(-50, 50).map(lambda v: v / 4.0),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_regression_metrics_matches_bruteforce(spark, pairs):
+    import math
+
+    from feature_engineering_tk_spark.analysis.regression import regression_metrics
+
+    df = spark.createDataFrame(pairs, "pred double, y double")
+    r = regression_metrics(df, "pred", "y").first()
+    n = len(pairs)
+    errs = [p - y for p, y in pairs]
+    assert r["n"] == n
+    assert r["mae"] == pytest.approx(sum(abs(e) for e in errs) / n, abs=1e-9)
+    assert r["rmse"] == pytest.approx(math.sqrt(sum(e * e for e in errs) / n), abs=1e-9)
+    assert r["mean_error"] == pytest.approx(sum(errs) / n, abs=1e-9)
+    ys = [y for _, y in pairs]
+    sst = sum(y * y for y in ys) - sum(ys) ** 2 / n
+    if sst > 1e-12:
+        sse = sum(e * e for e in errs)
+        assert r["r2"] == pytest.approx(1 - sse / sst, abs=1e-6)
+    mape_terms = [abs(p - y) / abs(y) for p, y in pairs if y != 0]
+    assert r["n_mape"] == len(mape_terms)
+    if mape_terms:
+        assert r["mape"] == pytest.approx(sum(mape_terms) / len(mape_terms), abs=1e-9)
