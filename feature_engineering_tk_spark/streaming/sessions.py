@@ -214,3 +214,84 @@ def streaming_loop_monitor(
     return stream.groupBy(entity).applyInPandasWithState(
         update, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def streaming_neardup_ingest(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+):
+    """Continuous-crawl near-dup gate: the streaming twin of
+    ``dedup_against_index`` (operators/dedup.py).
+
+    Each micro-batch (1) self-dedups via ``minhash_lsh_dedup``, (2)
+    gates against the PERSISTED corpus signature index at
+    ``index_path`` (signature-estimated Jaccard — corpus text is never
+    re-read), then (3) appends survivors to ``out_path`` and ONLY the
+    survivors' index rows to ``index_path`` — the index grows by
+    exactly the accepted docs, never rewrites.  A missing/empty index
+    bootstraps from the first batch.  Duplicates ACROSS batches are
+    caught because batch N's survivors are indexed before batch N+1
+    reads the index (foreachBatch micro-batches run sequentially per
+    query).
+
+    Exactly-once caveat (documented, inherent to foreachBatch): a
+    batch retried after a failure between the two appends could
+    re-append; production sinks make the writes idempotent
+    (batchId-keyed subdirs, or Iceberg MERGE on ``id_col``) — the
+    gate logic is unchanged.
+
+    Returns the ``DataStreamWriter``; callers pick the trigger
+    (``availableNow`` for backfill parity in tests, processing-time
+    in deployment).
+    """
+    from feature_engineering_tk_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index,
+        minhash_lsh_dedup,
+    )
+
+    mh = dict(
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        seed=seed, hash_mode=hash_mode,
+    )
+
+    def _gate(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        shard = minhash_lsh_dedup(
+            batch_df, text_col=text_col, id_col=id_col, threshold=threshold, **mh
+        )
+        try:
+            index = spark.read.parquet(index_path)
+            have_index = len(index.take(1)) > 0
+        except Exception:
+            have_index = False
+        if have_index:
+            survivors, _ = dedup_against_index(
+                shard, index, text_col=text_col, id_col=id_col,
+                threshold=threshold, **mh,
+            )
+        else:
+            survivors = shard
+        # cache: survivors feed BOTH appends; recomputing would re-run
+        # the whole LSH chain (and race the index append below)
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(out_path)
+        minhash_index(
+            survivors, text_col=text_col, id_col=id_col, **mh
+        ).write.mode("append").parquet(index_path)
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -251,3 +251,49 @@ def test_streaming_loop_monitor_crosses_batches(spark, tmp_path):
     # parity with the batch auditor's longest-run count
     batch = detect_loops(first.unionByName(second), min_repeats=3).first()
     assert batch.max_consecutive_repeats == 3 and batch.has_loop
+
+
+def test_streaming_neardup_ingest_gates_across_batches(spark, tmp_path):
+    """Batch 1 self-dedups and bootstraps the index; batch 2's dup of a
+    batch-1 doc is dropped via the persisted index, novel doc survives."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "pack my box with five dozen liquor jugs before the party"),
+            (3, "the quick brown fox jumps over the lazy dog again and again"),
+        ],
+        "doc_id bigint, text string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = SS.streaming_neardup_ingest(
+            stream, idx, out, ckpt, threshold=0.7
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2}  # 3 was an in-batch exact dup of 1
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            (11, "a genuinely novel document with entirely fresh vocabulary here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 2, 11}  # 10 caught by the persisted index
+    # index grew by exactly the accepted docs
+    assert {r["doc_id"] for r in spark.read.parquet(idx).collect()} == {1, 2, 11}
