@@ -53,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gap-seconds", type=float, default=1800.0)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--bucket-output",
+        type=int,
+        default=0,
+        metavar="N",
+        help="ALSO register the feature table hash-bucketed on conv_id into N "
+        "buckets (catalog table named after the output basename): downstream "
+        "joins/groupBys on conv_id then plan with zero exchanges — pay the "
+        "pipeline's one shuffle at write time instead of in every consumer",
+    )
     return p
 
 
@@ -114,6 +124,19 @@ def main(argv=None) -> None:
     pipe = build_pipeline(args.workdir, args.gap_seconds)
     feat = pipe.run(spark, df, resume=not args.no_resume)
     write_table(feat, args.output, partition_by=("ds",), mode="overwrite")
+    if args.bucket_output:
+        from feature_engineering_tk_spark.sources.tables import write_bucketed
+
+        table = os.path.basename(args.output.rstrip("/")).replace(".", "_") + "_bucketed"
+        write_bucketed(
+            feat,
+            table,
+            "conv_id",
+            n_buckets=args.bucket_output,
+            sort_by=["conv_id", "turn_idx"],
+            path=args.output.rstrip("/") + "_bucketed",
+        )
+        print(f"registered bucketed table {table} ({args.bucket_output} buckets)")
     print(f"wrote features to {args.output}; lineage at {pipe.journal_path}")
     spark.stop()
 
