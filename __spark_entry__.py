@@ -3979,7 +3979,7 @@ def q_dedup_incremental(spark, sf_dir):
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     shard = d.filter(F.col("doc_id") % 5 == 0)
     idx = minhash_index(corpus, hash_mode="md5")
-    surv, _updated = dedup_against_index(shard, idx, threshold=0.7, hash_mode="md5")
+    surv, _additions = dedup_against_index(shard, idx, threshold=0.7, hash_mode="md5")
     return surv.select("doc_id").orderBy("doc_id")
 
 

@@ -54,7 +54,10 @@ def regression_metrics(df: DataFrame, pred: str, target: str) -> DataFrame:
     """
     rows = _paired(df, pred, target)
     e = F.col("_p") - F.col("_y")
-    agg = rows.agg(
+    # ONE corpus aggregation; the closed forms over the collected
+    # partial sums run driver-side (the krippendorff_alpha pattern) so
+    # the caller's action does not re-run the scan
+    row = rows.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.abs(e)).alias("_sae"),
         F.sum(e * e).alias("_sse"),
@@ -63,20 +66,27 @@ def regression_metrics(df: DataFrame, pred: str, target: str) -> DataFrame:
         F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
         F.sum(F.when(F.col("_y") != 0, F.abs(e) / F.abs(F.col("_y")))).alias("_sape"),
         F.sum((F.col("_y") != 0).cast("bigint")).alias("n_mape"),
-    )
-    row = agg.first()
+    ).first()
     if not row or not row["n"]:
         raise InsufficientDataError(f"regression_metrics({pred!r}, {target!r})", 1, 0)
-    n = F.col("n").cast("double")
-    sst = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
-    return agg.select(
-        "n",
-        (F.col("_sae") / n).alias("mae"),
-        F.sqrt(F.col("_sse") / n).alias("rmse"),
-        F.when(sst > 0, F.lit(1.0) - F.col("_sse") / sst).alias("r2"),
-        (F.col("_se") / n).alias("mean_error"),
-        F.when(F.col("n_mape") > 0, F.col("_sape") / F.col("n_mape")).alias("mape"),
-        "n_mape",
+    import math
+
+    n = int(row["n"])
+    sst = row["_syy"] - row["_sy"] * row["_sy"] / n
+    n_mape = int(row["n_mape"] or 0)
+    out = (
+        n,
+        row["_sae"] / n,
+        math.sqrt(row["_sse"] / n),
+        (1.0 - row["_sse"] / sst) if sst > 0 else None,
+        row["_se"] / n,
+        (row["_sape"] / n_mape) if n_mape > 0 else None,
+        n_mape,
+    )
+    return df.sparkSession.createDataFrame(
+        [out],
+        "n bigint, mae double, rmse double, r2 double, "
+        "mean_error double, mape double, n_mape bigint",
     )
 
 

@@ -304,9 +304,10 @@ def dedup_against_index(
     """Incremental near-dup gate: drop new-shard docs that near-match
     the EXISTING corpus index, without touching the corpus text.
 
-    Returns ``(survivors, updated_index)``: the new docs that matched
-    no indexed doc, and ``index ∪ minhash_index(survivors)`` ready to
-    persist for the next shard.
+    Returns ``(survivors, additions)``: the new docs that matched no
+    indexed doc, and their index rows — APPEND ``additions`` to the
+    persisted index (the corpus-sized index is never rewritten) so the
+    next shard gates against corpus ∪ survivors.
 
     Match verification uses the SIGNATURE-estimated Jaccard (matching
     minhash components / num_hashes ≥ threshold) rather than exact
@@ -329,6 +330,10 @@ def dedup_against_index(
     new_idx = minhash_index(
         new_df, text_col, id_col, num_hashes, bands, shingle_n, seed, hash_mode
     )
+    # new_idx feeds three plan branches (bucket explode, signature join,
+    # additions) and Catalyst does not dedupe common subtrees — without
+    # this the shard would re-shingle + re-hash once per branch
+    new_idx = new_idx.localCheckpoint(eager=True)
     nb = new_idx.select(F.col(id_col).alias("_nid"), F.explode("buckets").alias("bucket"))
     ob = index.select(F.col(id_col).alias("_oid"), F.explode("buckets").alias("bucket"))
     cands = nb.join(ob, "bucket").select("_nid", "_oid").distinct()
@@ -353,8 +358,8 @@ def dedup_against_index(
         .distinct()
     )
     survivors = new_df.join(matches, id_col, "left_anti")
-    updated = index.unionByName(new_idx.join(matches, id_col, "left_anti"))
-    return survivors, updated
+    additions = new_idx.join(matches, id_col, "left_anti")
+    return survivors, additions
 
 
 def ngram_contamination(

@@ -171,10 +171,12 @@ def approx_distinct(
     lg_k=12 gives ~1.6% relative standard error in 4 KB per group.
 
     ``check_rel_error`` flips the output into an accuracy GAUGE (the
-    ann_recall pattern): adds the EXACT distinct count and a boolean
-    ``within_tol`` = |approx − exact|/exact ≤ tolerance.  The gauge
-    re-checks the sketch against ground truth at test scale — run it
-    at sf0.01 in CI, trust the sketch alone at corpus scale.
+    ann_recall pattern): keeps the estimate and adds the EXACT
+    distinct count plus a boolean ``within_tol`` = |approx − exact|
+    /exact ≤ tolerance — a False flag is debuggable in place because
+    both numbers are in the row.  The gauge re-checks the sketch
+    against ground truth at test scale — run it at sf0.01 in CI,
+    trust the sketch alone at corpus scale.
     """
     _require(df, column)
     keys = [by] if by else []
@@ -193,7 +195,7 @@ def approx_distinct(
         F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact"))
         <= F.lit(tol) * F.col("n_distinct_exact")
     ).alias("within_tol")
-    return agg.select(*keys, "n_distinct_exact", ok)
+    return agg.select(*keys, "n_distinct_approx", "n_distinct_exact", ok)
 
 
 def distinct_sketch_table(

@@ -314,12 +314,25 @@ def temporal_split(
 
     Scale shape: one pure row-local CASE expression — zero shuffle,
     fully codegen, pushes into the scan when filtered on.
-    ``val_start``/``test_start`` accept anything Spark casts to
-    timestamp (ISO strings, datetimes); val_start must precede
-    test_start.
+    ``val_start``/``test_start`` accept anything pandas/Spark parse as
+    a timestamp (ISO strings, datetimes); val_start must precede
+    test_start (validated).  Rows whose ``ts`` is NULL (or a string
+    the timestamp cast nulls out) are tagged ``'unknown'`` — a row of
+    unknown time must never default into the training fold, that
+    would be exactly the leakage this operator exists to prevent.
     """
     if embargo_seconds < 0:
         raise ValueError("embargo_seconds must be >= 0")
+    import pandas as pd
+
+    try:
+        v_chk, t_chk = pd.Timestamp(val_start), pd.Timestamp(test_start)
+    except (ValueError, TypeError) as e:
+        raise ValueError(f"unparseable cut timestamp: {e}") from e
+    if not v_chk < t_chk:
+        raise ValueError(
+            f"val_start ({val_start!r}) must precede test_start ({test_start!r})"
+        )
     t = F.col(ts).cast("timestamp")
     v_cut = F.lit(val_start).cast("timestamp")
     t_cut = F.lit(test_start).cast("timestamp")
@@ -331,7 +344,8 @@ def temporal_split(
         F.unix_micros(t_cut) - (emb * 1_000_000).cast("long")
     )
     tag = (
-        F.when(t >= t_cut, F.lit("test"))
+        F.when(t.isNull(), F.lit("unknown"))
+        .when(t >= t_cut, F.lit("test"))
         .when(t >= t_emb, F.lit("embargo"))
         .when(t >= v_cut, F.lit("val"))
         .when(t >= v_emb, F.lit("embargo"))

@@ -266,6 +266,8 @@ def streaming_neardup_ingest(
     )
 
     def _gate(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         shard = minhash_lsh_dedup(
             batch_df, text_col=text_col, id_col=id_col, threshold=threshold, **mh
@@ -273,22 +275,32 @@ def streaming_neardup_ingest(
         try:
             index = spark.read.parquet(index_path)
             have_index = len(index.take(1)) > 0
-        except Exception:
+        except AnalysisException as e:
+            # ONLY a genuinely absent index bootstraps; any other read
+            # failure (transient FS error, corrupt footer) must fail the
+            # batch so the streaming retry re-runs it — treating it as
+            # "no index" would silently skip the dedup gate and append
+            # duplicates to both sinks
+            msg = str(e)
+            if not ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                    or "UNABLE_TO_INFER_SCHEMA" in msg):
+                raise
             have_index = False
         if have_index:
-            survivors, _ = dedup_against_index(
+            survivors, additions = dedup_against_index(
                 shard, index, text_col=text_col, id_col=id_col,
                 threshold=threshold, **mh,
             )
         else:
             survivors = shard
+            additions = minhash_index(
+                shard, text_col=text_col, id_col=id_col, **mh
+            )
         # cache: survivors feed BOTH appends; recomputing would re-run
         # the whole LSH chain (and race the index append below)
         survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(out_path)
-        minhash_index(
-            survivors, text_col=text_col, id_col=id_col, **mh
-        ).write.mode("append").parquet(index_path)
+        additions.write.mode("append").parquet(index_path)
 
     return (
         stream.writeStream.foreachBatch(_gate)

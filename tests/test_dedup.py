@@ -479,8 +479,10 @@ def test_incremental_index_dedup(spark):
         ],
         "doc_id bigint, text string",
     )
-    surv, updated = dedup_against_index(shard, idx, threshold=0.7)
+    surv, additions = dedup_against_index(shard, idx, threshold=0.7)
     assert [r["doc_id"] for r in surv.collect()] == [11]  # exact copy of 1 dropped
+    assert [r["doc_id"] for r in additions.collect()] == [11]  # append-ready rows
+    updated = idx.unionByName(additions)
     assert updated.count() == 4  # corpus 3 + surviving 1
     # updated index is self-consistent: re-running the same shard drops BOTH
     surv2, _ = dedup_against_index(shard, updated, threshold=0.7)

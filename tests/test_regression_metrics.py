@@ -147,3 +147,18 @@ def test_approx_distinct_and_sketches(spark):
     direct = approx_distinct(df, "uid").first()["n_distinct_approx"]
     assert merged == direct  # HLL union is lossless vs single-pass
     assert abs(merged - 1357) / 1357 < 0.05
+
+
+def test_temporal_split_guards(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("2024-01-10",), (None,)], "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = temporal_split(df, "ts", "2024-01-15", "2024-01-25")
+    got = {r["split"] for r in out.collect()}
+    assert got == {"train", "unknown"}  # NULL ts never defaults into train
+    with pytest.raises(ValueError, match="precede"):
+        temporal_split(df, "ts", "2024-03-01", "2024-02-01")
+    with pytest.raises(ValueError, match="unparseable"):
+        temporal_split(df, "ts", "not-a-time", "2024-02-01")
