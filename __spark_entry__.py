@@ -3963,6 +3963,51 @@ def _predicted_events(spark, sf_dir):
     )
 
 
+def _multiclass_events(spark, sf_dir):
+    """Deterministic multi-class (label, predicted) table: the 'model'
+    predicts the true event_type except on user_id % 7 == 0 rows,
+    where it hallucinates 'error' — exercising a predicted-but-never-
+    dominant class in both engines identically."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_type").alias("y"),
+        F.when(F.col("user_id") % 7 == 0, F.lit("error"))
+        .otherwise(F.col("event_type"))
+        .alias("p"),
+    )
+
+
+def q_multiclass_confusion(spark, sf_dir):
+    """Multi-class confusion matrix (analysis/classification.py
+    multiclass_confusion): one map-side-combined groupBy to
+    vocabulary²-bounded rows."""
+    from feature_engineering_tk_spark.analysis.classification import (
+        multiclass_confusion,
+    )
+
+    return multiclass_confusion(_multiclass_events(spark, sf_dir), "p", "y")
+
+
+def q_multiclass_metrics(spark, sf_dir):
+    """Macro-averaged multi-class scorecard (analysis/classification.py
+    multiclass_metrics): accuracy + macro precision/recall/F1 over the
+    union of true and predicted vocabularies (sklearn zero_division=0
+    convention), integer confusion cells, driver-side divisions."""
+    from feature_engineering_tk_spark.analysis.classification import multiclass_metrics
+
+    out = multiclass_metrics(_multiclass_events(spark, sf_dir), "p", "y")
+    return out.select(
+        "n",
+        "n_classes",
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("macro_precision", 6).alias("macro_precision"),
+        F.round("macro_recall", 6).alias("macro_recall"),
+        F.round("macro_f1", 6).alias("macro_f1"),
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dup ingest gate (operators/dedup.py
     minhash_index + dedup_against_index): the shard (doc_id % 5 = 0)
@@ -4349,6 +4394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains_lift": q_gains_lift,
         "heavy_hitters": q_heavy_hitters,
         "frequency_spectrum": q_frequency_spectrum,
+        "multiclass_confusion": q_multiclass_confusion,
+        "multiclass_metrics": q_multiclass_metrics,
         "dedup_incremental": q_dedup_incremental,
         "regression_eval": q_regression_eval,
         "residual_quantiles": q_residual_quantiles,
@@ -9187,6 +9234,49 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'train' END AS split,
                CAST(count(*) AS BIGINT) AS n
           FROM events GROUP BY split
+    """
+    _mc = """
+          SELECT event_type AS y,
+                 CASE WHEN user_id % 7 = 0 THEN 'error' ELSE event_type END AS p
+            FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    """
+    d["multiclass_confusion"] = f"""
+        WITH s AS ({_mc})
+        SELECT y AS label, p AS predicted, CAST(count(*) AS BIGINT) AS n
+          FROM s GROUP BY 1, 2
+    """
+    d["multiclass_metrics"] = f"""
+        WITH s AS ({_mc}),
+        cm AS (SELECT y AS label, p AS predicted, count(*) AS n FROM s GROUP BY 1, 2),
+        cls AS (SELECT label AS c FROM cm UNION SELECT predicted FROM cm),
+        per AS (
+          SELECT c,
+                 coalesce((SELECT sum(n) FROM cm WHERE label = c AND predicted = c), 0) AS tp,
+                 coalesce((SELECT sum(n) FROM cm WHERE predicted = c), 0) AS colt,
+                 coalesce((SELECT sum(n) FROM cm WHERE label = c), 0) AS rowt
+            FROM cls
+        ),
+        pc AS (
+          SELECT c,
+                 CASE WHEN colt > 0 THEN CAST(tp AS DOUBLE) / colt ELSE 0 END AS pr,
+                 CASE WHEN rowt > 0 THEN CAST(tp AS DOUBLE) / rowt ELSE 0 END AS rc
+            FROM per
+        ),
+        f AS (
+          SELECT c, pr, rc,
+                 CASE WHEN pr + rc > 0 THEN 2 * pr * rc / (pr + rc) ELSE 0 END AS f1
+            FROM pc
+        ),
+        tot AS (SELECT sum(n) AS n FROM cm),
+        acc AS (SELECT coalesce(sum(n), 0) AS a FROM cm WHERE label = predicted)
+        SELECT CAST(tot.n AS BIGINT) AS n,
+               CAST((SELECT count(*) FROM cls) AS INT) AS n_classes,
+               round(CAST(acc.a AS DOUBLE) / tot.n, 6) AS accuracy,
+               round((SELECT avg(pr) FROM f), 6) AS macro_precision,
+               round((SELECT avg(rc) FROM f), 6) AS macro_recall,
+               round((SELECT avg(f1) FROM f), 6) AS macro_f1
+          FROM tot, acc
     """
     d["approx_distinct"] = """
         SELECT event_type,

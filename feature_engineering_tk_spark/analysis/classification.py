@@ -310,3 +310,64 @@ def score_separation_ks(df: DataFrame, score: str, label: str) -> DataFrame:
     pos = df.where(y.isNotNull() & (y.cast("int") != 0))
     neg = df.where(y.isNotNull() & (y.cast("int") == 0))
     return ks_statistic_df(pos, neg, score)
+
+
+def multiclass_confusion(df: DataFrame, pred: str, label: str) -> DataFrame:
+    """Multi-class confusion matrix: one row per observed
+    (label, predicted) pair — (label, predicted, n).  ONE
+    map-side-combined groupBy; the result is vocabulary² rows at most,
+    aggregate-sized regardless of corpus size.  Null on either side is
+    excluded (no ground truth / no prediction = no cell)."""
+    p, y = F.col(pred), F.col(label)
+    return (
+        df.where(p.isNotNull() & y.isNotNull())
+        .groupBy(y.cast("string").alias("label"), p.cast("string").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def multiclass_metrics(df: DataFrame, pred: str, label: str) -> DataFrame:
+    """One-row (n, n_classes, accuracy, macro_precision, macro_recall,
+    macro_f1) over a multi-class prediction table.
+
+    Macro averaging over the UNION of observed label and predicted
+    vocabularies (sklearn's convention): a class that is predicted but
+    never true contributes precision (and an F1 of 0 unless its
+    precision is 0/0), so hallucinated classes drag the macro score
+    down instead of being silently ignored.  Per-class precision or
+    recall with a 0/0 denominator counts as 0 (sklearn zero_division=0).
+
+    Everything derives from the confusion matrix's exact integer
+    cells; the matrix is collected (vocabulary²-bounded, the
+    cohen_kappa convention) and the final divisions run driver-side in
+    a fixed class order — bit-reproducible on any engine.
+    """
+    cells = multiclass_confusion(df, pred, label).collect()
+    if not cells:
+        raise InsufficientDataError(f"multiclass_metrics({pred!r}, {label!r})", 1, 0)
+    n = sum(r["n"] for r in cells)
+    tp: dict = {}
+    row_tot: dict = {}
+    col_tot: dict = {}
+    for r in cells:
+        row_tot[r["label"]] = row_tot.get(r["label"], 0) + r["n"]
+        col_tot[r["predicted"]] = col_tot.get(r["predicted"], 0) + r["n"]
+        if r["label"] == r["predicted"]:
+            tp[r["label"]] = r["n"]
+    classes = sorted(set(row_tot) | set(col_tot))
+    precs, recs, f1s = [], [], []
+    for c in classes:
+        t = tp.get(c, 0)
+        pr = t / col_tot[c] if col_tot.get(c) else 0.0
+        rc = t / row_tot[c] if row_tot.get(c) else 0.0
+        precs.append(pr)
+        recs.append(rc)
+        f1s.append(2 * pr * rc / (pr + rc) if pr + rc > 0 else 0.0)
+    k = len(classes)
+    acc = sum(tp.values()) / n
+    out = (n, k, acc, sum(precs) / k, sum(recs) / k, sum(f1s) / k)
+    return df.sparkSession.createDataFrame(
+        [out],
+        "n bigint, n_classes int, accuracy double, macro_precision double, "
+        "macro_recall double, macro_f1 double",
+    )

@@ -1004,3 +1004,17 @@ class EvalSuite:
         from feature_engineering_tk_spark.analysis.regression import residual_quantiles
 
         return residual_quantiles(self.df, pred, target, **kw)
+
+    def multiclass_confusion(self, pred: str, label: str):
+        from feature_engineering_tk_spark.analysis.classification import (
+            multiclass_confusion,
+        )
+
+        return multiclass_confusion(self.df, pred, label)
+
+    def multiclass_metrics(self, pred: str, label: str):
+        from feature_engineering_tk_spark.analysis.classification import (
+            multiclass_metrics,
+        )
+
+        return multiclass_metrics(self.df, pred, label)

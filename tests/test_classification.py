@@ -196,3 +196,26 @@ def test_score_separation_ks(spark, scored):
         best = max(best, abs(tpr - fpr))
     # ks_statistic_df rounds d_stat to 9 digits at the result boundary
     assert got["d_stat"] == pytest.approx(best, abs=1e-9)
+
+
+def test_multiclass_confusion_and_metrics(spark):
+    from feature_engineering_tk_spark.analysis.classification import (
+        multiclass_confusion,
+        multiclass_metrics,
+    )
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),
+        ("b", "b"), ("b", "c"),  # 'c' predicted but never true
+    ]
+    df = spark.createDataFrame(rows, "y string, p string")
+    cm = {(r["label"], r["predicted"]): r["n"] for r in multiclass_confusion(df, "p", "y").collect()}
+    assert cm == {("a", "a"): 2, ("a", "b"): 1, ("b", "b"): 1, ("b", "c"): 1}
+    m = multiclass_metrics(df, "p", "y").first()
+    assert (m["n"], m["n_classes"]) == (5, 3)
+    assert m["accuracy"] == pytest.approx(3 / 5)
+    # per-class: a: pr 2/2, rc 2/3; b: pr 1/2, rc 1/2; c: pr 0 (0/1), rc 0 (no true)
+    assert m["macro_precision"] == pytest.approx((1.0 + 0.5 + 0.0) / 3)
+    assert m["macro_recall"] == pytest.approx((2 / 3 + 0.5 + 0.0) / 3)
+    f1a = 2 * 1.0 * (2 / 3) / (1.0 + 2 / 3)
+    assert m["macro_f1"] == pytest.approx((f1a + 0.5 + 0.0) / 3)
