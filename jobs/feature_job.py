@@ -105,6 +105,31 @@ def build_pipeline(workdir: str, gap_seconds: float):
     return pipe
 
 
+def register_bucketed(feat, output: str, n_buckets: int) -> str:
+    """Register the feature table hash-bucketed on conv_id; returns the
+    catalog table name.  `iceberg:cat.db.tbl` outputs get a MANAGED
+    bucketed table (no external path — "iceberg:..." is not a
+    filesystem location); path outputs get a sibling dir.  Either way
+    the identifier is sanitized — basenames like `feat-v2` or
+    `prod.turn_features` are not valid Spark table names as-is."""
+    import re
+
+    from feature_engineering_tk_spark.sources.tables import write_bucketed
+
+    is_table_ref = output.startswith("iceberg:") or "/" not in output
+    base = output.split(":", 1)[-1].rstrip("/")
+    table = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(base)) + "_bucketed"
+    write_bucketed(
+        feat,
+        table,
+        "conv_id",
+        n_buckets=n_buckets,
+        sort_by=["conv_id", "turn_idx"],
+        path=None if is_table_ref else base + "_bucketed",
+    )
+    return table
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from feature_engineering_tk_spark.datagen import TRANSCRIPT_SCHEMA, generate_transcripts
@@ -125,26 +150,7 @@ def main(argv=None) -> None:
     feat = pipe.run(spark, df, resume=not args.no_resume)
     write_table(feat, args.output, partition_by=("ds",), mode="overwrite")
     if args.bucket_output:
-        import re
-
-        from feature_engineering_tk_spark.sources.tables import write_bucketed
-
-        # `iceberg:cat.db.tbl` outputs get a MANAGED bucketed table (no
-        # external path — "iceberg:..." is not a filesystem location);
-        # path outputs get a sibling dir.  Either way the identifier is
-        # sanitized — basenames like `feat-v2` or `prod.turn_features`
-        # are not valid Spark table names as-is.
-        is_table_ref = args.output.startswith("iceberg:") or "/" not in args.output
-        base = args.output.split(":", 1)[-1].rstrip("/")
-        table = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(base)) + "_bucketed"
-        write_bucketed(
-            feat,
-            table,
-            "conv_id",
-            n_buckets=args.bucket_output,
-            sort_by=["conv_id", "turn_idx"],
-            path=None if is_table_ref else base + "_bucketed",
-        )
+        table = register_bucketed(feat, args.output, args.bucket_output)
         print(f"registered bucketed table {table} ({args.bucket_output} buckets)")
     print(f"wrote features to {args.output}; lineage at {pipe.journal_path}")
     spark.stop()
