@@ -9227,7 +9227,8 @@ def oracle_sql() -> dict[str, str]:
           FROM events, b GROUP BY lo, hi
     """
     d["temporal_split"] = """
-        SELECT CASE WHEN ts >= TIMESTAMP '2024-01-26' THEN 'test'
+        SELECT CASE WHEN ts IS NULL THEN 'unknown'
+                    WHEN ts >= TIMESTAMP '2024-01-26' THEN 'test'
                     WHEN ts >= TIMESTAMP '2024-01-24' THEN 'embargo'
                     WHEN ts >= TIMESTAMP '2024-01-20' THEN 'val'
                     WHEN ts >= TIMESTAMP '2024-01-18' THEN 'embargo'

@@ -264,9 +264,12 @@ def gains_table(df: DataFrame, score: str, label: str, n_buckets: int = 10) -> D
         "bucket"
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("_pos").alias("n_pos"))
     # per is ≤ n_buckets rows but its lineage holds the full row-table
-    # scan; materialize once so the suffix-sum self-join and the totals
-    # below reuse the aggregate instead of re-scanning the corpus
-    per = per.localCheckpoint(eager=True)
+    # scan; checkpoint it so the suffix-sum self-join and the totals
+    # below reuse the aggregate instead of re-scanning the corpus.
+    # eager=False: the tot.first() guard below materializes it, so
+    # construction stays lazy until the function's own (documented)
+    # fit action rather than at call time
+    per = per.localCheckpoint(eager=False)
     tot = per.agg(
         F.sum("n").alias("_tn"), F.sum("n_pos").alias("_tp")
     )

@@ -252,6 +252,7 @@ class DataPreprocessor(_Tracked):
             val_start=val_start,
             test_start=test_start,
             embargo_seconds=embargo_seconds,
+            out=out,
         )
         return self
 

@@ -357,6 +357,11 @@ def dedup_against_index(
         .select(F.col("_nid").alias(id_col))
         .distinct()
     )
+    # matches feeds both returned branches (survivors anti-join AND
+    # additions anti-join); without this, consuming each branch re-runs
+    # the corpus-index bucket explode + candidate + signature joins —
+    # the dominant cost.  matches is a dup-id list, tiny by definition.
+    matches = matches.localCheckpoint(eager=True)
     survivors = new_df.join(matches, id_col, "left_anti")
     additions = new_idx.join(matches, id_col, "left_anti")
     return survivors, additions

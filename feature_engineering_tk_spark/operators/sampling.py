@@ -314,12 +314,15 @@ def temporal_split(
 
     Scale shape: one pure row-local CASE expression — zero shuffle,
     fully codegen, pushes into the scan when filtered on.
-    ``val_start``/``test_start`` accept anything pandas/Spark parse as
-    a timestamp (ISO strings, datetimes); val_start must precede
-    test_start (validated).  Rows whose ``ts`` is NULL (or a string
-    the timestamp cast nulls out) are tagged ``'unknown'`` — a row of
-    unknown time must never default into the training fold, that
-    would be exactly the leakage this operator exists to prevent.
+    ``val_start``/``test_start`` accept anything pandas parses as a
+    timestamp (ISO strings, datetimes); they are parsed DRIVER-side
+    and shipped as datetime literals, so the validated values are
+    exactly the applied values (a Spark-side string cast would accept
+    a narrower format set than the validator).  val_start must precede
+    test_start (validated).  Rows whose ``ts`` is NULL are tagged
+    ``'unknown'`` — a row of unknown time must never default into the
+    training fold, that would be exactly the leakage this operator
+    exists to prevent.
     """
     if embargo_seconds < 0:
         raise ValueError("embargo_seconds must be >= 0")
@@ -334,8 +337,8 @@ def temporal_split(
             f"val_start ({val_start!r}) must precede test_start ({test_start!r})"
         )
     t = F.col(ts).cast("timestamp")
-    v_cut = F.lit(val_start).cast("timestamp")
-    t_cut = F.lit(test_start).cast("timestamp")
+    v_cut = F.lit(v_chk.to_pydatetime()).cast("timestamp")
+    t_cut = F.lit(t_chk.to_pydatetime()).cast("timestamp")
     emb = F.lit(float(embargo_seconds))
     v_emb = F.timestamp_micros(
         F.unix_micros(v_cut) - (emb * 1_000_000).cast("long")

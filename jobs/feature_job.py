@@ -116,7 +116,11 @@ def register_bucketed(feat, output: str, n_buckets: int) -> str:
 
     from feature_engineering_tk_spark.sources.tables import write_bucketed
 
-    is_table_ref = output.startswith("iceberg:") or "/" not in output
+    # mirror write_table's rule exactly: ONLY iceberg: refs are catalog
+    # tables, everything else (slash or not) is a filesystem path — a
+    # "/"-heuristic would silently send a relative-path output's
+    # bucketed copy to the warehouse dir instead of the sibling dir
+    is_table_ref = output.startswith("iceberg:")
     base = output.split(":", 1)[-1].rstrip("/")
     table = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(base)) + "_bucketed"
     write_bucketed(

@@ -162,3 +162,18 @@ def test_temporal_split_guards(spark):
         temporal_split(df, "ts", "2024-03-01", "2024-02-01")
     with pytest.raises(ValueError, match="unparseable"):
         temporal_split(df, "ts", "not-a-time", "2024-02-01")
+
+
+def test_temporal_split_cut_formats(spark):
+    """Cuts the validator accepts must also be the cuts Spark applies:
+    pandas-parsed datetimes ship as literals, so formats Spark's string
+    cast rejects (e.g. US-style slashes) still split correctly."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"2024-01-{d:02d} 12:00:00",) for d in (10, 22, 28)]
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = temporal_split(df, "ts", "01/20/2024", "01/26/2024")
+    got = {r["ts"].day: r["split"] for r in out.collect()}
+    assert got == {10: "train", 22: "val", 28: "test"}
