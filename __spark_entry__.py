@@ -3147,6 +3147,49 @@ def q_bleu(spark, sf_dir):
     return bleu_score(pairs, max_n=4).select(*cols, "brevity_penalty", "bleu")
 
 
+def q_rouge(spark, sf_dir):
+    """ROUGE-1/2 (functions/text.py rouge_n): recall-oriented summary
+    eval — the recall-side complement of q_bleu on the same row-local
+    pred/ref pairing (tokens 1-8 vs 3-10). Exact integer clipped
+    match / pred-total / ref-total columns plus round-9 P/R/F1; zero
+    denominators score 0.0 (sklearn zero_division=0). Row-local array
+    expressions, zero shuffle."""
+    from feature_engineering_tk_spark.functions.text import rouge_n
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 8), " ").alias("pred"),
+        F.array_join(F.slice(toks, 3, 8), " ").alias("ref"),
+    )
+    cols = ["doc_id"]
+    for n in (1, 2):
+        cols += [f"r{n}_match", f"r{n}_pred_total", f"r{n}_ref_total"]
+        cols += [f"rouge{n}_p", f"rouge{n}_r", f"rouge{n}_f"]
+    return rouge_n(pairs, max_n=2).select(*cols)
+
+
+def q_js_divergence(spark, sf_dir):
+    """Vocabulary drift between corpus halves (analysis/drift.py
+    js_divergence_table): Jensen-Shannon divergence over the token
+    distribution of sources src0-src9 vs src10-src19 — the categorical
+    drift gauge PSI (numeric bins) and KS (ordered values) can't
+    express. Per-token half-terms rounded to 12 decimals and summed in
+    exact DECIMAL so js_total is bit-identical under any partitioning;
+    one token groupBy, no window, no sort."""
+    from feature_engineering_tk_spark.analysis.drift import js_divergence_table
+
+    docs = _t(spark, sf_dir, "documents")
+    lo = [f"src{i}" for i in range(10)]
+    return js_divergence_table(
+        docs.where(F.col("source").isin(lo)),
+        docs.where(~F.col("source").isin(lo)),
+        "text",
+        tokens=True,
+    )
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Generation novelty vs a reference corpus (functions/text.py
     ngram_novelty): bigrams of src0 docs left-joined against the
@@ -3279,6 +3322,20 @@ def q_zipf_table(spark, sf_dir):
     from feature_engineering_tk_spark.functions.text import zipf_table
 
     return zipf_table(_t(spark, sf_dir, "documents"), k=20)
+
+
+def q_cluster_keywords(spark, sf_dir):
+    """c-TF-IDF cluster labeling (functions/text.py cluster_keywords,
+    Grootendorst 2022): top-3 signature terms per source with score
+    tf·ln(1 + A/f_t) — the exploded token table shuffles once into a
+    map-side-combined (label, token) groupBy, everything downstream is
+    vocabulary-sized, ranking window partitions by label. Round-9
+    score descending + token ascending is the engine-independent
+    rank order (the rounded-argmax convention)."""
+    from feature_engineering_tk_spark.functions.text import cluster_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return cluster_keywords(docs, "source", "text", top_k=3)
 
 
 def q_best_of_n(spark, sf_dir):
@@ -4340,6 +4397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_metrics": q_qa_metrics,
         "distinct_ngrams": q_distinct_ngrams,
         "bleu": q_bleu,
+        "rouge": q_rouge,
+        "js_divergence": q_js_divergence,
+        "cluster_keywords": q_cluster_keywords,
         "ngram_novelty": q_ngram_novelty,
         "tool_args": q_tool_args,
         "vocab_stats": q_vocab_stats,
@@ -8034,6 +8094,157 @@ def oracle_sql() -> dict[str, str]:
                                        / 4.0)
                      END, 9) AS bleu
           FROM m
+    """
+    _rouge_grams = "\n".join(
+        f"""
+                 CASE WHEN len(p) >= {n}
+                      THEN list_transform(generate_series(1, len(p) - {n - 1}),
+                             i -> array_to_string(p[i:i+{n - 1}], ' '))
+                      ELSE CAST([] AS VARCHAR[]) END AS pg{n},
+                 CASE WHEN len(r) >= {n}
+                      THEN list_transform(generate_series(1, len(r) - {n - 1}),
+                             i -> array_to_string(r[i:i+{n - 1}], ' '))
+                      ELSE CAST([] AS VARCHAR[]) END AS rg{n},"""
+        for n in (1, 2)
+    )
+    _rouge_counts = "\n".join(
+        f"""
+                 CAST(coalesce(list_sum(list_transform(list_distinct(pg{n}),
+                        t -> least(len(list_filter(pg{n}, x -> x = t)),
+                                   len(list_filter(rg{n}, x -> x = t))))), 0)
+                      AS BIGINT) AS r{n}_match,
+                 CAST(len(pg{n}) AS BIGINT) AS r{n}_pred_total,
+                 CAST(len(rg{n}) AS BIGINT) AS r{n}_ref_total,"""
+        for n in (1, 2)
+    )
+    _rouge_prf = "\n".join(
+        f"""
+                 CASE WHEN r{n}_pred_total > 0
+                      THEN CAST(r{n}_match AS DOUBLE) / r{n}_pred_total
+                      ELSE 0.0 END AS p{n},
+                 CASE WHEN r{n}_ref_total > 0
+                      THEN CAST(r{n}_match AS DOUBLE) / r{n}_ref_total
+                      ELSE 0.0 END AS rr{n},"""
+        for n in (1, 2)
+    )
+    _rouge_out = ",\n".join(
+        f"""
+               r{n}_match, r{n}_pred_total, r{n}_ref_total,
+               round(p{n}, 9) AS rouge{n}_p,
+               round(rr{n}, 9) AS rouge{n}_r,
+               CASE WHEN p{n} + rr{n} > 0
+                    THEN round(2.0 * p{n} * rr{n} / (p{n} + rr{n}), 9)
+                    ELSE 0.0 END AS rouge{n}_f"""
+        for n in (1, 2)
+    )
+    d["rouge"] = rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+            FROM documents
+        ),
+        pr AS (
+          SELECT doc_id,
+                 array_to_string(toks[1:8], ' ') AS pred,
+                 array_to_string(toks[3:10], ' ') AS ref
+            FROM base
+        ),
+        tk AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(coalesce(pred, ''))) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(pred)), '\s+')
+                 END AS p,
+                 CASE WHEN trim(lower(coalesce(ref, ''))) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(ref)), '\s+')
+                 END AS r
+            FROM pr
+        ),
+        g AS (
+          SELECT doc_id,{_rouge_grams}
+                 1 AS _pad
+            FROM tk
+        ),
+        m AS (
+          SELECT doc_id,{_rouge_counts}
+                 1 AS _pad
+            FROM g
+        ),
+        prf AS (
+          SELECT m.*,{_rouge_prf}
+                 1 AS _pad2
+            FROM m
+        )
+        SELECT doc_id,{_rouge_out}
+          FROM prf
+    """
+    d["js_divergence"] = r"""
+        WITH lo AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')) AS value,
+                 1 AS is_r
+            FROM documents
+           WHERE source IN ('src0','src1','src2','src3','src4',
+                            'src5','src6','src7','src8','src9')
+             AND trim(coalesce(text, '')) <> ''
+        ), hi AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')) AS value,
+                 0 AS is_r
+            FROM documents
+           WHERE source NOT IN ('src0','src1','src2','src3','src4',
+                                'src5','src6','src7','src8','src9')
+             AND trim(coalesce(text, '')) <> ''
+        ), cnt AS (
+          SELECT value,
+                 CAST(sum(is_r) AS BIGINT) AS n_ref,
+                 CAST(sum(1 - is_r) AS BIGINT) AS n_cur
+            FROM (SELECT * FROM lo UNION ALL SELECT * FROM hi)
+           GROUP BY value
+        ), tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM cnt
+        ), terms AS (
+          SELECT value, n_ref, n_cur,
+                 n_ref / tr AS pr, n_cur / tc AS pc,
+                 CAST(round((
+                     CASE WHEN n_ref > 0
+                          THEN (n_ref / tr) * ln((n_ref / tr) / ((n_ref / tr + n_cur / tc) / 2.0))
+                          ELSE 0.0 END
+                   + CASE WHEN n_cur > 0
+                          THEN (n_cur / tc) * ln((n_cur / tc) / ((n_ref / tr + n_cur / tc) / 2.0))
+                          ELSE 0.0 END) / 2.0, 12) AS DECIMAL(24,12)) AS term
+            FROM cnt, tot
+        ), total AS (SELECT sum(term) AS jt FROM terms)
+        SELECT value, n_ref, n_cur,
+               round(pr, 9) AS p_ref, round(pc, 9) AS p_cur,
+               round(CAST(term AS DOUBLE), 9) AS js_term,
+               round(CAST(jt AS DOUBLE), 9) AS js_total
+          FROM terms, total
+    """
+    d["cluster_keywords"] = r"""
+        WITH toks AS (
+          SELECT source AS label,
+                 unnest(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')) AS token
+            FROM documents
+           WHERE trim(coalesce(text, '')) <> ''
+        ), tf AS (
+          SELECT label, token, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY label, token
+        ), ft AS (
+          SELECT token, sum(tf) AS f_t FROM tf GROUP BY token
+        ), a AS (
+          SELECT sum(tf) AS tot, count(*) AS k
+            FROM (SELECT label, sum(tf) AS tf FROM tf GROUP BY label)
+        ), scored AS (
+          SELECT tf.label, tf.token, tf.tf,
+                 round(tf.tf * ln(1.0 + (a.tot / a.k) / ft.f_t), 9) AS ctfidf
+            FROM tf JOIN ft USING (token) CROSS JOIN a
+        ), ranked AS (
+          SELECT label, token, tf, ctfidf,
+                 CAST(row_number() OVER (
+                        PARTITION BY label
+                        ORDER BY ctfidf DESC, token ASC) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT label, token, tf, ctfidf, rank FROM ranked WHERE rank <= 3
     """
     d["ngram_novelty"] = r"""
         WITH tk AS (

@@ -236,3 +236,114 @@ def ks_two_sample(a: DataFrame, b: DataFrame, column: str) -> dict:
 def psi(ref: DataFrame, cur: DataFrame, column: str, bins: int = 10) -> float:
     """Scalar PSI (sum of per-bin terms)."""
     return psi_table(ref, cur, column, bins).select("psi_total").first()[0]
+
+
+def js_divergence_table(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    tokens: bool = False,
+) -> DataFrame:
+    """Per-category Jensen-Shannon divergence decomposition between two
+    corpus slices over a CATEGORICAL unit — the drift monitor PSI/KS
+    can't provide: PSI needs numeric quantile bins and KS an ordering,
+    while vocabulary / source / language / tool-name distributions are
+    unordered.  JSD (Lin 1991) is symmetric, finite without smoothing
+    (a category absent from one side contributes its other-side half-
+    term only), and bounded by ln 2 — the standard "did the token
+    distribution move between crawl snapshots" gauge.
+
+    ``tokens=False``: the unit is ``column``'s value (cast to string).
+    ``tokens=True``: ``column`` is a text column and the unit is the
+    engine's lowercase whitespace token.
+
+    Returns one row per category seen on either side — ``(value,
+    n_ref, n_cur, p_ref, p_cur, js_term, js_total)`` with ``js_total``
+    repeated per row (psi_table's shape).  ``js_term`` is
+    ``(p_ref·ln(p_ref/m) + p_cur·ln(p_cur/m))/2`` with ``m`` the
+    mixture mean — rounded to 12 decimals and accumulated in exact
+    DECIMAL so ``js_total`` is bit-identical under ANY summation order
+    / partitioning (the pagerank integer-arithmetic trick, adapted to
+    a float-valued series).  Nats, not bits: divide by ln 2 for the
+    [0,1] normalized form.
+
+    Scale shape: one union + one map-side-combined ``groupBy(value)``
+    — token text shuffles once into vocabulary-sized partials; totals
+    and the DECIMAL sum ride a broadcast crossJoin of two aggregate
+    rows.  Never a window, never a sort.
+    """
+
+    def units(df: DataFrame, flag: str) -> DataFrame:
+        if tokens:
+            t = F.trim(F.lower(F.coalesce(F.col(column), F.lit(""))))
+            arr = F.when(t == "", F.array().cast("array<string>")).otherwise(
+                F.split(t, r"\s+")
+            )
+            out = df.select(F.explode(arr).alias("value"))
+        else:
+            out = df.where(F.col(column).isNotNull()).select(
+                F.col(column).cast("string").alias("value")
+            )
+        return out.withColumn("_f", F.lit(flag))
+
+    from feature_engineering_tk_spark.plans.caching import pin
+
+    both = units(ref, "r").unionByName(units(cur, "c"))
+    counts = both.groupBy("value").agg(
+        F.sum((F.col("_f") == "r").cast("bigint")).alias("n_ref"),
+        F.sum((F.col("_f") == "c").cast("bigint")).alias("n_cur"),
+    )
+    # three consumers (totals action, the per-row table, the DECIMAL
+    # total) — pin the vocabulary-sized aggregate so the corpus scans
+    # once; the session registry releases it (plans/caching.py)
+    counts = pin(counts)
+    totals = counts.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    trow = totals.first()
+    if not trow or not trow["_tr"] or not trow["_tc"]:
+        from feature_engineering_tk_spark.exceptions import InsufficientDataError
+
+        tr = 0 if not trow else int(trow["_tr"] or 0)
+        tc = 0 if not trow else int(trow["_tc"] or 0)
+        raise InsufficientDataError(
+            f"js_divergence_table({column!r})", required=1, actual=min(tr, tc)
+        )
+    p_ref = F.col("n_ref") / F.col("_tr")
+    p_cur = F.col("n_cur") / F.col("_tc")
+    m = (p_ref + p_cur) / F.lit(2.0)
+    # 0·ln(0/m) := 0; m > 0 on every emitted row (value seen somewhere)
+    half = (
+        F.when(F.col("n_ref") > 0, p_ref * F.log(p_ref / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("n_cur") > 0, p_cur * F.log(p_cur / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    per = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("_term", F.round(half, 12).cast("decimal(24,12)"))
+        .withColumn("p_ref", F.round(p_ref, 9))
+        .withColumn("p_cur", F.round(p_cur, 9))
+    )
+    tot = per.agg(F.sum("_term").alias("_jt"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "value",
+            "n_ref",
+            "n_cur",
+            "p_ref",
+            "p_cur",
+            F.round(F.col("_term").cast("double"), 9).alias("js_term"),
+            F.round(F.col("_jt").cast("double"), 9).alias("js_total"),
+        )
+    )
+
+
+def js_divergence(
+    ref: DataFrame, cur: DataFrame, column: str, tokens: bool = False
+) -> float:
+    """Scalar JSD in nats (sum of per-category terms)."""
+    return (
+        js_divergence_table(ref, cur, column, tokens=tokens)
+        .select("js_total")
+        .first()[0]
+    )

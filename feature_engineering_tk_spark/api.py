@@ -934,6 +934,11 @@ class EvalSuite:
 
         return bleu_score(self.df, **kw)
 
+    def rouge(self, **kw):
+        from feature_engineering_tk_spark.functions.text import rouge_n
+
+        return rouge_n(self.df, **kw)
+
     def ngram_novelty(self, corpus: DataFrame, **kw):
         """Novelty of the held generations vs a reference ``corpus``."""
         from feature_engineering_tk_spark.functions.text import ngram_novelty

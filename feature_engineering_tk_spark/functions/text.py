@@ -1181,3 +1181,149 @@ def zipf_table(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     return df.sparkSession.createDataFrame(
         rows, "rank int, token string, freq bigint, share double, cum_share double"
     )
+
+
+def rouge_n(
+    df: DataFrame,
+    pred_col: str = "pred",
+    ref_col: str = "ref",
+    max_n: int = 2,
+) -> DataFrame:
+    """Recall-oriented ROUGE-N (Lin 2004, "ROUGE: A Package for
+    Automatic Evaluation of Summaries") — the recall-side complement
+    of :func:`bleu_score`'s precision ladder for summarization /
+    answer-quality eval.  Appends, per row and per n = 1..``max_n``,
+    the exact integer sufficient statistics ``rN_match`` (multiset-
+    clipped n-gram overlap, same clipping rule as bleu_score),
+    ``rN_pred_total``, ``rN_ref_total``, and the derived
+    ``rougeN_p`` / ``rougeN_r`` / ``rougeN_f``.
+
+    Precision divides the clipped overlap by the candidate's gram
+    count, recall by the reference's, F1 is their harmonic mean; any
+    zero denominator scores 0.0 (the sklearn ``zero_division=0``
+    convention shared with multiclass_metrics).  Everything is
+    row-local higher-order array expressions — zero shuffle,
+    whole-stage codegen; floats are single divisions of exact
+    integers rounded at the repo's round-9 cross-engine convention.
+    Tokenization is the engine's whitespace-lowercase convention.
+    """
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+
+    def _toks(name: str) -> Column:
+        t = F.trim(F.lower(F.coalesce(F.col(name), F.lit(""))))
+        return F.when(t == "", F.array().cast("array<string>")).otherwise(
+            F.split(t, r"\s+")
+        )
+
+    def _grams(toks: Column, n: int) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    out = df.withColumn("_p", _toks(pred_col)).withColumn("_r", _toks(ref_col))
+    for n in range(1, max_n + 1):
+        pg, rg = _grams(F.col("_p"), n), _grams(F.col("_r"), n)
+        out = out.withColumn(f"_pg{n}", pg).withColumn(f"_rg{n}", rg)
+        clipped = F.aggregate(
+            F.array_distinct(F.col(f"_pg{n}")),
+            F.lit(0).cast("bigint"),
+            lambda acc, g: acc
+            + F.least(
+                F.size(F.filter(F.col(f"_pg{n}"), lambda x: x == g)),
+                F.size(F.filter(F.col(f"_rg{n}"), lambda x: x == g)),
+            ).cast("bigint"),
+        )
+        m, pt, rt = f"r{n}_match", f"r{n}_pred_total", f"r{n}_ref_total"
+        out = (
+            out.withColumn(m, clipped)
+            .withColumn(pt, F.size(f"_pg{n}").cast("bigint"))
+            .withColumn(rt, F.size(f"_rg{n}").cast("bigint"))
+            .drop(f"_pg{n}", f"_rg{n}")
+        )
+        p = F.when(F.col(pt) > 0, F.col(m) / F.col(pt)).otherwise(F.lit(0.0))
+        r = F.when(F.col(rt) > 0, F.col(m) / F.col(rt)).otherwise(F.lit(0.0))
+        f1 = F.when((p + r) > 0, F.lit(2.0) * p * r / (p + r)).otherwise(F.lit(0.0))
+        out = (
+            out.withColumn(f"rouge{n}_p", F.round(p, 9))
+            .withColumn(f"rouge{n}_r", F.round(r, 9))
+            .withColumn(f"rouge{n}_f", F.round(f1, 9))
+        )
+    return out.drop("_p", "_r")
+
+
+def cluster_keywords(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    top_k: int = 10,
+) -> DataFrame:
+    """Class-based TF-IDF keywords per cluster/label (the c-TF-IDF of
+    Grootendorst 2022, "BERTopic") — names the clusters that
+    kmeans_clusters / semantic_dedup produce, and profiles any labeled
+    corpus slice (per-source signature terms, per-language boilerplate).
+
+    Score for term t in class c: ``tf(t,c) * ln(1 + A / f(t))`` where
+    ``tf(t,c)`` is t's exact count inside c, ``f(t)`` its count across
+    the whole corpus, and ``A`` the average token count per class.
+    Returns the ``top_k`` terms per label as ``(label, token, tf,
+    ctfidf, rank)``, ranked by the round-9 score descending with the
+    token string as the deterministic tie-break (the rounded-argmax
+    convention of contrastive_triplets, so rank order is engine-
+    independent).
+
+    Scale shape: the exploded token table shuffles ONCE into the
+    map-side-combined ``groupBy(label, token)``; everything after is
+    vocabulary-sized (per-term corpus totals, per-class sizes, the
+    scalar ``A`` broadcast back via crossJoin), and the ranking window
+    partitions by label — never a global sort, never a second pass
+    over the corpus.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    from pyspark.sql import Window
+
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    tf = (
+        df.select(F.col(label_col).alias("label"), F.explode(toks).alias("token"))
+        .groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # three consumers of tf inside one lazy plan (corpus totals, the
+    # scalar A, the scoring join) — pin() so the corpus tokenizes once;
+    # the session registry releases it (see plans/caching.py)
+    tf = pin(tf)
+    corpus_freq = tf.groupBy("token").agg(F.sum("tf").alias("f_t"))
+    # A = average tokens per class, one aggregate-sized pass over tf
+    a_row = tf.groupBy("label").agg(F.sum("tf").alias("_n")).agg(
+        F.sum("_n").alias("_tot"), F.count(F.lit(1)).alias("_k")
+    )
+    scored = (
+        tf.join(corpus_freq, "token")
+        .crossJoin(F.broadcast(a_row))
+        .withColumn(
+            "ctfidf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.lit(1.0) + (F.col("_tot") / F.col("_k")) / F.col("f_t")
+                ),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("ctfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("label", "token", "tf", "ctfidf", "rank")
+    )

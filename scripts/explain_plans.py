@@ -853,6 +853,66 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS plan_ev_b")
     spark.sql("DROP TABLE IF EXISTS plan_et_b")
 
+    # 34. rouge_n: like BLEU, a pure row-local projection — zero
+    # exchanges, zero Python; js_divergence: no window/sort anywhere,
+    # crossJoins carry broadcast aggregate rows (never CartesianProduct);
+    # cluster_keywords: token text shuffles once into the (label, token)
+    # partial agg, ranking window partitioned by label
+    from feature_engineering_tk_spark.analysis.drift import js_divergence_table
+    from feature_engineering_tk_spark.functions.text import cluster_keywords, rouge_n
+
+    p = plan_of(rouge_n(pairs, max_n=2))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    has_python = "Python" in p or "ArrowEval" in p
+    sections.append(
+        (
+            "rouge_n (recall-side summary eval)",
+            p,
+            [
+                f"exchanges={n_ex} (want 0 — clipped counts are row-local array exprs)",
+                f"python_nodes={has_python} (want False — JVM higher-order functions)",
+            ],
+        )
+    )
+
+    lo_sources = [f"src{i}" for i in range(10)]
+    jsd = js_divergence_table(
+        docs.where(F.col("source").isin(lo_sources)),
+        docs.where(~F.col("source").isin(lo_sources)),
+        "text",
+        tokens=True,
+    )
+    p = plan_of(jsd)
+    n_win = len(re.findall(r"\bWindow\b", p))
+    n_cart = len(set(re.findall(r"CartesianProduct\s*\((\d+)\)", p)))
+    sections.append(
+        (
+            "js_divergence (categorical drift)",
+            p,
+            [
+                f"window_nodes={n_win} (want 0 — totals ride broadcast crossJoins, not windows)",
+                f"cartesian_products={n_cart} (want 0 — both crossJoin sides are aggregate rows)",
+            ],
+        )
+    )
+
+    p = plan_of(cluster_keywords(docs, "source", "text", top_k=3))
+    unpart = len(re.findall(r"Arguments: \[[^\]]*\], \[\], \[", p))
+    n_cart = len(set(re.findall(r"CartesianProduct\s*\((\d+)\)", p)))
+    tok_exchanges = len(re.findall(r"hashpartitioning\(label|hashpartitioning\(source", p))
+    sections.append(
+        (
+            "cluster_keywords (c-TF-IDF labels)",
+            p,
+            [
+                f"unpartitioned_windows={unpart} (want 0 — ranking partitions by label)",
+                f"cartesian_products={n_cart} (want 0 — the scalar A rides a broadcast)",
+                f"label_keyed_exchanges={tok_exchanges} (want >=1 — the one fat token shuffle "
+                "is the (label, token) partial agg; everything after is vocabulary-sized)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")

@@ -190,6 +190,8 @@ def test_eval_suite_facade(spark):
     gen = fe.EvalSuite(pairs)
     b = gen.bleu(max_n=2).collect()
     assert {r.bleu for r in b} == {1.0, 0.0}
+    ro = gen.rouge(max_n=1).collect()
+    assert {r.rouge1_f for r in ro} == {1.0, 0.0}
     assert gen.qa_metrics().filter("exact_match = 1").count() == 1
     nov = fe.EvalSuite(
         spark.createDataFrame([(1, "a b q")], "doc_id int, text string")

@@ -197,3 +197,122 @@ def test_ngram_novelty_matches_bruteforce(spark, gen, corpus):
             assert got[i].novelty == novel / len(gs)
         else:
             assert got[i].novelty is None
+
+
+@given(pairs=st.lists(st.tuples(words, words), min_size=1, max_size=10))
+@SET
+def test_rouge_matches_bruteforce(spark, pairs):
+    from feature_engineering_tk_spark.functions.text import rouge_n
+
+    df = spark.createDataFrame(
+        [(i, p, r) for i, (p, r) in enumerate(pairs)], "id int, pred string, ref string"
+    )
+    got = {r.id: r for r in rouge_n(df, max_n=2).collect()}
+    for i, (p, r) in enumerate(pairs):
+        pt, rt = p.lower().split(), r.lower().split()
+        for n in (1, 2):
+            pg = [" ".join(pt[j : j + n]) for j in range(len(pt) - n + 1)]
+            rg = [" ".join(rt[j : j + n]) for j in range(len(rt) - n + 1)]
+            match = sum((Counter(pg) & Counter(rg)).values())
+            row = got[i]
+            assert row[f"r{n}_match"] == match
+            assert row[f"r{n}_pred_total"] == len(pg)
+            assert row[f"r{n}_ref_total"] == len(rg)
+            prec = match / len(pg) if pg else 0.0
+            rec = match / len(rg) if rg else 0.0
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+            assert abs(row[f"rouge{n}_p"] - round(prec, 9)) <= 1e-9
+            assert abs(row[f"rouge{n}_r"] - round(rec, 9)) <= 1e-9
+            assert abs(row[f"rouge{n}_f"] - round(f1, 9)) <= 1e-9
+
+
+@given(
+    ref_vals=st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=30),
+    cur_vals=st.lists(st.sampled_from(["b", "c", "d", "e"]), min_size=1, max_size=30),
+)
+@SET
+def test_js_divergence_matches_bruteforce(spark, ref_vals, cur_vals):
+    from feature_engineering_tk_spark.analysis.drift import js_divergence_table
+
+    ra = spark.createDataFrame([(v,) for v in ref_vals], "v string")
+    cb = spark.createDataFrame([(v,) for v in cur_vals], "v string")
+    rows = js_divergence_table(ra, cb, "v").collect()
+    rc, cc = Counter(ref_vals), Counter(cur_vals)
+    tr, tc = len(ref_vals), len(cur_vals)
+    exp_terms = {}
+    for v in sorted(set(rc) | set(cc)):
+        pr, pc = rc.get(v, 0) / tr, cc.get(v, 0) / tc
+        m = (pr + pc) / 2.0
+        half = (
+            (pr * math.log(pr / m) if pr > 0 else 0.0)
+            + (pc * math.log(pc / m) if pc > 0 else 0.0)
+        ) / 2.0
+        exp_terms[v] = round(half, 12)
+    exp_total = round(sum(exp_terms.values()), 9)
+    assert len(rows) == len(exp_terms)
+    for row in rows:
+        assert abs(row.js_term - round(exp_terms[row.value], 9)) <= 1e-9
+        assert row.n_ref == rc.get(row.value, 0)
+        assert row.n_cur == cc.get(row.value, 0)
+        assert abs(row.js_total - exp_total) <= 1e-9
+    # symmetry + identity: JSD(p, p) = 0
+    same = js_divergence_table(ra, ra, "v").select("js_total").first()[0]
+    assert same == 0.0
+
+
+def test_js_divergence_empty_side_raises(spark):
+    from feature_engineering_tk_spark.analysis.drift import js_divergence_table
+    from feature_engineering_tk_spark.exceptions import InsufficientDataError
+
+    import pytest
+
+    a = spark.createDataFrame([("x",)], "v string")
+    empty = spark.createDataFrame([], "v string")
+    with pytest.raises(InsufficientDataError):
+        js_divergence_table(a, empty, "v").collect()
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]), words),
+        min_size=1,
+        max_size=15,
+    ),
+    top_k=st.integers(1, 3),
+)
+@SET
+def test_cluster_keywords_matches_bruteforce(spark, docs, top_k):
+    from feature_engineering_tk_spark.functions.text import cluster_keywords
+
+    df = spark.createDataFrame(docs, "label string, text string")
+    got = cluster_keywords(df, "label", "text", top_k=top_k).collect()
+    tf: Counter = Counter()
+    for lab, text in docs:
+        for tok in text.lower().split():
+            tf[(lab, tok)] += 1
+    if not tf:
+        assert got == []
+        return
+    ft: Counter = Counter()
+    class_n: Counter = Counter()
+    for (lab, tok), c in tf.items():
+        ft[tok] += c
+        class_n[lab] += c
+    a = sum(class_n.values()) / len(class_n)
+    exp = {}
+    for (lab, tok), c in tf.items():
+        exp[(lab, tok)] = round(c * math.log(1.0 + a / ft[tok]), 9)
+    by_label: dict = {}
+    for (lab, tok), s in exp.items():
+        by_label.setdefault(lab, []).append((-s, tok))
+    for lab, items in by_label.items():
+        items.sort()
+        want = items[:top_k]
+        got_lab = sorted(
+            [(-r.ctfidf, r.token) for r in got if r.label == lab]
+        )
+        assert got_lab == [(round(s, 9), t) for s, t in want]
+    # ranks are 1..k dense per label
+    for lab in by_label:
+        ranks = sorted(r.rank for r in got if r.label == lab)
+        assert ranks == list(range(1, len(ranks) + 1))
