@@ -3170,6 +3170,27 @@ def q_rouge(spark, sf_dir):
     return rouge_n(pairs, max_n=2).select(*cols)
 
 
+def q_rouge_l(spark, sf_dir):
+    """ROUGE-L (functions/text.py rouge_l): LCS F-measure on the q_bleu
+    pred/ref pairing — the LCS dynamic program is a nested sequential
+    fold of JVM array expressions, element-for-element replayed by the
+    oracle's nested list_reduce (exact integer DP, no float in the
+    core). Zero shuffle, zero Python."""
+    from feature_engineering_tk_spark.functions.text import rouge_l
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 8), " ").alias("pred"),
+        F.array_join(F.slice(toks, 3, 8), " ").alias("ref"),
+    )
+    return rouge_l(pairs).select(
+        "doc_id", "lcs_len", "l_pred_total", "l_ref_total",
+        "rougeL_p", "rougeL_r", "rougeL_f",
+    )
+
+
 def q_js_divergence(spark, sf_dir):
     """Vocabulary drift between corpus halves (analysis/drift.py
     js_divergence_table): Jensen-Shannon divergence over the token
@@ -4398,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_ngrams": q_distinct_ngrams,
         "bleu": q_bleu,
         "rouge": q_rouge,
+        "rouge_l": q_rouge_l,
         "js_divergence": q_js_divergence,
         "cluster_keywords": q_cluster_keywords,
         "ngram_novelty": q_ngram_novelty,
@@ -8177,6 +8199,65 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         )
         SELECT doc_id,{_rouge_out}
+          FROM prf
+    """
+    d["rouge_l"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+            FROM documents
+        ),
+        pr AS (
+          SELECT doc_id,
+                 array_to_string(toks[1:8], ' ') AS pred,
+                 array_to_string(toks[3:10], ' ') AS ref
+            FROM base
+        ),
+        tk AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(coalesce(pred, ''))) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(pred)), '\s+')[1:256]
+                 END AS p,
+                 CASE WHEN trim(lower(coalesce(ref, ''))) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(ref)), '\s+')[1:256]
+                 END AS r
+            FROM pr
+        ),
+        l AS (
+          SELECT doc_id,
+                 CAST(len(p) AS BIGINT) AS l_pred_total,
+                 CAST(len(r) AS BIGINT) AS l_ref_total,
+                 CAST(CASE WHEN len(p) = 0 OR len(r) = 0 THEN 0
+                 ELSE list_reduce(
+                   list_prepend(list_transform(generate_series(0, len(r)), x -> 0),
+                                list_transform(generate_series(1, len(p)), i -> [i])),
+                   (row, xi) -> list_reduce(
+                       list_prepend([0], list_transform(generate_series(1, len(r)), j -> [j])),
+                       (nr, xj) -> list_append(nr,
+                           CASE WHEN r[xj[1]] = p[xi[1]] THEN row[xj[1]] + 1
+                                ELSE greatest(row[xj[1] + 1], nr[-1]) END)
+                   )
+                 )[-1] END AS BIGINT) AS lcs_len
+            FROM tk
+        ),
+        prf AS (
+          SELECT doc_id, lcs_len, l_pred_total, l_ref_total,
+                 CASE WHEN l_pred_total > 0
+                      THEN CAST(lcs_len AS DOUBLE) / l_pred_total
+                      ELSE 0.0 END AS p,
+                 CASE WHEN l_ref_total > 0
+                      THEN CAST(lcs_len AS DOUBLE) / l_ref_total
+                      ELSE 0.0 END AS r
+            FROM l
+        )
+        SELECT doc_id, lcs_len, l_pred_total, l_ref_total,
+               round(p, 9) AS rougeL_p,
+               round(r, 9) AS rougeL_r,
+               CASE WHEN p + r > 0
+                    THEN round(2.0 * p * r / (p + r), 9)
+                    ELSE 0.0 END AS rougeL_f
           FROM prf
     """
     d["js_divergence"] = r"""

@@ -939,6 +939,11 @@ class EvalSuite:
 
         return rouge_n(self.df, **kw)
 
+    def rouge_l(self, **kw):
+        from feature_engineering_tk_spark.functions.text import rouge_l
+
+        return rouge_l(self.df, **kw)
+
     def ngram_novelty(self, corpus: DataFrame, **kw):
         """Novelty of the held generations vs a reference ``corpus``."""
         from feature_engineering_tk_spark.functions.text import ngram_novelty

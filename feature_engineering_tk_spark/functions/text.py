@@ -1327,3 +1327,84 @@ def cluster_keywords(
         .where(F.col("rank") <= top_k)
         .select("label", "token", "tf", "ctfidf", "rank")
     )
+
+
+def rouge_l(
+    df: DataFrame,
+    pred_col: str = "pred",
+    ref_col: str = "ref",
+    max_tokens: int = 256,
+) -> DataFrame:
+    """ROUGE-L (Lin 2004): longest-common-subsequence F-measure —
+    order-sensitive where ROUGE-N's bag-of-grams is not, the standard
+    summary-structure metric.  Appends ``lcs_len`` /
+    ``l_pred_total`` / ``l_ref_total`` (exact integers) and round-9
+    ``rougeL_p`` / ``rougeL_r`` / ``rougeL_f``.
+
+    The LCS dynamic program runs as a NESTED sequential fold of pure
+    JVM array expressions (outer ``aggregate`` over candidate tokens
+    carrying the DP row, inner fold rebuilding it per token) — zero
+    shuffle, zero Python, and element-for-element replayable in DuckDB
+    ``list_reduce``, so the integer core is oracle-exact.  Cost is
+    O(n·m²) per row (the inner fold rebuilds an m-array by
+    concatenation), which is why both sides are truncated to
+    ``max_tokens`` first: summaries and answers — ROUGE-L's domain —
+    sit far below the cap, and the cap makes worst-case cost per row
+    a constant instead of a function of a pathological document
+    (the Lee-et-al bounded-window convention used by span_dedup).
+    Zero denominators score 0.0 (sklearn ``zero_division=0``).
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+
+    def _toks(name: str) -> Column:
+        t = F.trim(F.lower(F.coalesce(F.col(name), F.lit(""))))
+        arr = F.when(t == "", F.array().cast("array<string>")).otherwise(
+            F.split(t, r"\s+")
+        )
+        return F.slice(arr, 1, max_tokens)
+
+    out = df.withColumn("_p", _toks(pred_col)).withColumn("_r", _toks(ref_col))
+    m = F.size("_r")
+    init = F.transform(F.sequence(F.lit(0), m), lambda _x: F.lit(0))
+
+    def step(row: Column, a: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.array(F.lit(0)),
+            lambda nr, j: F.concat(
+                nr,
+                F.array(
+                    F.when(
+                        F.element_at(F.col("_r"), j) == a,
+                        F.element_at(row, j) + 1,
+                    ).otherwise(
+                        F.greatest(
+                            F.element_at(row, j + 1), F.element_at(nr, -1)
+                        )
+                    )
+                ),
+            ),
+        )
+
+    lcs = F.when((F.size("_p") == 0) | (m == 0), F.lit(0)).otherwise(
+        F.element_at(F.aggregate(F.col("_p"), init, step), -1)
+    )
+    out = (
+        out.withColumn("lcs_len", lcs.cast("bigint"))
+        .withColumn("l_pred_total", F.size("_p").cast("bigint"))
+        .withColumn("l_ref_total", F.size("_r").cast("bigint"))
+    )
+    p = F.when(
+        F.col("l_pred_total") > 0, F.col("lcs_len") / F.col("l_pred_total")
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("l_ref_total") > 0, F.col("lcs_len") / F.col("l_ref_total")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when((p + r) > 0, F.lit(2.0) * p * r / (p + r)).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("rougeL_p", F.round(p, 9))
+        .withColumn("rougeL_r", F.round(r, 9))
+        .withColumn("rougeL_f", F.round(f1, 9))
+        .drop("_p", "_r")
+    )

@@ -859,17 +859,22 @@ def main() -> None:
     # cluster_keywords: token text shuffles once into the (label, token)
     # partial agg, ranking window partitioned by label
     from feature_engineering_tk_spark.analysis.drift import js_divergence_table
-    from feature_engineering_tk_spark.functions.text import cluster_keywords, rouge_n
+    from feature_engineering_tk_spark.functions.text import (
+        cluster_keywords,
+        rouge_l,
+        rouge_n,
+    )
 
     p = plan_of(rouge_n(pairs, max_n=2))
-    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
-    has_python = "Python" in p or "ArrowEval" in p
+    pl = plan_of(rouge_l(pairs))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p + pl)))
+    has_python = any(t in p + pl for t in ("Python", "ArrowEval"))
     sections.append(
         (
-            "rouge_n (recall-side summary eval)",
-            p,
+            "rouge_n + rouge_l (summary eval)",
+            p + "\n--- rouge_l plan ---\n" + pl,
             [
-                f"exchanges={n_ex} (want 0 — clipped counts are row-local array exprs)",
+                f"exchanges={n_ex} (want 0 — clipped counts and the LCS nested fold are row-local array exprs)",
                 f"python_nodes={has_python} (want False — JVM higher-order functions)",
             ],
         )

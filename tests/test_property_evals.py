@@ -316,3 +316,40 @@ def test_cluster_keywords_matches_bruteforce(spark, docs, top_k):
     for lab in by_label:
         ranks = sorted(r.rank for r in got if r.label == lab)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+@given(pairs=st.lists(st.tuples(words, words), min_size=1, max_size=8))
+@SET
+def test_rouge_l_matches_bruteforce(spark, pairs):
+    from feature_engineering_tk_spark.functions.text import rouge_l
+
+    df = spark.createDataFrame(
+        [(i, p, r) for i, (p, r) in enumerate(pairs)], "id int, pred string, ref string"
+    )
+    got = {r.id: r for r in rouge_l(df).collect()}
+    for i, (p, r) in enumerate(pairs):
+        pt, rt = p.lower().split(), r.lower().split()
+        # classic O(n*m) DP
+        row = [0] * (len(rt) + 1)
+        for a in pt:
+            new = [0]
+            for j in range(1, len(rt) + 1):
+                new.append(row[j - 1] + 1 if rt[j - 1] == a else max(row[j], new[-1]))
+            row = new
+        lcs = row[-1]
+        g = got[i]
+        assert g.lcs_len == lcs
+        assert g.l_pred_total == len(pt) and g.l_ref_total == len(rt)
+        prec = lcs / len(pt) if pt else 0.0
+        rec = lcs / len(rt) if rt else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+        assert abs(g.rougeL_f - round(f1, 9)) <= 1e-9
+
+
+def test_rouge_l_truncates_at_max_tokens(spark):
+    from feature_engineering_tk_spark.functions.text import rouge_l
+
+    long = " ".join(["w"] * 40)
+    df = spark.createDataFrame([(long, long)], "pred string, ref string")
+    g = rouge_l(df, max_tokens=10).first()
+    assert g.l_pred_total == 10 and g.lcs_len == 10 and g.rougeL_f == 1.0
