@@ -3126,22 +3126,27 @@ def q_distinct_ngrams(spark, sf_dir):
     return distinct_ngrams(docs, "text", n=2, by="source")
 
 
-def q_bleu(spark, sf_dir):
-    """Sentence BLEU-4 (functions/text.py bleu_score): row-local
-    clipped n-gram precisions as exact integer match/total columns,
-    brevity penalty + geometric mean rounded to 9 decimals (the repo's
-    cross-engine libm convention). Pred/ref derived row-locally from
-    documents: tokens 1-8 vs 3-10, so every order has real overlap on
-    longer docs and honest zeros on short ones."""
-    from feature_engineering_tk_spark.functions.text import bleu_score
-
-    docs = _t(spark, sf_dir, "documents")
+def _pred_ref_pairs(docs):
+    """The shared pred/ref fixture for the summary-eval trio (q_bleu /
+    q_rouge / q_rouge_l): tokens 1-8 vs 3-10 of each document, so every
+    order has real overlap on longer docs and honest zeros on short
+    ones.  The oracle-side twin is _PRED_REF_CTES."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    pairs = docs.select(
+    return docs.select(
         "doc_id",
         F.array_join(F.slice(toks, 1, 8), " ").alias("pred"),
         F.array_join(F.slice(toks, 3, 8), " ").alias("ref"),
     )
+
+
+def q_bleu(spark, sf_dir):
+    """Sentence BLEU-4 (functions/text.py bleu_score): row-local
+    clipped n-gram precisions as exact integer match/total columns,
+    brevity penalty + geometric mean rounded to 9 decimals (the repo's
+    cross-engine libm convention). Pred/ref from _pred_ref_pairs."""
+    from feature_engineering_tk_spark.functions.text import bleu_score
+
+    pairs = _pred_ref_pairs(_t(spark, sf_dir, "documents"))
     cols = ["doc_id", "n_pred", "n_ref"]
     cols += [c for n in range(1, 5) for c in (f"match_{n}", f"total_{n}")]
     return bleu_score(pairs, max_n=4).select(*cols, "brevity_penalty", "bleu")
@@ -3149,20 +3154,14 @@ def q_bleu(spark, sf_dir):
 
 def q_rouge(spark, sf_dir):
     """ROUGE-1/2 (functions/text.py rouge_n): recall-oriented summary
-    eval — the recall-side complement of q_bleu on the same row-local
-    pred/ref pairing (tokens 1-8 vs 3-10). Exact integer clipped
+    eval — the recall-side complement of q_bleu on the same
+    _pred_ref_pairs fixture. Exact integer clipped
     match / pred-total / ref-total columns plus round-9 P/R/F1; zero
     denominators score 0.0 (sklearn zero_division=0). Row-local array
     expressions, zero shuffle."""
     from feature_engineering_tk_spark.functions.text import rouge_n
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    pairs = docs.select(
-        "doc_id",
-        F.array_join(F.slice(toks, 1, 8), " ").alias("pred"),
-        F.array_join(F.slice(toks, 3, 8), " ").alias("ref"),
-    )
+    pairs = _pred_ref_pairs(_t(spark, sf_dir, "documents"))
     cols = ["doc_id"]
     for n in (1, 2):
         cols += [f"r{n}_match", f"r{n}_pred_total", f"r{n}_ref_total"]
@@ -3171,20 +3170,14 @@ def q_rouge(spark, sf_dir):
 
 
 def q_rouge_l(spark, sf_dir):
-    """ROUGE-L (functions/text.py rouge_l): LCS F-measure on the q_bleu
-    pred/ref pairing — the LCS dynamic program is a nested sequential
-    fold of JVM array expressions, element-for-element replayed by the
-    oracle's nested list_reduce (exact integer DP, no float in the
-    core). Zero shuffle, zero Python."""
+    """ROUGE-L (functions/text.py rouge_l): LCS F-measure on the
+    _pred_ref_pairs fixture — the LCS dynamic program is a nested
+    sequential fold of JVM array expressions, element-for-element
+    replayed by the oracle's nested list_reduce (exact integer DP, no
+    float in the core). Zero shuffle, zero Python."""
     from feature_engineering_tk_spark.functions.text import rouge_l
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    pairs = docs.select(
-        "doc_id",
-        F.array_join(F.slice(toks, 1, 8), " ").alias("pred"),
-        F.array_join(F.slice(toks, 3, 8), " ").alias("ref"),
-    )
+    pairs = _pred_ref_pairs(_t(spark, sf_dir, "documents"))
     return rouge_l(pairs).select(
         "doc_id", "lcs_len", "l_pred_total", "l_ref_total",
         "rougeL_p", "rougeL_r", "rougeL_f",
@@ -8042,28 +8035,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS distinct_ratio
           FROM g GROUP BY source
     """
-    _bleu_grams = "\n".join(
-        f"""
-                 CASE WHEN len(p) >= {n}
-                      THEN list_transform(generate_series(1, len(p) - {n - 1}),
-                             i -> array_to_string(p[i:i+{n - 1}], ' '))
-                      ELSE CAST([] AS VARCHAR[]) END AS pg{n},
-                 CASE WHEN len(r) >= {n}
-                      THEN list_transform(generate_series(1, len(r) - {n - 1}),
-                             i -> array_to_string(r[i:i+{n - 1}], ' '))
-                      ELSE CAST([] AS VARCHAR[]) END AS rg{n},"""
-        for n in range(1, 5)
-    )
-    _bleu_counts = "\n".join(
-        f"""
-                 CAST(coalesce(list_sum(list_transform(list_distinct(pg{n}),
-                        t -> least(len(list_filter(pg{n}, x -> x = t)),
-                                   len(list_filter(rg{n}, x -> x = t))))), 0)
-                      AS BIGINT) AS match_{n},
-                 CAST(len(pg{n}) AS BIGINT) AS total_{n},"""
-        for n in range(1, 5)
-    )
-    d["bleu"] = rf"""
+    # shared oracle twin of _pred_ref_pairs + tokenization, used by the
+    # summary-eval trio (bleu / rouge / rouge_l)
+    _pred_ref_ctes = r"""
         WITH base AS (
           SELECT doc_id,
                  regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
@@ -8086,7 +8060,29 @@ def oracle_sql() -> dict[str, str]:
                       ELSE regexp_split_to_array(trim(lower(ref)), '\s+')
                  END AS r
             FROM pr
-        ),
+        )"""
+    _bleu_grams = "\n".join(
+        f"""
+                 CASE WHEN len(p) >= {n}
+                      THEN list_transform(generate_series(1, len(p) - {n - 1}),
+                             i -> array_to_string(p[i:i+{n - 1}], ' '))
+                      ELSE CAST([] AS VARCHAR[]) END AS pg{n},
+                 CASE WHEN len(r) >= {n}
+                      THEN list_transform(generate_series(1, len(r) - {n - 1}),
+                             i -> array_to_string(r[i:i+{n - 1}], ' '))
+                      ELSE CAST([] AS VARCHAR[]) END AS rg{n},"""
+        for n in range(1, 5)
+    )
+    _bleu_counts = "\n".join(
+        f"""
+                 CAST(coalesce(list_sum(list_transform(list_distinct(pg{n}),
+                        t -> least(len(list_filter(pg{n}, x -> x = t)),
+                                   len(list_filter(rg{n}, x -> x = t))))), 0)
+                      AS BIGINT) AS match_{n},
+                 CAST(len(pg{n}) AS BIGINT) AS total_{n},"""
+        for n in range(1, 5)
+    )
+    d["bleu"] = _pred_ref_ctes + rf""",
         g AS (
           SELECT doc_id, p, r,{_bleu_grams}
                  CAST(len(p) AS BIGINT) AS n_pred,
@@ -8159,30 +8155,7 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0 END AS rouge{n}_f"""
         for n in (1, 2)
     )
-    d["rouge"] = rf"""
-        WITH base AS (
-          SELECT doc_id,
-                 regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
-            FROM documents
-        ),
-        pr AS (
-          SELECT doc_id,
-                 array_to_string(toks[1:8], ' ') AS pred,
-                 array_to_string(toks[3:10], ' ') AS ref
-            FROM base
-        ),
-        tk AS (
-          SELECT doc_id,
-                 CASE WHEN trim(lower(coalesce(pred, ''))) = ''
-                      THEN CAST([] AS VARCHAR[])
-                      ELSE regexp_split_to_array(trim(lower(pred)), '\s+')
-                 END AS p,
-                 CASE WHEN trim(lower(coalesce(ref, ''))) = ''
-                      THEN CAST([] AS VARCHAR[])
-                      ELSE regexp_split_to_array(trim(lower(ref)), '\s+')
-                 END AS r
-            FROM pr
-        ),
+    d["rouge"] = _pred_ref_ctes + rf""",
         g AS (
           SELECT doc_id,{_rouge_grams}
                  1 AS _pad
@@ -8201,29 +8174,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,{_rouge_out}
           FROM prf
     """
-    d["rouge_l"] = r"""
-        WITH base AS (
-          SELECT doc_id,
-                 regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
-            FROM documents
-        ),
-        pr AS (
-          SELECT doc_id,
-                 array_to_string(toks[1:8], ' ') AS pred,
-                 array_to_string(toks[3:10], ' ') AS ref
-            FROM base
-        ),
-        tk AS (
-          SELECT doc_id,
-                 CASE WHEN trim(lower(coalesce(pred, ''))) = ''
-                      THEN CAST([] AS VARCHAR[])
-                      ELSE regexp_split_to_array(trim(lower(pred)), '\s+')[1:256]
-                 END AS p,
-                 CASE WHEN trim(lower(coalesce(ref, ''))) = ''
-                      THEN CAST([] AS VARCHAR[])
-                      ELSE regexp_split_to_array(trim(lower(ref)), '\s+')[1:256]
-                 END AS r
-            FROM pr
+    d["rouge_l"] = _pred_ref_ctes + r""",
+        tkc AS (
+          -- rouge_l's max_tokens=256 truncation of the shared tk CTE
+          SELECT doc_id, p[1:256] AS p, r[1:256] AS r FROM tk
         ),
         l AS (
           SELECT doc_id,
@@ -8240,7 +8194,7 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE greatest(row[xj[1] + 1], nr[-1]) END)
                    )
                  )[-1] END AS BIGINT) AS lcs_len
-            FROM tk
+            FROM tkc
         ),
         prf AS (
           SELECT doc_id, lcs_len, l_pred_total, l_ref_total,

@@ -300,12 +300,12 @@ def js_divergence_table(
     totals = counts.agg(
         F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
     )
+    # an ungrouped agg always yields exactly one row; empty input sums to NULL
     trow = totals.first()
-    if not trow or not trow["_tr"] or not trow["_tc"]:
+    tr, tc = int(trow["_tr"] or 0), int(trow["_tc"] or 0)
+    if tr == 0 or tc == 0:
         from feature_engineering_tk_spark.exceptions import InsufficientDataError
 
-        tr = 0 if not trow else int(trow["_tr"] or 0)
-        tc = 0 if not trow else int(trow["_tc"] or 0)
         raise InsufficientDataError(
             f"js_divergence_table({column!r})", required=1, actual=min(tr, tc)
         )

@@ -867,7 +867,10 @@ def main() -> None:
 
     p = plan_of(rouge_n(pairs, max_n=2))
     pl = plan_of(rouge_l(pairs))
-    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p + pl)))
+    # node IDs restart per plan — count each plan's exchanges separately
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p))) + len(
+        set(re.findall(r"Exchange \((\d+)\)", pl))
+    )
     has_python = any(t in p + pl for t in ("Python", "ArrowEval"))
     sections.append(
         (

@@ -311,7 +311,17 @@ def test_cluster_keywords_matches_bruteforce(spark, docs, top_k):
         got_lab = sorted(
             [(-r.ctfidf, r.token) for r in got if r.label == lab]
         )
-        assert got_lab == [(round(s, 9), t) for s, t in want]
+        # scores within float tolerance (JVM vs libm log can differ 1
+        # ulp around a round-9 boundary); token sets exact unless the
+        # top-k boundary itself is a near-tie
+        assert len(got_lab) == len(want)
+        boundary_tied = (
+            len(items) > top_k and abs(items[top_k][0] - items[top_k - 1][0]) <= 2e-9
+        )
+        for (gs, gt), (ws, wt) in zip(got_lab, want):
+            assert abs(-gs - -ws) <= 1e-9
+            if not boundary_tied:
+                assert gt == wt
     # ranks are 1..k dense per label
     for lab in by_label:
         ranks = sorted(r.rank for r in got if r.label == lab)
