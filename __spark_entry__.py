@@ -4213,6 +4213,106 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def _retrieval_table(spark, sf_dir):
+    """Deterministic ranked-retrieval fixture from events: 211 queries,
+    rank = event order within query, graded relevance from value."""
+    ev = _t(spark, sf_dir, "events")
+    qid = (F.col("event_id") % 211).alias("query_id")
+    rel = (
+        F.when(F.col("value").isNull(), F.lit(0.0))
+        .when(F.col("value") >= 150, F.lit(2.0))
+        .when(F.col("value") >= 100, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    w = Window.partitionBy(F.col("event_id") % 211).orderBy("event_id")
+    return ev.select(
+        qid, F.row_number().over(w).alias("rank"), rel.alias("relevance")
+    )
+
+
+def q_ranking_per_query(spark, sf_dir):
+    """Ranked-retrieval metrics (analysis/ranking.py ranking_metrics):
+    NDCG@10 / AP@10 / RR / P@10 / R@10 per query. Every float fold is
+    an ORDER-BY ROWS window, so the summation order is pinned — the
+    DuckDB oracle replays the identical left-to-right folds. One
+    exchange on query_id serves both sort orders and the final group."""
+    from feature_engineering_tk_spark.analysis.ranking import ranking_metrics
+
+    out = ranking_metrics(_retrieval_table(spark, sf_dir), k=10)
+    return out.select(
+        "query_id",
+        "n_retrieved",
+        "n_relevant",
+        "hits_at_k",
+        F.round("rr", 6).alias("rr"),
+        F.round("precision_at_k", 6).alias("p_at_k"),
+        F.round("recall_at_k", 6).alias("r_at_k"),
+        F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+        F.round("ap_at_k", 6).alias("ap_at_k"),
+    )
+
+
+def q_ranking_summary(spark, sf_dir):
+    """Macro retrieval summary (analysis/ranking.py ranking_summary):
+    MRR / mean-NDCG@10 / MAP@10 via exact decimal sums of round-6
+    per-query metrics divided as doubles — partition-layout
+    independent, bit-identical to the oracle's decimal arithmetic."""
+    from feature_engineering_tk_spark.analysis.ranking import ranking_summary
+
+    out = ranking_summary(_retrieval_table(spark, sf_dir), k=10)
+    return out.select(
+        "n_queries",
+        F.round("mrr", 6).alias("mrr"),
+        F.round("mean_ndcg_at_k", 6).alias("mean_ndcg"),
+        F.round("map_at_k", 6).alias("map_at_k"),
+        F.round("mean_precision_at_k", 6).alias("mean_p"),
+        F.round("mean_recall_at_k", 6).alias("mean_r"),
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (operators/diff.py snapshot_diff_summary): old =
+    orders minus orderkey%19==3, new = orders minus orderkey%13==5
+    with totalprice bumped on orderkey%7==0 — per-status counts plus
+    an exact bigint key checksum. One sort-merge join on the key, the
+    comparison is a row-local null-safe predicate."""
+    from feature_engineering_tk_spark.operators.diff import snapshot_diff_summary
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 19 != 3)
+    new = orders.where(F.col("o_orderkey") % 13 != 5).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff_summary(
+        old, new, keys=["o_orderkey"], compare=["o_totalprice", "o_orderstatus"]
+    )
+
+
+def q_strip_markup(spark, sf_dir):
+    """HTML/markup stripping (functions/cleaning.py strip_markup):
+    documents wrapped in a deterministic tag/script/entity shell, then
+    cleaned by the fixed JVM regexp_replace chain — zero shuffle, zero
+    Python; every pattern is RE2-compatible so DuckDB replays it."""
+    from feature_engineering_tk_spark.functions.cleaning import strip_markup
+
+    docs = _t(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><p class="x">'),
+            F.col("text"),
+            F.lit(
+                "</p><script type=\"text/javascript\">var x = 1 < 2;</script>"
+                "<!-- note --><div>&amp; &lt;tag&gt;&nbsp;ok</div></body></html>"
+            ),
+        ).alias("marked"),
+    )
+    return strip_markup(marked, "marked", out="clean").select("doc_id", "clean")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4478,6 +4578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "temporal_split": q_temporal_split,
         "approx_distinct": q_approx_distinct,
+        "ranking_per_query": q_ranking_per_query,
+        "ranking_summary": q_ranking_summary,
+        "snapshot_diff": q_snapshot_diff,
+        "strip_markup": q_strip_markup,
     }
 
 
@@ -9532,5 +9636,155 @@ def oracle_sql() -> dict[str, str]:
           FROM events
          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
          GROUP BY event_type
+    """
+    _ranking_per_query_cte = """
+        WITH base AS (
+          SELECT event_id % 211 AS query_id,
+                 row_number() OVER (PARTITION BY event_id % 211 ORDER BY event_id) AS r,
+                 CASE WHEN value IS NULL THEN 0.0
+                      WHEN value >= 150 THEN 2.0
+                      WHEN value >= 100 THEN 1.0
+                      ELSE 0.0 END AS rel
+            FROM events
+        ), s AS (
+          SELECT query_id, r, rel,
+                 CASE WHEN rel > 0 THEN 1 ELSE 0 END AS hit,
+                 sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY query_id ORDER BY r
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumhit,
+                 row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, r) AS ipos
+            FROM base
+        ), t AS (
+          SELECT query_id, r, rel, hit, cumhit, ipos,
+                 CASE WHEN r <= 10
+                      THEN (pow(2.0, rel) - 1.0) / (ln(r + 1) / ln(2.0))
+                      ELSE 0.0 END AS dcg_term,
+                 CASE WHEN ipos <= 10
+                      THEN (pow(2.0, rel) - 1.0) / (ln(ipos + 1) / ln(2.0))
+                      ELSE 0.0 END AS idcg_term,
+                 CASE WHEN r <= 10 AND hit = 1
+                      THEN CAST(cumhit AS DOUBLE) / r
+                      ELSE 0.0 END AS prec_term
+            FROM s
+        ), w AS (
+          SELECT query_id, r, rel, hit,
+                 sum(dcg_term) OVER
+                   (PARTITION BY query_id ORDER BY r
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcg_run,
+                 sum(prec_term) OVER
+                   (PARTITION BY query_id ORDER BY r
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ap_run,
+                 sum(idcg_term) OVER
+                   (PARTITION BY query_id ORDER BY rel DESC, r
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS idcg_run
+            FROM t
+        ), agg AS (
+          SELECT query_id,
+                 CAST(count(*) AS BIGINT) AS n_retrieved,
+                 CAST(sum(hit) AS BIGINT) AS n_relevant,
+                 CAST(sum(CASE WHEN r <= 10 THEN hit ELSE 0 END) AS BIGINT) AS hits_at_k,
+                 min(CASE WHEN hit = 1 THEN r END) AS first_hit,
+                 max(dcg_run) AS dcg,
+                 max(idcg_run) AS idcg,
+                 max(ap_run) AS ap_num
+            FROM w
+           GROUP BY query_id
+        ), per_q AS (
+          SELECT query_id, n_retrieved, n_relevant, hits_at_k,
+                 coalesce(1.0 / first_hit, 0.0) AS rr,
+                 CAST(hits_at_k AS DOUBLE) / 10.0 AS p_at_k,
+                 CASE WHEN n_relevant > 0
+                      THEN CAST(hits_at_k AS DOUBLE) / n_relevant
+                      ELSE 0.0 END AS r_at_k,
+                 CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END AS ndcg_at_k,
+                 CASE WHEN n_relevant > 0
+                      THEN ap_num / CAST(least(n_relevant, 10) AS DOUBLE)
+                      ELSE 0.0 END AS ap_at_k
+            FROM agg
+        )
+    """
+    d["ranking_per_query"] = (
+        _ranking_per_query_cte
+        + """
+        SELECT query_id, n_retrieved, n_relevant, hits_at_k,
+               round(rr, 6) AS rr,
+               round(p_at_k, 6) AS p_at_k,
+               round(r_at_k, 6) AS r_at_k,
+               round(ndcg_at_k, 6) AS ndcg_at_k,
+               round(ap_at_k, 6) AS ap_at_k
+          FROM per_q
+    """
+    )
+    d["ranking_summary"] = (
+        _ranking_per_query_cte
+        + """
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               round(CAST(sum(CAST(round(rr, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mrr,
+               round(CAST(sum(CAST(round(ndcg_at_k, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_ndcg,
+               round(CAST(sum(CAST(round(ap_at_k, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS map_at_k,
+               round(CAST(sum(CAST(round(p_at_k, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_p,
+               round(CAST(sum(CAST(round(r_at_k, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_r
+          FROM per_q
+    """
+    )
+    d["snapshot_diff"] = """
+        WITH old_s AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 19 <> 3
+        ), new_s AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderstatus
+            FROM orders WHERE o_orderkey % 13 <> 5
+        ), j AS (
+          SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                      WHEN n.o_orderkey IS NULL THEN 'removed'
+                      WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                       AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                      THEN 'unchanged'
+                      ELSE 'changed' END AS status
+            FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT status, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS key_checksum
+          FROM j GROUP BY status ORDER BY status
+    """
+    d["strip_markup"] = """
+        WITH m AS (
+          SELECT doc_id,
+                 '<html><body><p class="x">' || text ||
+                 '</p><script type="text/javascript">var x = 1 < 2;</script>' ||
+                 '<!-- note --><div>&amp; &lt;tag&gt;&nbsp;ok</div></body></html>' AS c
+            FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+                   '(?si)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?si)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g') AS c
+            FROM m
+        ), e AS (
+          SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(c,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', chr(34)),
+                   '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS c
+            FROM s
+        ), w AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(c,
+                   '[ \\t]+', ' ', 'g'),
+                   ' ?\\n ?', e'\\n', 'g'),
+                   '\\n{3,}', e'\\n\\n', 'g') AS c
+            FROM e
+        )
+        SELECT doc_id, trim(c) AS clean FROM w
     """
     return d

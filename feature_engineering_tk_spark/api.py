@@ -1029,3 +1029,13 @@ class EvalSuite:
         )
 
         return multiclass_metrics(self.df, pred, label)
+
+    def ranking_metrics(self, **kw):
+        from feature_engineering_tk_spark.analysis.ranking import ranking_metrics
+
+        return ranking_metrics(self.df, **kw)
+
+    def ranking_summary(self, **kw):
+        from feature_engineering_tk_spark.analysis.ranking import ranking_summary
+
+        return ranking_summary(self.df, **kw)

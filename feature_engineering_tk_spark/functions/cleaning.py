@@ -262,6 +262,51 @@ def normalize_unicode(
     return df.withColumn(out or column, _nfc_udf_cache[form](c))
 
 
+def strip_markup(
+    df: DataFrame,
+    column: str = "text",
+    out: str | None = None,
+    decode_entities: bool = True,
+) -> DataFrame:
+    """HTML/markup removal for crawl-derived corpora (the C4 / WET
+    extraction step the reference has no analog for): drop
+    ``<script>``/``<style>`` blocks wholesale, strip every remaining
+    tag and HTML comment, decode the six entities that dominate web
+    text (``&amp; &lt; &gt; &quot; &#39; &nbsp;``), then squeeze
+    horizontal whitespace runs and blank-line runs so the output is
+    dedup-stable prose.
+
+    Entity decoding is single-pass with ``&amp;`` decoded last, the
+    usual streaming approximation (so ``&amp;lt;`` yields ``&lt;``
+    literally — double-encoded text stays encoded, which is the
+    faithful reading).
+
+    Scale shape: a fixed chain of JVM ``regexp_replace`` calls inside
+    whole-stage codegen — zero shuffle, zero Python. Every pattern is
+    RE2-compatible (non-greedy + ``(?s)`` only), so the DuckDB oracle
+    replays the exact pipeline.
+    """
+    c: Column = F.col(column)
+    c = F.regexp_replace(c, r"(?si)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?si)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    if decode_entities:
+        for ent, rep in (
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&#39;", "'"),
+            ("&nbsp;", " "),
+            ("&amp;", "&"),
+        ):
+            c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return df.withColumn(out or column, F.trim(c))
+
+
 def extract_domain(url: Column) -> Column:
     """Registrable host from a URL-ish string, lower-cased: strips
     scheme, userinfo, port, path/query/fragment. Pure JVM

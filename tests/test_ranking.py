@@ -1,0 +1,197 @@
+"""Ranked-retrieval metrics (analysis/ranking.py) vs a brute-force
+pure-Python simulator, plus the snapshot-diff operator and markup
+stripping."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_engineering_tk_spark.analysis.ranking import (
+    ranking_metrics,
+    ranking_summary,
+)
+from feature_engineering_tk_spark.exceptions import (
+    ColumnNotFoundError,
+    InsufficientDataError,
+)
+from feature_engineering_tk_spark.functions.cleaning import strip_markup
+from feature_engineering_tk_spark.operators.diff import (
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+
+
+# ------------------------------------------------------------- brute force
+
+
+def _brute_metrics(ranked, k):
+    """ranked: list of relevance doubles in rank order (1-based)."""
+    hits = [r > 0 for r in ranked]
+    n_rel = sum(hits)
+    hits_k = sum(h for h, _ in zip(hits, range(k)))
+    rr = 0.0
+    for i, h in enumerate(hits, 1):
+        if h:
+            rr = 1.0 / i
+            break
+    dcg = sum(
+        (2.0 ** rel - 1.0) / math.log2(i + 1)
+        for i, rel in enumerate(ranked[:k], 1)
+    )
+    ideal = sorted(ranked, reverse=True)
+    idcg = sum(
+        (2.0 ** rel - 1.0) / math.log2(i + 1)
+        for i, rel in enumerate(ideal[:k], 1)
+    )
+    ndcg = dcg / idcg if idcg > 0 else 0.0
+    ap_num, cum = 0.0, 0
+    for i, h in enumerate(hits[:k], 1):
+        if h:
+            cum += 1
+            ap_num += cum / i
+    ap = ap_num / min(n_rel, k) if n_rel else 0.0
+    return dict(
+        n_relevant=n_rel,
+        hits_at_k=hits_k,
+        rr=rr,
+        precision_at_k=hits_k / k,
+        recall_at_k=hits_k / n_rel if n_rel else 0.0,
+        ndcg_at_k=ndcg,
+        ap_at_k=ap,
+    )
+
+
+def _fixture(spark, seed=7, n_queries=23, k=5):
+    rng = random.Random(seed)
+    rows, expect = [], {}
+    for q in range(n_queries):
+        n = rng.randint(1, 15)
+        rels = [float(rng.choice([0, 0, 0, 1, 1, 2])) for _ in range(n)]
+        expect[q] = _brute_metrics(rels, k)
+        rows += [(q, i + 1, rels[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "query_id int, rank int, relevance double")
+    return df, expect
+
+
+def test_ranking_metrics_matches_brute_force(spark):
+    df, expect = _fixture(spark)
+    out = {r["query_id"]: r.asDict() for r in ranking_metrics(df, k=5).collect()}
+    assert set(out) == set(expect)
+    for q, want in expect.items():
+        got = out[q]
+        for key, val in want.items():
+            assert got[key] == pytest.approx(val, abs=1e-12), (q, key)
+
+
+def test_ranking_metrics_no_relevant_query_is_all_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 0.0), (1, 2, 0.0)], "query_id int, rank int, relevance double"
+    )
+    row = ranking_metrics(df, k=3).collect()[0]
+    assert row.rr == 0.0 and row.ndcg_at_k == 0.0 and row.ap_at_k == 0.0
+    assert row.recall_at_k == 0.0 and row.n_relevant == 0
+
+
+def test_ranking_metrics_null_relevance_counts_as_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 1.0)], "query_id int, rank int, relevance double"
+    )
+    row = ranking_metrics(df, k=2).collect()[0]
+    assert row.rr == 0.5 and row.n_relevant == 1
+
+
+def test_ranking_summary_macro_means(spark):
+    df, expect = _fixture(spark)
+    row = ranking_summary(df, k=5).collect()[0]
+    n = len(expect)
+    assert row.n_queries == n
+    want_mrr = sum(round(v["rr"], 6) for v in expect.values()) / n
+    assert row.mrr == pytest.approx(want_mrr, abs=1e-9)
+    want_map = sum(round(v["ap_at_k"], 6) for v in expect.values()) / n
+    assert row.map_at_k == pytest.approx(want_map, abs=1e-9)
+
+
+def test_ranking_summary_empty_raises(spark):
+    df = spark.createDataFrame([], "query_id int, rank int, relevance double")
+    with pytest.raises(InsufficientDataError):
+        ranking_summary(df)
+
+
+def test_ranking_metrics_bad_k():
+    with pytest.raises(ValueError):
+        ranking_metrics(None, k=0)
+
+
+# ------------------------------------------------------------ snapshot diff
+
+
+def _snap(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "id int, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0, "b"), (3, None, "c"), (4, 41.0, "d"), (5, 50.0, "e")],
+        "id int, price double, status string",
+    )
+    return old, new
+
+
+def test_snapshot_diff_statuses(spark):
+    old, new = _snap(spark)
+    rows = {r.id: r.status for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert rows == {1: "removed", 2: "unchanged", 3: "unchanged", 4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_null_to_value_is_changed(spark):
+    old, new = _snap(spark)
+    new2 = new.withColumn(
+        "price", F.when(F.col("id") == 3, F.lit(3.0)).otherwise(F.col("price"))
+    )
+    rows = {r.id: r.status for r in snapshot_diff(old, new2, ["id"]).collect()}
+    assert rows[3] == "changed"
+
+
+def test_snapshot_diff_summary_counts_and_checksum(spark):
+    old, new = _snap(spark)
+    out = {r.status: (r.n, r.key_checksum) for r in
+           snapshot_diff_summary(old, new, ["id"]).collect()}
+    assert out == {
+        "added": (1, 5), "removed": (1, 1), "changed": (1, 4), "unchanged": (2, 5),
+    }
+
+
+def test_snapshot_diff_missing_key_raises(spark):
+    old, new = _snap(spark)
+    with pytest.raises(ColumnNotFoundError):
+        snapshot_diff(old, new.drop("id"), ["id"])
+
+
+def test_snapshot_diff_carries_old_new_pairs(spark):
+    old, new = _snap(spark)
+    row = [r for r in snapshot_diff(old, new, ["id"]).collect() if r.id == 4][0]
+    assert row.price_old == 40.0 and row.price_new == 41.0
+
+
+# ------------------------------------------------------------- strip markup
+
+
+def test_strip_markup_tags_entities_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, '<p>a &amp; b</p> <script>x<y</script>  <b>c</b>\n\n\n\nd')],
+        "id int, text string",
+    )
+    out = strip_markup(df, "text").collect()[0]["text"]
+    assert out == "a & b c\n\nd"
+
+
+def test_strip_markup_keeps_nulls(spark):
+    df = spark.createDataFrame([(1, None)], "id int, text string")
+    assert strip_markup(df, "text").collect()[0]["text"] is None
+
+
+def test_strip_markup_double_encoded_stays_encoded(spark):
+    df = spark.createDataFrame([(1, "&amp;lt;tag&amp;gt;")], "id int, text string")
+    assert strip_markup(df, "text").collect()[0]["text"] == "&lt;tag&gt;"
