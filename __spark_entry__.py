@@ -4313,6 +4313,52 @@ def q_strip_markup(spark, sf_dir):
     return strip_markup(marked, "marked", out="clean").select("doc_id", "clean")
 
 
+def q_rolling_corr(spark, sf_dir):
+    """Trailing Pearson correlation (operators/window_features.py
+    rolling_corr): six windowed sums in ONE bounded-preceding ROWS
+    frame per user — single entity exchange, closed-form corr, pandas
+    null/min_periods/zero-variance semantics. Second series is the
+    deterministic event_id%17."""
+    from feature_engineering_tk_spark.operators.window_features import rolling_corr
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "y", (F.col("event_id") % 17).cast("double")
+    )
+    out = rolling_corr(
+        ev, "value", "y", window_rows=10, entity="user_id",
+        order=["ts", "event_id"], min_periods=5, out="rcorr",
+    )
+    return out.select("event_id", "user_id", F.round("rcorr", 6).alias("rcorr"))
+
+
+def q_melt_reshape(spark, sf_dir):
+    """Wide→long melt (operators/reshape.py melt): Spark native
+    unpivot — map-side row generator, zero shuffle, one output row per
+    (row × value column), values cast to one double column."""
+    from feature_engineering_tk_spark.operators.reshape import melt
+
+    li = _t(spark, sf_dir, "lineitem")
+    return melt(
+        li,
+        id_vars=["l_orderkey", "l_linenumber"],
+        value_vars=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+def q_pivot_events(spark, sf_dir):
+    """Long→wide pivot (operators/reshape.py pivot_agg): one
+    conditional-aggregation groupBy with sorted-collected categories
+    (deterministic column order — never groupBy().pivot() inference)
+    and decimal-exact money sums cast back to double."""
+    from feature_engineering_tk_spark.operators.reshape import pivot_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return pivot_agg(
+        ev, index=["user_id"], column="event_type", value="value",
+        func="sum", decimal_scale=2, fill=0.0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4579,6 +4625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": q_temporal_split,
         "approx_distinct": q_approx_distinct,
         "ranking_per_query": q_ranking_per_query,
+        "rolling_corr": q_rolling_corr,
+        "melt_reshape": q_melt_reshape,
+        "pivot_events": q_pivot_events,
         "ranking_summary": q_ranking_summary,
         "snapshot_diff": q_snapshot_diff,
         "strip_markup": q_strip_markup,
@@ -9732,6 +9781,66 @@ def oracle_sql() -> dict[str, str]:
           FROM per_q
     """
     )
+    d["rolling_corr"] = """
+        WITH s AS (
+          SELECT event_id, user_id,
+                 CASE WHEN value IS NOT NULL THEN value END AS xv,
+                 CASE WHEN value IS NOT NULL
+                      THEN CAST(event_id % 17 AS DOUBLE) END AS yv,
+                 CASE WHEN value IS NOT NULL AND event_id % 17 IS NOT NULL
+                      THEN 1 ELSE 0 END AS both_ok,
+                 ts
+            FROM events
+        ), w AS (
+          SELECT event_id, user_id,
+                 CAST(sum(both_ok) OVER fr AS DOUBLE) AS n,
+                 sum(xv) OVER fr AS sx,
+                 sum(yv) OVER fr AS sy,
+                 sum(xv * yv) OVER fr AS sxy,
+                 sum(xv * xv) OVER fr AS sxx,
+                 sum(yv * yv) OVER fr AS syy
+            FROM s
+          WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id,
+               round(CASE WHEN n >= 5
+                           AND (n * sxx - sx * sx) > 0
+                           AND (n * syy - sy * sy) > 0
+                          THEN (n * sxy - sx * sy)
+                               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     END, 6) AS rcorr
+          FROM w
+    """
+    d["melt_reshape"] = """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+               CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               CAST(l_discount AS DOUBLE) FROM lineitem
+    """
+    d["pivot_events"] = """
+        SELECT user_id,
+               coalesce(CAST(sum(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+                 AS value_sum_click,
+               coalesce(CAST(sum(CASE WHEN event_type = 'error'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+                 AS value_sum_error,
+               coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+                 AS value_sum_purchase,
+               coalesce(CAST(sum(CASE WHEN event_type = 'signup'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+                 AS value_sum_signup,
+               coalesce(CAST(sum(CASE WHEN event_type = 'view'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+                 AS value_sum_view
+          FROM events GROUP BY user_id
+    """
     d["snapshot_diff"] = """
         WITH old_s AS (
           SELECT o_orderkey, o_totalprice, o_orderstatus

@@ -571,6 +571,31 @@ class FeatureEngineer(_Tracked):
         self._record("create_aggregations", group_by=group_by, agg_col=agg_col, funcs=list(funcs))
         return self
 
+    def create_rolling_corr(
+        self, x: str, y: str, window_rows: int = 10, **kw
+    ) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.operators.window_features import rolling_corr
+
+        self.df = rolling_corr(self.df, x, y, window_rows=window_rows, **kw)
+        self._record("create_rolling_corr", x=x, y=y, window_rows=window_rows)
+        return self
+
+    def melt(self, id_vars: list[str], value_vars=None, **kw) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.operators.reshape import melt
+
+        self.df = melt(self.df, id_vars, value_vars, **kw)
+        self._record("melt", id_vars=id_vars, value_vars=value_vars)
+        return self
+
+    def pivot_agg(
+        self, index: list[str], column: str, value: str, **kw
+    ) -> "FeatureEngineer":
+        from feature_engineering_tk_spark.operators.reshape import pivot_agg
+
+        self.df = pivot_agg(self.df, index, column, value, **kw)
+        self._record("pivot_agg", index=index, column=column, value=value)
+        return self
+
     # -- persistence (feature_engineering.py:705-747) -------------------
     def save_transformers(self, path: str) -> str:
         from feature_engineering_tk_spark.transforms.state import save_transformers

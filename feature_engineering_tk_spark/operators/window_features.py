@@ -141,6 +141,52 @@ def rolling_time_agg(
     return df.withColumn(out or f"{col}_troll_{func}", agg(F.col(col)).over(w))
 
 
+def rolling_corr(
+    df: DataFrame,
+    x: str,
+    y: str,
+    window_rows: int = 10,
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    out: str | None = None,
+    min_periods: int | None = None,
+) -> DataFrame:
+    """Trailing Pearson correlation between two series per entity —
+    pandas ``rolling(window).corr()`` semantics: pairs where either
+    side is null are excluded from every sufficient statistic, and
+    windows with fewer than ``min_periods`` (default: ``window_rows``)
+    complete pairs yield null.
+
+    Closed form over SIX windowed sums (n, Σx, Σy, Σxy, Σx², Σy²) in
+    one bounded-preceding ROWS frame — the same single entity-key
+    exchange as every other rolling feature, no second pass, no UDF.
+    The fold order of each sum is pinned by the frame, so results are
+    engine-reproducible the same way the ranking family's are.  A
+    zero-variance side (constant x or y in the window) yields null
+    rather than ±inf, matching pandas.
+    """
+    if min_periods is None:
+        min_periods = window_rows
+    w = entity_window(entity, order).rowsBetween(-(window_rows - 1), 0)
+    both = F.col(x).isNotNull() & F.col(y).isNotNull()
+    xv = F.when(both, F.col(x).cast("double"))
+    yv = F.when(both, F.col(y).cast("double"))
+    n = F.sum(both.cast("int")).over(w).cast("double")
+    sx = F.sum(xv).over(w)
+    sy = F.sum(yv).over(w)
+    sxy = F.sum(xv * yv).over(w)
+    sxx = F.sum(xv * xv).over(w)
+    syy = F.sum(yv * yv).over(w)
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = F.when(
+        (n >= min_periods) & (var_x > 0) & (var_y > 0),
+        cov_n / F.sqrt(var_x * var_y),
+    )
+    return df.withColumn(out or f"{x}_{y}_rollcorr{window_rows}", corr)
+
+
 def cumulative_agg(
     df: DataFrame,
     col: str,
