@@ -921,6 +921,98 @@ def main() -> None:
         )
     )
 
+    from feature_engineering_tk_spark.analysis.ranking import ranking_metrics
+    from feature_engineering_tk_spark.operators.diff import snapshot_diff_summary
+    from feature_engineering_tk_spark.operators.reshape import melt, pivot_agg
+
+    ranked = ev.select(
+        (F.col("event_id") % 211).alias("query_id"),
+        (F.col("event_id") % 47 + 1).cast("int").alias("rank"),
+        (F.col("value") / 100.0).alias("relevance"),
+    )
+    p = plan_of(ranking_metrics(ranked, k=10))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    unpart = len(re.findall(r"Arguments: \[[^\]]*\], \[\], \[", p))
+    sections.append(
+        (
+            "ranking_metrics (NDCG/MAP/MRR)",
+            p,
+            [
+                f"exchanges={n_ex} (want 1 — the query-key exchange serves the rank-order "
+                "windows, the ideal-order windows, and the final partial+final aggregate)",
+                f"unpartitioned_windows={unpart} (want 0 — every window partitions by query)",
+            ],
+        )
+    )
+
+    old_s = orders.where(F.col("o_orderkey") % 19 != 3)
+    new_s = orders.where(F.col("o_orderkey") % 13 != 5)
+    p = plan_of(
+        snapshot_diff_summary(old_s, new_s, ["o_orderkey"], ["o_totalprice"])
+    )
+    n_cart = len(set(re.findall(r"CartesianProduct\s*\((\d+)\)", p)))
+    n_join = len(
+        set(re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\w* \((\d+)\)", p))
+    )
+    has_python = "Python" in p
+    sections.append(
+        (
+            "snapshot_diff_summary (table-version diff)",
+            p,
+            [
+                f"join_nodes={n_join} (want 1 — ONE full-outer key join, AQE picks the strategy)",
+                f"cartesian_products={n_cart} (want 0)",
+                f"python_nodes={has_python} (want False — null-safe compare is codegen)",
+            ],
+        )
+    )
+
+    p = plan_of(
+        W.rolling_corr(ev, "value", "event_id", window_rows=10,
+                       entity="user_id", order=["ts", "event_id"])
+    )
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    n_win = len(re.findall(r"\(\d+\) Window\b", p))
+    sections.append(
+        (
+            "rolling_corr (two-series trailing Pearson)",
+            p,
+            [
+                f"exchanges={n_ex} (want 1 — six sums share one bounded frame)",
+                f"window_nodes={n_win} (want 1 — all sufficient statistics in ONE Window node)",
+            ],
+        )
+    )
+
+    p = plan_of(melt(li, ["l_orderkey", "l_linenumber"],
+                     ["l_quantity", "l_extendedprice", "l_discount"]))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    sections.append(
+        (
+            "melt (wide-to-long unpivot)",
+            p,
+            [f"exchanges={n_ex} (want 0 — Expand is a map-side row generator)"],
+        )
+    )
+
+    p = plan_of(
+        pivot_agg(ev, ["user_id"], "event_type", "value",
+                  categories=["click", "error", "purchase", "signup", "view"],
+                  decimal_scale=2)
+    )
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    n_agg = len(set(re.findall(r"HashAggregate \((\d+)\)", p)))
+    sections.append(
+        (
+            "pivot_agg (long-to-wide conditional aggregation)",
+            p,
+            [
+                f"exchanges={n_ex} (want 1 — one index-key shuffle between partial and final)",
+                f"hash_aggregates={n_agg} (want 2 — map-side partials carry every category cell)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
