@@ -952,7 +952,7 @@ def main() -> None:
     )
     n_cart = len(set(re.findall(r"CartesianProduct\s*\((\d+)\)", p)))
     n_join = len(
-        set(re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\w* \((\d+)\)", p))
+        set(re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)[\w ]*\((\d+)\)", p))
     )
     has_python = "Python" in p
     sections.append(
