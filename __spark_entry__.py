@@ -4359,6 +4359,22 @@ def q_pivot_events(spark, sf_dir):
     )
 
 
+def q_kfold_assign(spark, sf_dir):
+    """Group-aware k-fold CV assignment (operators/sampling.py
+    kfold_assign): fold = pure key-hash mod k — row-local predicate
+    over the scan, zero shuffle, re-run-stable; md5 mode replayed
+    value-for-value by the oracle. Summarised per fold so the driver
+    compares the whole assignment."""
+    from feature_engineering_tk_spark.operators.sampling import kfold_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    out = kfold_assign(docs, ["doc_id"], k=5, hash_mode="md5")
+    return out.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("doc_id_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4626,6 +4642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "ranking_per_query": q_ranking_per_query,
         "rolling_corr": q_rolling_corr,
+        "kfold_assign": q_kfold_assign,
         "melt_reshape": q_melt_reshape,
         "pivot_events": q_pivot_events,
         "ranking_summary": q_ranking_summary,
@@ -9781,6 +9798,17 @@ def oracle_sql() -> dict[str, str]:
           FROM per_q
     """
     )
+    d["kfold_assign"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST({_h60_sql("concat('fold-v1', chr(31), CAST(doc_id AS VARCHAR))")}
+                      % 1000000 % 5 AS INT) AS fold
+            FROM documents
+        )
+        SELECT fold, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+          FROM t GROUP BY fold
+    """
     d["rolling_corr"] = """
         WITH s AS (
           SELECT event_id, user_id,

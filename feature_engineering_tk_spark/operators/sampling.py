@@ -74,6 +74,32 @@ def group_split(
     return df.withColumn(out, _key_bucket([group_col], salt, hash_mode) < cut)
 
 
+def kfold_assign(
+    df: DataFrame,
+    keys: list[str],
+    k: int = 5,
+    salt: str = "fold-v1",
+    hash_mode: str = "xxhash64",
+    out: str = "fold",
+) -> DataFrame:
+    """Group-aware k-fold assignment: fold id in [0, k) is a pure
+    function of the key hash — every row sharing the key (all turns of
+    a conversation, all chunks of a document) lands in ONE fold, so
+    cross-validation never leaks a group across folds; assignment is
+    re-run-stable and partitioning-independent, the group_split
+    contract generalized from 2 to k sides.
+
+    100 TB shape: a row-local hash-mod predicate over the scan — zero
+    shuffle, zero fit, no vocabulary. ``hash_mode='md5'`` keeps the
+    assignment replayable in the DuckDB oracle and on any engine with
+    md5 (the token_budget_sample convention)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        out, F.pmod(_key_bucket(keys, salt, hash_mode), F.lit(k)).cast("int")
+    )
+
+
 def sample_per_group(
     df: DataFrame,
     group_col: str,

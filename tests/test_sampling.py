@@ -185,3 +185,38 @@ class TestSamplePerGroup:
         df = spark.createDataFrame([("a", 1)], "grp string, rid int")
         with pytest.raises(ValueError):
             sample_per_group(df, "grp", ["rid"], k=0)
+
+
+def test_kfold_assign_partition_of_groups(spark, transcripts):
+    from feature_engineering_tk_spark.operators.sampling import kfold_assign
+
+    tagged = kfold_assign(transcripts, ["conv_id"], k=4)
+    # every row gets a fold in [0, 4)
+    rng = tagged.agg(F.min("fold"), F.max("fold")).first()
+    assert rng[0] >= 0 and rng[1] <= 3
+    # group-coherent: one fold per conversation
+    sides = tagged.groupBy("conv_id").agg(F.count_distinct("fold").alias("n"))
+    assert sides.filter(F.col("n") > 1).count() == 0
+    # all 4 folds populated and roughly balanced over 20k keys
+    big = kfold_assign(spark.range(0, 20_000).withColumnRenamed("id", "k"), ["k"], k=4)
+    counts = {r.fold: r.n for r in big.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(abs(c - 5000) < 500 for c in counts.values())
+
+
+def test_kfold_assign_deterministic_and_salted(spark, ids):
+    from feature_engineering_tk_spark.operators.sampling import kfold_assign
+
+    a = kfold_assign(ids, ["k"], k=5).collect()
+    b = kfold_assign(ids, ["k"], k=5).collect()
+    assert sorted((r.k, r.fold) for r in a) == sorted((r.k, r.fold) for r in b)
+    c = {r.k: r.fold for r in kfold_assign(ids, ["k"], k=5, salt="other").collect()}
+    base = {r.k: r.fold for r in a}
+    assert any(base[k] != c[k] for k in base)  # independent draw
+
+
+def test_kfold_assign_bad_k(spark, ids):
+    from feature_engineering_tk_spark.operators.sampling import kfold_assign
+
+    with pytest.raises(ValueError):
+        kfold_assign(ids, ["k"], k=1)
