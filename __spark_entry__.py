@@ -4359,6 +4359,21 @@ def q_pivot_events(spark, sf_dir):
     )
 
 
+def q_rolling_zscore(spark, sf_dir):
+    """Leakage-free rolling standardization (operators/
+    window_features.py rolling_zscore): trailing-window z-score whose
+    frame ends at the PREVIOUS row — the current value never
+    standardizes itself. Three windowed sums, one entity exchange."""
+    from feature_engineering_tk_spark.operators.window_features import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_zscore(
+        ev, "value", window_rows=10, entity="user_id",
+        order=["ts", "event_id"], min_periods=3, out="z",
+    )
+    return out.select("event_id", "user_id", F.round("z", 6).alias("z"))
+
+
 def q_kfold_assign(spark, sf_dir):
     """Group-aware k-fold CV assignment (operators/sampling.py
     kfold_assign): fold = pure key-hash mod k — row-local predicate
@@ -4643,6 +4658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_per_query": q_ranking_per_query,
         "rolling_corr": q_rolling_corr,
         "kfold_assign": q_kfold_assign,
+        "rolling_zscore": q_rolling_zscore,
         "melt_reshape": q_melt_reshape,
         "pivot_events": q_pivot_events,
         "ranking_summary": q_ranking_summary,
@@ -9798,6 +9814,24 @@ def oracle_sql() -> dict[str, str]:
           FROM per_q
     """
     )
+    d["rolling_zscore"] = """
+        WITH w AS (
+          SELECT event_id, user_id, value,
+                 CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+                      OVER fr AS DOUBLE) AS n,
+                 sum(value) OVER fr AS sx,
+                 sum(value * value) OVER fr AS sxx
+            FROM events
+          WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id,
+               round(CASE WHEN n >= 3 AND ((sxx - sx * sx / n) / (n - 1.0)) > 0
+                          THEN (value - sx / n)
+                               / sqrt((sxx - sx * sx / n) / (n - 1.0))
+                     END, 6) AS z
+          FROM w
+    """
     d["kfold_assign"] = f"""
         WITH t AS (
           SELECT doc_id,

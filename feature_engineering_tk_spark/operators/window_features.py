@@ -187,6 +187,45 @@ def rolling_corr(
     return df.withColumn(out or f"{x}_{y}_rollcorr{window_rows}", corr)
 
 
+def rolling_zscore(
+    df: DataFrame,
+    col: str,
+    window_rows: int = 20,
+    entity: str = "conv_id",
+    order: str | list[str] = "turn_idx",
+    out: str | None = None,
+    min_periods: int = 2,
+    include_current: bool = False,
+) -> DataFrame:
+    """Point-in-time standardization: (x − trailing mean) / trailing
+    std over the last ``window_rows`` rows per entity.  With the
+    default ``include_current=False`` the window ends at the PREVIOUS
+    row, so the current value never standardizes itself — the
+    leakage-free form a feature pipeline wants (the lead/bfill
+    ``allow_future`` discipline applied to normalization).
+
+    Same shape as rolling_corr: three windowed statistics (n, Σx, Σx²)
+    in one bounded ROWS frame — single entity exchange, one Window
+    node, closed-form sample std (ddof=1).  Windows with fewer than
+    ``min_periods`` non-null values, or zero variance, yield null
+    rather than ±inf.
+    """
+    hi = 0 if include_current else -1
+    lo = hi - (window_rows - 1)
+    w = entity_window(entity, order).rowsBetween(lo, hi)
+    x = F.col(col).cast("double")
+    n = F.sum(x.isNotNull().cast("int")).over(w).cast("double")
+    sx = F.sum(x).over(w)
+    sxx = F.sum(x * x).over(w)
+    # sample variance via the one-pass identity, n/(n-1) corrected
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    z = F.when(
+        (n >= F.lit(float(max(min_periods, 2)))) & (var > 0),
+        (x - sx / n) / F.sqrt(var),
+    )
+    return df.withColumn(out or f"{col}_rollz{window_rows}", z)
+
+
 def cumulative_agg(
     df: DataFrame,
     col: str,

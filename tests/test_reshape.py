@@ -127,3 +127,53 @@ def test_pivot_agg_mean_decimal_path(spark):
     )
     out = pivot_agg(df, ["id"], "cat", "v", func="mean", decimal_scale=2).collect()[0]
     assert out.v_mean_a == pytest.approx(1.65)
+
+
+# ------------------------------------------------------------ rolling_zscore
+
+
+def test_rolling_zscore_matches_pandas_shifted(spark):
+    import pandas as pd
+
+    rows, df = _series_fixture(spark, seed=3, n_entities=3, n_rows=30)
+    from feature_engineering_tk_spark.operators.window_features import rolling_zscore
+
+    out = rolling_zscore(df, "x", window_rows=7, min_periods=3, out="z")
+    got = {(r.conv_id, r.turn_idx): r.z for r in out.collect()}
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "x", "y"])
+    for cid, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        # trailing window EXCLUDING current row
+        mean = g["x"].rolling(7, min_periods=3).mean().shift(1)
+        std = g["x"].rolling(7, min_periods=3).std(ddof=1).shift(1)
+        want = (g["x"] - mean) / std
+        for t, w in zip(g["turn_idx"], want):
+            gv = got[(cid, t)]
+            if w is None or (isinstance(w, float) and math.isnan(w)):
+                assert gv is None, (cid, t, gv)
+            else:
+                assert gv == pytest.approx(w, abs=1e-9), (cid, t)
+
+
+def test_rolling_zscore_include_current(spark):
+    df = spark.createDataFrame(
+        [("c", 0, 1.0), ("c", 1, 2.0), ("c", 2, 3.0)],
+        "conv_id string, turn_idx int, x double",
+    )
+    from feature_engineering_tk_spark.operators.window_features import rolling_zscore
+
+    out = {r.turn_idx: r.z for r in
+           rolling_zscore(df, "x", window_rows=3, include_current=True, out="z").collect()}
+    # at turn 2: window = [1,2,3], mean 2, std 1 -> z = 1
+    assert out[2] == pytest.approx(1.0)
+
+
+def test_rolling_zscore_constant_window_is_null(spark):
+    df = spark.createDataFrame(
+        [("c", i, 5.0) for i in range(6)],
+        "conv_id string, turn_idx int, x double",
+    )
+    from feature_engineering_tk_spark.operators.window_features import rolling_zscore
+
+    out = rolling_zscore(df, "x", window_rows=4, out="z").collect()
+    assert all(r.z is None for r in out)
