@@ -38,6 +38,9 @@ from feature_engineering_tk_spark.exceptions import (
     ValidationError,
 )
 
+# deliberately no "first": F.first over an unordered group is
+# partition-order dependent, which breaks the engine's determinism
+# contract — use min/max for a stable representative instead
 _AGGS = {
     "sum": F.sum,
     "mean": F.avg,
@@ -45,7 +48,6 @@ _AGGS = {
     "min": F.min,
     "max": F.max,
     "count": F.count,
-    "first": F.first,
 }
 
 

@@ -277,3 +277,71 @@ def test_regression_metrics_matches_bruteforce(spark, pairs):
     assert r["n_mape"] == len(mape_terms)
     if mape_terms:
         assert r["mape"] == pytest.approx(sum(mape_terms) / len(mape_terms), abs=1e-9)
+
+
+# ---------------------------------------------------- ranking metrics
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from([0.0, 0.0, 1.0, 2.0]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_ranking_metrics_property(spark, rel_lists, k):
+    import math
+
+    from feature_engineering_tk_spark.analysis.ranking import ranking_metrics
+
+    rows = [
+        (q, i + 1, rel)
+        for q, rels in enumerate(rel_lists)
+        for i, rel in enumerate(rels)
+    ]
+    df = spark.createDataFrame(rows, "query_id int, rank int, relevance double")
+    got = {r.query_id: r for r in ranking_metrics(df, k=k).collect()}
+    for q, rels in enumerate(rel_lists):
+        hits = [r > 0 for r in rels]
+        n_rel = sum(hits)
+        row = got[q]
+        assert row.n_relevant == n_rel
+        rr = next((1.0 / (i + 1) for i, h in enumerate(hits) if h), 0.0)
+        assert row.rr == pytest.approx(rr, abs=1e-12)
+        dcg = sum((2.0 ** r - 1.0) / math.log2(i + 2) for i, r in enumerate(rels[:k]))
+        ideal = sorted(rels, reverse=True)
+        idcg = sum((2.0 ** r - 1.0) / math.log2(i + 2) for i, r in enumerate(ideal[:k]))
+        want_ndcg = dcg / idcg if idcg > 0 else 0.0
+        assert row.ndcg_at_k == pytest.approx(want_ndcg, abs=1e-12)
+        assert 0.0 <= row.ndcg_at_k <= 1.0 + 1e-12
+
+
+# ---------------------------------------------------- strip_markup
+
+
+tag_soup = st.lists(
+    st.one_of(
+        st.sampled_from(["<b>", "</b>", "<p class='x'>", "<!-- c -->", "<br/>"]),
+        st.text(alphabet="ab \n", min_size=0, max_size=6),
+    ),
+    min_size=0,
+    max_size=10,
+).map("".join)
+
+
+@SET
+@given(tag_soup)
+def test_strip_markup_removes_all_tags_property(spark, soup):
+    import re as _re
+
+    from feature_engineering_tk_spark.functions.cleaning import strip_markup
+
+    df = spark.createDataFrame([(1, soup)], "id int, text string")
+    out = strip_markup(df, "text", decode_entities=False).collect()[0]["text"]
+    # input had no entities, so no '<' can survive tag stripping
+    assert "<" not in out and ">" not in out
+    # whitespace is squeezed: no double spaces, no 3+ newline runs
+    assert "  " not in out and "\n\n\n" not in out
+    assert out == out.strip(" ")
