@@ -57,6 +57,51 @@ def load_table(
     return ensure_schema(df, schema) if schema is not None else df
 
 
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    delimiter: str = ",",
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """CSV/TSV ingest with an EXPLICIT schema — the crawl-manifest /
+    vendor-dump side door next to the parquet/Iceberg main path.
+
+    Schema inference is banned on purpose: at 100 TB a `.option(
+    "inferSchema", true)` is a full extra pass over the data before
+    the job starts, and a sampled inference can silently type a column
+    differently between shards.  The caller supplies the StructType;
+    malformed rows are captured (PERMISSIVE + ``corrupt_col``),
+    dropped (DROPMALFORMED) or fatal (FAILFAST) — never silently
+    coerced.  The corrupt column makes bad-row triage a normal
+    DataFrame query (`df.where(col(corrupt_col).isNotNull())`)
+    instead of a log grep.
+
+    Scale shape: Spark's CSV reader splits uncompressed files by byte
+    range, so parallelism follows file size like parquet; the schema
+    ships in the plan, not the data.
+    """
+    if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+        raise ValueError(f"unknown mode {mode!r}")
+    read_schema = schema
+    if mode == "PERMISSIVE" and corrupt_col:
+        if corrupt_col not in [f.name for f in schema.fields]:
+            read_schema = T.StructType(
+                [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+            )
+    reader = (
+        spark.read.schema(read_schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", mode)
+    )
+    if mode == "PERMISSIVE" and corrupt_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.csv(path)
+
+
 def write_table(
     df: DataFrame,
     ref: str,

@@ -142,3 +142,48 @@ def test_feature_job_bucket_output_naming(spark, tmp_path):
     # side may exchange
     assert plan.count("Exchange") <= 1
     spark.sql("DROP TABLE IF EXISTS feat_v2_x_bucketed")
+
+
+def test_read_delimited_schema_and_corrupt_capture(spark, tmp_path):
+    from feature_engineering_tk_spark.sources import read_delimited
+
+    p = tmp_path / "m.csv"
+    p.write_text("id,score,name\n1,2.5,a\n2,notanumber,b\nbad-row\n3,4.0,c\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("name", T.StringType()),
+    ])
+    df = read_delimited(spark, str(p), schema).cache()
+    try:
+        assert "_corrupt_record" in df.columns
+        good = df.where(F.col("_corrupt_record").isNull())
+        bad = df.where(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2 and bad.count() == 2
+        assert {r.id for r in good.collect()} == {1, 3}
+        # the raw malformed lines are preserved for triage
+        assert {r._corrupt_record for r in bad.collect()} == {
+            "2,notanumber,b", "bad-row",
+        }
+    finally:
+        df.unpersist()
+
+
+def test_read_delimited_tsv_dropmalformed(spark, tmp_path):
+    from feature_engineering_tk_spark.sources import read_delimited
+
+    p = tmp_path / "m.tsv"
+    p.write_text("id\tv\n1\t2\nx\ty\tz\n3\t4\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    df = read_delimited(spark, str(p), schema, delimiter="\t", mode="DROPMALFORMED")
+    assert sorted((r.id, r.v) for r in df.collect()) == [(1, 2), (3, 4)]
+
+
+def test_read_delimited_bad_mode(spark):
+    from feature_engineering_tk_spark.sources import read_delimited
+
+    with pytest.raises(ValueError):
+        read_delimited(spark, "/tmp/x.csv", T.StructType([]), mode="LENIENT")
