@@ -319,3 +319,38 @@ def test_round4_new_facades(spark):
     pp = fe.DataPreprocessor(ts_df).temporal_split("ts", "2024-01-15", "2024-01-25")
     assert pp.df.where("split = 'val'").count() == 10
     assert pp.operation_history[-1]["operation"] == "temporal_split"
+
+
+def test_ranking_and_reshape_facades(spark):
+    import feature_engineering_tk_spark as fe
+    from pyspark.sql import functions as F
+
+    ranked = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 2, 0.0), (1, 3, 1.0), (2, 1, 0.0), (2, 2, 1.0)],
+        "query_id int, rank int, relevance double",
+    )
+    es = fe.EvalSuite(ranked)
+    per_q = es.ranking_metrics(k=3)
+    assert per_q.count() == 2
+    row = es.ranking_summary(k=3).first()
+    assert row.n_queries == 2 and 0.0 < row.mrr <= 1.0
+
+    wide = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)],
+        "id int, cat string, v double",
+    )
+    eng = fe.FeatureEngineer(wide).pivot_agg(["id"], "cat", "v", fill=0.0)
+    assert eng.df.columns == ["id", "v_sum_a", "v_sum_b"]
+    back = fe.FeatureEngineer(eng.df).melt(["id"], ["v_sum_a", "v_sum_b"])
+    assert back.df.count() == 4
+
+    ts = spark.createDataFrame(
+        [("c", i, float(i % 5), float(i % 3)) for i in range(12)],
+        "conv_id string, turn_idx int, x double, y double",
+    )
+    out = fe.FeatureEngineer(ts).create_rolling_corr(
+        "x", "y", window_rows=6, min_periods=3, out="rc"
+    )
+    assert "rc" in out.df.columns
+    # op history records the call for export_summary parity
+    assert any(h["operation"] == "create_rolling_corr" for h in out.operation_history)
