@@ -4374,6 +4374,27 @@ def q_rolling_zscore(spark, sf_dir):
     return out.select("event_id", "user_id", F.round("z", 6).alias("z"))
 
 
+def q_logreg_score(spark, sf_dir):
+    """Logistic-regression scoring (functions/logreg.py logreg_score):
+    sigmoid(β₀ + β·x) as a row-local codegen expression over pinned
+    coefficients — the model ships as plan literals, zero shuffle.
+    (Training — logreg_train, the decimal-sum IRLS — is pytest-gated:
+    its d×d driver solve has no SQL twin; partition-layout invariance
+    is the tested contract.)"""
+    from feature_engineering_tk_spark.functions.logreg import logreg_score
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    feats = ev.select(
+        "event_id",
+        (F.col("value") / F.lit(100.0)).alias("x1"),
+        (F.col("event_id") % 7).cast("double").alias("x2"),
+    )
+    out = logreg_score(
+        feats, ["x1", "x2"], {"intercept": -0.5, "beta": [0.8, -0.3]}
+    )
+    return out.select("event_id", F.round("p", 6).alias("p"))
+
+
 def q_kfold_assign(spark, sf_dir):
     """Group-aware k-fold CV assignment (operators/sampling.py
     kfold_assign): fold = pure key-hash mod k — row-local predicate
@@ -4659,6 +4680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "kfold_assign": q_kfold_assign,
         "rolling_zscore": q_rolling_zscore,
+        "logreg_score": q_logreg_score,
         "melt_reshape": q_melt_reshape,
         "pivot_events": q_pivot_events,
         "ranking_summary": q_ranking_summary,
@@ -9814,6 +9836,12 @@ def oracle_sql() -> dict[str, str]:
           FROM per_q
     """
     )
+    d["logreg_score"] = """
+        SELECT event_id,
+               round(1.0 / (1.0 + exp(-((-0.5 + (value / 100.0) * 0.8)
+                     + CAST(event_id % 7 AS DOUBLE) * (-0.3)))), 6) AS p
+          FROM events WHERE value IS NOT NULL
+    """
     d["rolling_zscore"] = """
         WITH w AS (
           SELECT event_id, user_id, value,
