@@ -9864,7 +9864,7 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (
           SELECT doc_id,
                  CAST({_h60_sql("concat('fold-v1', chr(31), CAST(doc_id AS VARCHAR))")}
-                      % 1000000 % 5 AS INT) AS fold
+                      % 5 AS INT) AS fold
             FROM documents
         )
         SELECT fold, CAST(count(*) AS BIGINT) AS n,

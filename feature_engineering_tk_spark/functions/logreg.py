@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from feature_engineering_tk_spark.exceptions import (
     ColumnNotFoundError,
     InsufficientDataError,
+    ValidationError,
 )
 
 
@@ -73,13 +74,16 @@ def logreg_train(
     l2: float = 1e-3,
     n_iter: int = 8,
     term_dp: int = 12,
+    checkpoint: bool = True,
 ) -> dict:
     """Fit binary logistic regression by IRLS; returns
     ``{"intercept", "beta", "n", "n_pos", "log_loss", "n_iter"}``.
 
     Rows with any null feature or null label are excluded.  ``label``
     must be 0/1 (cast to double).  Raises InsufficientDataError when
-    fewer than d+1 rows or a single class survives filtering.
+    fewer than d+1 rows survive filtering, ValidationError when only a
+    single class survives (a count that can be large — not a data-
+    volume problem, so it gets its own diagnosis).
     """
     import numpy as np
 
@@ -105,13 +109,27 @@ def logreg_train(
             for j, name in enumerate(features)
         ],
     )
+    # The projected (y, x) table is rescanned once per IRLS iteration
+    # (correct at scale — n·d doubles never fit on one node), but the
+    # lineage ABOVE it (joins, feature engineering) must not be
+    # re-executed n_iter+1 times: truncate it once, lazily, so the
+    # first action materializes the projection to local executor
+    # storage and every later pass reads the checkpoint.
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
 
     counts = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum("_y").alias("pos")
     ).first()
     n, n_pos = int(counts["n"]), int(counts["pos"] or 0)
-    if n < d + 1 or n_pos == 0 or n_pos == n:
+    if n < d + 1:
         raise InsufficientDataError("logreg_train", required=d + 1, actual=n)
+    if n_pos == 0 or n_pos == n:
+        raise ValidationError(
+            f"logreg_train: label {label!r} has a single class after "
+            f"null filtering (n={n}, positives={n_pos}); a binary "
+            "logistic regression needs both classes present"
+        )
 
     dec = f"decimal(38,{term_dp})"
 

@@ -1,6 +1,6 @@
 """Document deduplication at training-data scale.
 
-Five strategies, all shuffle-disciplined:
+All strategies shuffle-disciplined; the core families:
 
 - :func:`exact_dedup` — hash-groupBy on normalized text: one shuffle
   on a 64-bit hash (not the full text), keep min-id per group.
@@ -14,9 +14,21 @@ Five strategies, all shuffle-disciplined:
   arithmetic); near-dups = equal simhash (or banded by prefix).
 - :func:`ngram_jaccard` — exact n-gram Jaccard for a candidate pair
   set (verification primitive).
-- :func:`embedding_neardup_pairs` — cosine near-dup over an embedding
-  column via LSH-bucketed self-join (brute-force cross join only
-  within buckets).
+- :func:`embedding_neardup_pairs` / :func:`semantic_dedup` — cosine
+  near-dup over an embedding column via LSH-bucketed self-join
+  (brute-force cross join only within buckets); SemDeDup-style
+  cluster-then-prune on top.
+- :func:`minhash_index` / :func:`dedup_against_index` — the
+  INCREMENTAL path: a persisted append-only MinHash band index; new
+  batches gate against it without re-shingling the corpus (see also
+  :func:`compact_index` / :func:`remove_from_index` for takedowns).
+- structural variants: :func:`dedup_paragraphs` (paragraph-level),
+  :func:`exact_span_dedup` (repeated-span suppression),
+  :func:`fuzzy_dedup` (edit-distance pairs), :func:`source_overlap` /
+  :func:`ngram_contamination` / :func:`memorization_scan` /
+  :func:`corpus_diff` (decontamination & governance), and
+  :func:`connected_components` (two-star union of candidate pairs
+  into duplicate clusters).
 
 Scale notes: MinHash permutations use the universal-hash family
 ``(a·x + b) mod p`` over ``xxhash64`` shingle hashes; a, b are derived

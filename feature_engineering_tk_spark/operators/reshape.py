@@ -77,6 +77,25 @@ def melt(
         raise ValueError("melt needs at least one value column")
     src = df
     if cast is not None:
+        # Plan-time guard: force-casting a string/date value column would
+        # fail mid-scan under ANSI mode (or silently null without it),
+        # which is strictly worse than the clear common-type error
+        # unpivot itself raises.  Only numeric/boolean columns are safely
+        # castable to a numeric target; reject anything else up front.
+        from pyspark.sql.types import BooleanType, NumericType
+
+        by_name = {f.name: f.dataType for f in df.schema.fields}
+        bad = [
+            c
+            for c in value_vars
+            if not isinstance(by_name[c], (NumericType, BooleanType))
+        ]
+        if bad:
+            raise ValidationError(
+                f"melt(cast={cast!r}): non-numeric value columns {bad} "
+                "cannot be safely cast; pass cast=None or exclude them "
+                "from value_vars"
+            )
         src = df.select(
             *id_vars, *[F.col(c).cast(cast).alias(c) for c in value_vars]
         )

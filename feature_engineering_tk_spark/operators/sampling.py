@@ -28,17 +28,20 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
-def _key_bucket(keys: list[str], salt: str, hash_mode: str) -> Column:
+def _key_hash(keys: list[str], salt: str, hash_mode: str) -> Column:
+    """Raw (unreduced) salted key hash — 64-bit xxhash64 or 60-bit md5."""
     key = F.concat_ws("\x1f", F.lit(salt), *[F.col(k).cast("string") for k in keys])
     if hash_mode == "xxhash64":
-        h = F.xxhash64(key)
+        return F.xxhash64(key)
     elif hash_mode == "md5":
         from feature_engineering_tk_spark.operators.dedup import _hash60
 
-        h = _hash60(key)
-    else:
-        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
-    return F.pmod(h, F.lit(_BUCKETS))
+        return _hash60(key)
+    raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+
+def _key_bucket(keys: list[str], salt: str, hash_mode: str) -> Column:
+    return F.pmod(_key_hash(keys, salt, hash_mode), F.lit(_BUCKETS))
 
 
 def hash_sample(
@@ -92,11 +95,14 @@ def kfold_assign(
     100 TB shape: a row-local hash-mod predicate over the scan — zero
     shuffle, zero fit, no vocabulary. ``hash_mode='md5'`` keeps the
     assignment replayable in the DuckDB oracle and on any engine with
-    md5 (the token_budget_sample convention)."""
+    md5 (the token_budget_sample convention).  The fold is the RAW
+    key hash pmod k (not bucketed through the 1M-bucket sampler
+    reduction first), so fold sizes carry no modular bias for any k —
+    hash % 1M % k would slightly favor low folds whenever k ∤ 1M."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     return df.withColumn(
-        out, F.pmod(_key_bucket(keys, salt, hash_mode), F.lit(k)).cast("int")
+        out, F.pmod(_key_hash(keys, salt, hash_mode), F.lit(k)).cast("int")
     )
 
 

@@ -76,8 +76,11 @@ def read_delimited(
     malformed rows are captured (PERMISSIVE + ``corrupt_col``),
     dropped (DROPMALFORMED) or fatal (FAILFAST) — never silently
     coerced.  The corrupt column makes bad-row triage a normal
-    DataFrame query (`df.where(col(corrupt_col).isNotNull())`)
-    instead of a log grep.
+    DataFrame query instead of a log grep — but note Spark disallows
+    queries that reference ONLY the internal corrupt-record column on
+    an uncached CSV read: either ``df.cache()`` first, or select at
+    least one data column alongside, e.g.
+    ``df.select("some_col", corrupt_col).where(col(corrupt_col).isNotNull())``.
 
     Scale shape: Spark's CSV reader splits uncompressed files by byte
     range, so parallelism follows file size like parquet; the schema

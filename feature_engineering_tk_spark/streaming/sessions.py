@@ -12,8 +12,17 @@ transcript table instead of backfilling it.
   watermark are dropped, matching a re-run of the affected batch
   partition in the batch engine).
 - :func:`streaming_turn_rate` — tumbling-window turn counts.
+- :func:`streaming_running_features` — stateful per-conversation
+  running features (``applyInPandasWithState``), batch-equivalent to
+  the cumulative window features.
+- :func:`streaming_dedup` — ``dropDuplicatesWithinWatermark`` on the
+  exact-dedup key.
+- :func:`streaming_loop_monitor` — incremental repeated-turn loop
+  detection, batch-equivalent to ``transcripts.detect_loops``.
+- :func:`streaming_neardup_ingest` — foreachBatch MinHash gate
+  against the persisted dedup index (cross-batch state).
 
-Both aggregations run with ``trigger(availableNow=True)`` for a
+Aggregations run with ``trigger(availableNow=True)`` for a
 deterministic batch-equivalent answer in tests.
 """
 

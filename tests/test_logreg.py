@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from feature_engineering_tk_spark.exceptions import (
     ColumnNotFoundError,
     InsufficientDataError,
+    ValidationError,
 )
 from feature_engineering_tk_spark.functions.logreg import logreg_score, logreg_train
 
@@ -38,6 +39,19 @@ def test_logreg_partition_layout_invariant(spark):
     assert m2["log_loss"] == m7["log_loss"]
 
 
+def test_logreg_checkpoint_does_not_change_model(spark):
+    """The lazy localCheckpoint of the (y, x) projection is a pure
+    lineage-truncation optimization — β, intercept, and loss must be
+    bit-identical with and without it."""
+    with_cp = logreg_train(_toy(spark), ["x1", "x2"], "y", n_iter=4)
+    without = logreg_train(
+        _toy(spark), ["x1", "x2"], "y", n_iter=4, checkpoint=False
+    )
+    assert with_cp["intercept"] == without["intercept"]
+    assert with_cp["beta"] == without["beta"]
+    assert with_cp["log_loss"] == without["log_loss"]
+
+
 def test_logreg_recovers_signs_and_separates(spark):
     df = _toy(spark, n=800)
     m = logreg_train(df, ["x1", "x2"], "y", n_iter=8)
@@ -62,12 +76,19 @@ def test_logreg_null_rows_excluded_and_guards(spark):
     df = spark.createDataFrame(
         [(1.0, 1.0), (None, 0.0), (2.0, None)], "x1 double, y double"
     )
-    with pytest.raises(InsufficientDataError):  # single class after filtering
+    with pytest.raises(InsufficientDataError):  # one row survives filtering
         logreg_train(df, ["x1"], "y", n_iter=1)
     with pytest.raises(ColumnNotFoundError):
         logreg_train(df, ["nope"], "y")
     with pytest.raises(ValueError):
         logreg_train(df, [], "y")
+    # single class with PLENTY of rows is a label problem, not a data-
+    # volume problem — it gets its own diagnosis (ValidationError)
+    ones = spark.createDataFrame(
+        [(float(i), 1.0) for i in range(50)], "x1 double, y double"
+    )
+    with pytest.raises(ValidationError, match="single class"):
+        logreg_train(ones, ["x1"], "y", n_iter=1)
 
 
 def test_logreg_feature_width_guard(spark):
