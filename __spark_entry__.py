@@ -3693,8 +3693,10 @@ def q_unigram_train(spark, sf_dir):
     unigram_train): hard-EM over the distinct-word table, broadcast
     vocab model, integer Viterbi counts (order-free, bit-deterministic).
     Float-scored DP inside iterative EM is not reasonably ANSI-SQL
-    expressible — rows-only driver check; exact property-parity vs a
-    pure-Python reference lives in tests/test_unigram.py."""
+    expressible as engine algebra — the oracle is a VALUES-literal
+    table pinned by an independent pure-Python replay of the pinned
+    semantics (_trio_oracles); exact property-parity also proven in
+    tests/test_unigram.py."""
     from feature_engineering_tk_spark.functions.unigram import unigram_train
 
     docs = _t(spark, sf_dir, "documents")
@@ -3704,7 +3706,8 @@ def q_unigram_train(spark, sf_dir):
 def q_unigram_segment(spark, sf_dir):
     """Unigram-LM segmentation (functions/unigram.py unigram_segment):
     model broadcast, one Arrow-batched mapInPandas pass, zero shuffle.
-    Rows-only driver check (same rationale as unigram_train)."""
+    Oracled via the _trio_oracles VALUES-literal replay (same
+    rationale as unigram_train)."""
     from feature_engineering_tk_spark.functions.unigram import (
         unigram_segment,
         unigram_train,
@@ -3724,8 +3727,9 @@ def q_compression_ratio(spark, sf_dir):
     """zlib compressibility signal (functions/cleaning.py
     compression_ratio): Arrow-batched pandas UDF over UTF-8 bytes,
     zero shuffle. Compressed length is a zlib library constant, not
-    engine algebra — no SQL oracle; the driver records the rows-only
-    check and pytest pins fixture values."""
+    engine algebra — the oracle is a VALUES-literal table pinned by
+    an independent pure-Python zlib replay (_trio_oracles); pytest
+    additionally pins fixture values."""
     from feature_engineering_tk_spark.functions.cleaning import compression_ratio
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -5640,6 +5644,200 @@ _BIGRAM_SCORED_CTE = """
         FROM documents d LEFT JOIN scored s USING (doc_id)
     )
 """
+
+
+_TRIO_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _trio_oracles() -> dict[str, str]:
+    """VALUES-literal oracles for the three queries whose cores (zlib,
+    float-scored Viterbi DP inside iterative EM) are not reasonably
+    ANSI-SQL-expressible: the expected outputs are recomputed here by
+    an INDEPENDENT pure-Python replay of the pinned semantics
+    (functions/unigram.py docstring contract; zlib at level 6) over
+    the same parquet the driver registers, then pinned as literal
+    tables — the bootstrap_ci / multimodal inline-constant pattern.
+
+    The replay reads ``$SPARK_GRAFT_ORACLE_SF_DIR`` (default the
+    driver's sf0.01); scripts/check_oracle.py sets it from its sf_dir
+    argument so replays at other scales stay honest.
+    """
+    import os as _os
+    import re as _re
+    import zlib as _zl
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _dk
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if sf_dir in _TRIO_CACHE:
+        return _TRIO_CACHE[sf_dir]
+    docs = _dk.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+    def _slit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    # ---- unigram-LM reference (pure Python, mirrors the pinned
+    # conventions: Java-\s word split for training, Python split for
+    # segmentation, hard-EM integer counts, char floor, count-rank
+    # pruning, Viterbi ties -> fewer pieces then lexicographic)
+    _java_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    V, NI, MPL, SEED = 60, 2, 4, 120
+
+    freqs: dict[str, int] = {}
+    for _id, text in docs:
+        if text is None:
+            continue
+        for w in _java_ws.split(text.lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+
+    def _viterbi(word: str, logp: dict[str, float]) -> list[str]:
+        n = len(word)
+        best = [(0.0, 0, ())] + [(-math.inf, 0, ())] * n
+        for i in range(1, n + 1):
+            for j in range(max(0, i - MPL), i):
+                piece = word[j:i]
+                lp = logp.get(piece)
+                if lp is None:
+                    if i - j > 1:
+                        continue
+                    lp = -20.0
+                sc, np_, seq = best[j]
+                if sc == -math.inf:
+                    continue
+                cand = (sc + lp, np_ + 1, seq + (piece,))
+                cur = best[i]
+                if (
+                    cand[0] > cur[0]
+                    or (cand[0] == cur[0] and cand[1] < cur[1])
+                    or (
+                        cand[0] == cur[0]
+                        and cand[1] == cur[1]
+                        and cand[2] < cur[2]
+                    )
+                ):
+                    best[i] = cand
+        return list(best[n][2])
+
+    weight: dict[str, int] = {}
+    for w, c in freqs.items():
+        for i in range(len(w)):
+            for ln in range(1, min(MPL, len(w) - i) + 1):
+                p = w[i : i + ln]
+                weight[p] = weight.get(p, 0) + c
+    counts = {p: c for p, c in weight.items() if len(p) == 1}
+    for p, c in sorted(
+        ((p, c) for p, c in weight.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:SEED]:
+        counts[p] = c
+    char_set = {p for p in counts if len(p) == 1}
+
+    def _logp(cs: dict[str, int]) -> dict[str, float]:
+        total = sum(cs.values())
+        return {
+            p: math.log(c) - math.log(total) for p, c in cs.items() if c > 0
+        }
+
+    logp = _logp(counts)
+    for _ in range(NI):
+        acc: dict[str, int] = {}
+        for w, c in freqs.items():
+            for piece in _viterbi(w, logp):
+                acc[piece] = acc.get(piece, 0) + c
+        for ch in char_set:
+            acc[ch] = max(acc.get(ch, 0), 1)
+        counts = acc
+        logp = _logp(counts)
+    keep = {p: c for p, c in counts.items() if len(p) == 1}
+    for p, c in sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    ):
+        if len(keep) >= V and p not in keep:
+            continue
+        keep[p] = c
+    total = sum(keep.values())
+    model_rows = [
+        (p, int(c), math.log(c) - math.log(total))
+        for p, c in sorted(keep.items())
+    ]
+    final_logp = {p: lp for p, _c, lp in model_rows}
+
+    train_vals = ", ".join(
+        f"({_slit(p)}, {c}, {_dlit(lp)})" for p, c, lp in model_rows
+    )
+    unigram_train = (
+        'SELECT piece, CAST(cnt AS BIGINT) AS "count",'
+        " CAST(logprob AS DOUBLE) AS logprob"
+        f" FROM (VALUES {train_vals}) AS t(piece, cnt, logprob)"
+    )
+
+    seg_rows = []
+    for doc_id, text in docs:
+        if text is None:
+            seg_rows.append((doc_id, None, None))
+            continue
+        pieces: list[str] = []
+        for w in str(text).lower().split():
+            pieces.extend(_viterbi(w, final_logp))
+        seg_rows.append((doc_id, len(pieces), " ".join(pieces[:12])))
+    seg_vals = ", ".join(
+        f"({i}, {('NULL' if n is None else n)},"
+        f" {('NULL' if h is None else _slit(h))})"
+        for i, n, h in seg_rows
+    )
+    unigram_segment = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(n_pieces AS INT) AS n_pieces, pieces_head"
+        f" FROM (VALUES {seg_vals}) AS t(doc_id, n_pieces, pieces_head)"
+    )
+
+    # ---- zlib compressibility reference (level 6, ratio rounded the
+    # way Spark rounds doubles: BigDecimal.valueOf -> HALF_UP)
+    cz_rows = []
+    for doc_id, text in docs:
+        if text is None:
+            cz_rows.append((doc_id, None, None, None))
+            continue
+        raw = len(text.encode("utf-8"))
+        comp = len(_zl.compress(text.encode("utf-8"), 6))
+        ratio = (
+            float(
+                Decimal(repr(comp / raw)).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
+            if raw > 0
+            else None
+        )
+        cz_rows.append((doc_id, comp, raw, ratio))
+    cz_vals = ", ".join(
+        f"({i}, {('NULL' if c is None else c)}, {('NULL' if r is None else r)},"
+        f" {('NULL' if x is None else _dlit(x))})"
+        for i, c, r, x in cz_rows
+    )
+    compression_ratio = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(compressed_bytes AS BIGINT) AS compressed_bytes,"
+        " CAST(raw_bytes AS BIGINT) AS raw_bytes,"
+        " CAST(compression_ratio AS DOUBLE) AS compression_ratio"
+        f" FROM (VALUES {cz_vals})"
+        " AS t(doc_id, compressed_bytes, raw_bytes, compression_ratio)"
+    )
+
+    out = {
+        "unigram_train": unigram_train,
+        "unigram_segment": unigram_segment,
+        "compression_ratio": compression_ratio,
+    }
+    _TRIO_CACHE[sf_dir] = out
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9986,4 +10184,5 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, trim(c) AS clean FROM w
     """
+    d.update(_trio_oracles())
     return d

@@ -69,6 +69,11 @@ def main():
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
+    # literal-table oracles (unigram trio) recompute from this dir
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
     from feature_engineering_tk_spark.session import get_spark
 
