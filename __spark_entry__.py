@@ -4103,6 +4103,33 @@ def q_dedup_incremental(spark, sf_dir):
     return surv.select("doc_id").orderBy("doc_id")
 
 
+def q_dedup_index_compact(spark, sf_dir):
+    """Index lifecycle (operators/dedup.py remove_from_index /
+    compact_index): the append-only corpus index — built as two
+    overlapping snapshot segments (full corpus + a re-appended
+    doc_id % 3 = 0 slice) — is compacted with doc_id % 7 = 0
+    tombstoned (takedowns), then gates the shard.  The ORACLE replays
+    the gate against a FRESH index of the surviving corpus: equality
+    proves compaction + takedown are invisible to gate decisions,
+    so the lifecycle runs index-sized with zero corpus rescans."""
+    from feature_engineering_tk_spark.operators.dedup import (
+        compact_index,
+        dedup_against_index,
+        minhash_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    shard = d.filter(F.col("doc_id") % 5 == 0)
+    seg1 = minhash_index(corpus, hash_mode="md5")
+    seg2 = minhash_index(corpus.filter(F.col("doc_id") % 3 == 0), hash_mode="md5")
+    pile = seg1.unionByName(seg2)  # append-only segment history
+    tombs = corpus.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    idx = compact_index(pile, tombstones=tombs)
+    surv, _additions = dedup_against_index(shard, idx, threshold=0.7, hash_mode="md5")
+    return surv.select("doc_id").orderBy("doc_id")
+
+
 def q_regression_eval(spark, sf_dir):
     """Regression-model scorecard (analysis/regression.py
     regression_metrics): mae/rmse/r2/bias/mape from one map-side-
@@ -4674,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiclass_confusion": q_multiclass_confusion,
         "multiclass_metrics": q_multiclass_metrics,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_index_compact": q_dedup_index_compact,
         "regression_eval": q_regression_eval,
         "residual_quantiles": q_residual_quantiles,
         "krippendorff": q_krippendorff,
@@ -5159,6 +5187,30 @@ def _generated_oracles() -> dict[str, str]:
          ORDER BY doc_id
     """
 
+    # lifecycle proof: gate vs the COMPACTED index (Spark side) must
+    # equal gate vs a FRESH index of the surviving corpus (this
+    # replay): tombstoned docs (%7 = 0) no longer suppress, duplicate
+    # re-appended segment rows change nothing
+    dedup_index_compact = f"""
+        WITH {mh_ctes},
+        newb AS (SELECT doc_id AS nid, bucket FROM bands WHERE doc_id % 5 = 0),
+        oldb AS (SELECT doc_id AS oid, bucket FROM bands
+                  WHERE doc_id % 5 != 0 AND doc_id % 7 != 0),
+        icand AS (SELECT DISTINCT nid, oid FROM newb JOIN oldb USING (bucket)),
+        est AS (
+          SELECT nid,
+                 list_sum(list_transform(range(1, 33),
+                          i -> CASE WHEN sn.sig[i] = so.sig[i] THEN 1 ELSE 0 END)) / 32.0 AS e
+            FROM icand
+            JOIN sigarr sn ON sn.doc_id = nid
+            JOIN sigarr so ON so.doc_id = oid
+        ),
+        dupn AS (SELECT DISTINCT nid FROM est WHERE e >= 0.7)
+        SELECT doc_id FROM documents
+         WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT nid FROM dupn)
+         ORDER BY doc_id
+    """
+
     tfidf = f"""
         WITH src AS ({norm_src}),
         toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM src),
@@ -5585,6 +5637,7 @@ def _generated_oracles() -> dict[str, str]:
         "multimodal_features": multimodal_features,
         "minhash_dedup": minhash_dedup,
         "dedup_incremental": dedup_incremental,
+        "dedup_index_compact": dedup_index_compact,
         "simhash": simhash,
         "doc_fingerprint": doc_fingerprint,
         "embedding_neardup": embedding_neardup,

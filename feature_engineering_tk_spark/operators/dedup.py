@@ -379,6 +379,67 @@ def dedup_against_index(
     return survivors, additions
 
 
+def remove_from_index(
+    index: DataFrame,
+    doc_ids: DataFrame | list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Takedown path for the persisted MinHash index: drop the rows of
+    ``doc_ids`` (a tombstone DataFrame — first column is the id — or a
+    plain list) by ANTI-JOIN on the 8-byte doc key.
+
+    This is how legal takedowns and re-filtered documents leave the
+    index WITHOUT a corpus rescan: the corpus text is never touched,
+    no signature is recomputed — one join between the index and an
+    id list.  At 100 TB the tombstone side is tiny (AQE broadcasts
+    it); the index side shuffles nothing (broadcast anti-join).
+
+    Note the gate semantics: a removed doc no longer suppresses
+    near-duplicates in future shards — exactly the takedown intent
+    (its content must become ingestible again only if genuinely
+    re-collected, in which case the new copy re-indexes itself).
+    """
+    if not isinstance(doc_ids, DataFrame):
+        spark = index.sparkSession
+        doc_ids = spark.createDataFrame(
+            [(i,) for i in doc_ids], f"{id_col} long"
+        )
+    tomb = doc_ids.select(F.col(doc_ids.columns[0]).alias(id_col)).distinct()
+    return index.join(tomb, id_col, "left_anti")
+
+
+def compact_index(
+    index: DataFrame,
+    tombstones: DataFrame | list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Periodic rewrite of the append-only MinHash index: apply
+    ``tombstones`` (see :func:`remove_from_index`) and collapse
+    duplicate id rows (a doc re-appended by overlapping snapshot
+    builds — its rows are bit-identical by construction, signatures
+    being pure functions of (text, seed, geometry)), keeping one row
+    per id.
+
+    The CONTRACT, proven by the ``dedup_index_compact`` oracle and
+    ``tests/test_dedup_index.py``: gate decisions of
+    :func:`dedup_against_index` against the compacted index equal
+    those against a FRESH ``minhash_index`` build of the surviving
+    corpus — compaction is invisible to the gate, so it can run on
+    the index alone (index-sized job, no corpus rescan, no
+    re-shingling).
+
+    Scale shape: one hash-partition shuffle of the index on the id
+    (the dropDuplicates exchange) + a broadcast anti-join for the
+    tombstones; rows stay (num_hashes + bands)·8 bytes.  Write the
+    result with ``sources.tables.write_table`` to replace the
+    accumulated segment pile.
+    """
+    out = index
+    if tombstones is not None:
+        out = remove_from_index(out, tombstones, id_col)
+    return out.dropDuplicates([id_col])
+
+
 def ngram_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -492,3 +492,56 @@ def test_incremental_index_dedup(spark):
     a = {(r["doc_id"], tuple(r["buckets"])) for r in idx.collect()}
     b = {(r["doc_id"], tuple(r["buckets"])) for r in rebuilt.collect()}
     assert a == b
+
+
+def test_index_lifecycle_tombstones_and_compaction(spark):
+    """Takedowns + compaction are invisible to the gate: decisions
+    against the compacted index equal decisions against a fresh index
+    of the surviving corpus (the dedup_index_compact oracle contract,
+    exercised here on the tombstone edge cases)."""
+    from feature_engineering_tk_spark.operators.dedup import (
+        compact_index,
+        dedup_against_index,
+        minhash_index,
+        remove_from_index,
+    )
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs before the party"),
+        (3, "completely different text about distributed systems and shuffles"),
+        (4, "yet another unrelated document on window functions and skew"),
+    ]
+    corpus = spark.createDataFrame(base, "doc_id bigint, text string")
+    seg1 = minhash_index(corpus)
+    # overlapping snapshot segment: docs 1-2 re-appended (bit-identical rows)
+    seg2 = minhash_index(corpus.filter("doc_id <= 2"))
+    pile = seg1.unionByName(seg2)
+    assert pile.count() == 6
+
+    # remove_from_index: list AND DataFrame tombstones, anti-join only
+    assert remove_from_index(pile, [1]).filter("doc_id = 1").count() == 0
+    tomb_df = spark.createDataFrame([(1,)], "doc_id bigint")
+    assert remove_from_index(pile, tomb_df).filter("doc_id = 1").count() == 0
+    # unknown ids are a no-op, not an error
+    assert remove_from_index(pile, [999]).count() == 6
+
+    compacted = compact_index(pile, tombstones=[1])
+    assert compacted.count() == 3  # dup rows collapsed, doc 1 gone
+    assert compacted.filter("doc_id = 1").count() == 0
+
+    # gate equivalence vs fresh build on the surviving corpus: a shard
+    # doc near-matching ONLY the tombstoned doc must now SURVIVE
+    shard = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            (11, "pack my box with five dozen liquor jugs before the party"),
+        ],
+        "doc_id bigint, text string",
+    )
+    surv_c, _ = dedup_against_index(shard, compacted, threshold=0.7)
+    fresh = minhash_index(corpus.filter("doc_id != 1"))
+    surv_f, _ = dedup_against_index(shard, fresh, threshold=0.7)
+    got_c = sorted(r["doc_id"] for r in surv_c.collect())
+    got_f = sorted(r["doc_id"] for r in surv_f.collect())
+    assert got_c == got_f == [10]  # 10 freed by the takedown, 11 still gated
