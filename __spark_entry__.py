@@ -4013,6 +4013,30 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, "token", k=20)
 
 
+def q_mg_heavy_hitters(spark, sf_dir):
+    """Cross-slice heavy hitters answered FROM THE SKETCH TABLE
+    (operators/frequency.py mg_sketch_table + merge_mg_sketches):
+    each user-shard slice is summarised once into a persistable
+    Misra-Gries (slice, value, weight) table — raw values never
+    shuffle — and the corpus-wide answer merges the sketch-sized
+    table in the deterministic (weight desc, value asc) fold order.
+    width=64 ≥ the event_type cardinality, so no decrement ever
+    fires and the sketch is EXACT (partition-independent) — the
+    oracle-able regime; the lossy-width band is pinned by
+    tests/test_frequency.py."""
+    from feature_engineering_tk_spark.operators.frequency import (
+        merge_mg_sketches,
+        mg_sketch_table,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "shard", (F.col("user_id") % 8).cast("int")
+    )
+    sketches = mg_sketch_table(ev, "event_type", "shard", width=64)
+    merged = merge_mg_sketches(sketches, width=64)
+    return merged.orderBy(F.desc("weight"), "value")
+
+
 def q_frequency_spectrum(spark, sf_dir):
     """Vocabulary count-of-counts (operators/frequency.py
     frequency_spectrum): how many distinct tokens occur exactly f
@@ -4697,6 +4721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_loss": q_log_loss,
         "gains_lift": q_gains_lift,
         "heavy_hitters": q_heavy_hitters,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
         "frequency_spectrum": q_frequency_spectrum,
         "multiclass_confusion": q_multiclass_confusion,
         "multiclass_metrics": q_multiclass_metrics,
@@ -9832,6 +9857,11 @@ def oracle_sql() -> dict[str, str]:
         t AS (SELECT sum(n_rows) AS tot FROM c),
         k AS (SELECT value, n_rows FROM c ORDER BY n_rows DESC, value ASC LIMIT 20)
         SELECT value, n_rows, CAST(n_rows AS DOUBLE) / tot AS share FROM k, t
+    """
+    d["mg_heavy_hitters"] = """
+        SELECT event_type AS value, CAST(count(*) AS BIGINT) AS weight
+          FROM events GROUP BY event_type
+         ORDER BY weight DESC, value ASC
     """
     d["frequency_spectrum"] = f"""
         WITH tok AS ({_tokens}),

@@ -19,6 +19,17 @@ useful primitives are:
   (true_count − n/width ≤ estimate ≤ true_count) survives merging.
   Use when the value column is too hot to groupBy at full width
   (adversarial token floods); ``heavy_hitters`` is the exact path.
+- **mg_sketch_table / merge_mg_sketches** — the PERSISTABLE form of
+  the MG sketch, mirroring ``distinct_sketch_table`` /
+  ``merge_distinct_sketches``: sketch each ingest slice once into a
+  (slice, value, weight) table of ≤ width rows per slice, persist it,
+  and answer any later cross-slice heavy-hitter question from the
+  sketch table alone — no corpus rescan.  MG summaries are mergeable
+  (Agarwal et al., PODS 2012), so the merged estimate keeps the
+  deterministic band ``true − n/width ≤ estimate ≤ true`` for the
+  union of the summarized slices; with width ≥ the slice's distinct
+  count the sketch is EXACT (no decrement ever fires) — the regime
+  the SQL oracle pins, while pytest pins the lossy-width band.
 """
 
 from __future__ import annotations
@@ -154,6 +165,135 @@ def misra_gries(df: DataFrame, column: str, width: int = 64) -> list[tuple[str, 
     for r in sorted(partials, key=lambda r: (-r["weight"], r["value"])):
         _mg_update(merged, r["value"], int(r["weight"]), w)
     return sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def _mg_fold(rows: pd.DataFrame, width: int) -> dict:
+    """Fold (value, weight) rows into one width-limited MG table in
+    the DETERMINISTIC order (weight desc, value asc) — the same
+    convention as the driver merge in :func:`misra_gries`, so a given
+    multiset of partial rows always folds to the same table."""
+    table: dict = {}
+    rows = rows.sort_values(
+        ["weight", "value"], ascending=[False, True], kind="mergesort"
+    )
+    for value, weight in zip(rows["value"], rows["weight"]):
+        _mg_update(table, value, int(weight), width)
+    return table
+
+
+def mg_sketch_table(
+    df: DataFrame, column: str, by: str, width: int = 64
+) -> DataFrame:
+    """Per-slice mergeable Misra-Gries sketch TABLE:
+    (``by``, value, weight) with ≤ ``width`` rows per slice — the
+    persistable heavy-hitter primitive for incremental pipelines.
+
+    Sketch each ingest slice (day, source, shard) once, persist this
+    table, and answer later cross-slice heavy-hitter questions with
+    :func:`merge_mg_sketches` over the sketch-sized table instead of
+    rescanning the corpus.
+
+    Two-level build so RAW VALUES NEVER SHUFFLE: each task summarises
+    its own rows per slice vectorized (value_counts per Arrow batch
+    folded into per-slice MG tables), emitting ≤ width (slice, value,
+    weight) partials; the per-slice shuffle then carries only those
+    sketch-sized partials, folded in the deterministic (weight desc,
+    value asc) order.  With width ≥ the slice's distinct count no
+    decrement ever fires and the table is exactly the slice's value
+    counts (the oracle-pinned regime); below that, each slice keeps
+    the classic band ``true − n_slice/width ≤ weight ≤ true``.
+    """
+    _require(df, column)
+    _require(df, by)
+    w = int(width)
+    if w < 1:
+        raise ValueError("width must be >= 1")
+
+    by_type = df.schema[by].dataType
+    out_schema = StructType(
+        [
+            StructField(by, by_type),
+            StructField("value", StringType()),
+            StructField("weight", LongType()),
+        ]
+    )
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tables: dict = {}
+        for pdf in batches:
+            sub = pdf[[by, column]].dropna()
+            vc = sub.groupby(by, sort=False)[column].value_counts()
+            for (slice_key, value), cnt in vc.items():
+                _mg_update(
+                    tables.setdefault(slice_key, {}), str(value), int(cnt), w
+                )
+        out = [
+            (slice_key, value, weight)
+            for slice_key, table in tables.items()
+            for value, weight in table.items()
+        ]
+        yield pd.DataFrame(out, columns=[by, "value", "weight"])
+
+    partials = df.select(
+        F.col(by), F.col(column).cast("string").alias(column)
+    ).mapInPandas(summarize, schema=out_schema)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        table = _mg_fold(pdf, w)
+        return pd.DataFrame(
+            [(pdf[by].iloc[0], v, c) for v, c in table.items()],
+            columns=[by, "value", "weight"],
+        )
+
+    return partials.groupBy(by).applyInPandas(merge_group, schema=out_schema)
+
+
+def merge_mg_sketches(
+    sketches: DataFrame, width: int = 64, by: str | None = None
+) -> DataFrame:
+    """Fold a sketch table (from :func:`mg_sketch_table`) into
+    heavy-hitter estimates, optionally regrouped by a coarser key:
+    (``by``?, value, weight).
+
+    Input is sketch-sized (slices × width rows), so this runs at
+    aggregate scale regardless of the corpus the sketches summarize;
+    the fold per output group uses the deterministic (weight desc,
+    value asc) order, so the same sketch table always merges to the
+    same answer.  The merged band is ``true − n/width ≤ weight ≤
+    true`` with n the total weight of the merged slices; in the
+    exact regime (every slice sketched with width ≥ its distinct
+    count, no value lost) the merged weights are exact sums.
+    """
+    w = int(width)
+    if w < 1:
+        raise ValueError("width must be >= 1")
+    for c in ("value", "weight"):
+        _require(sketches, c)
+    if by is None:
+        src = sketches.withColumn("_g", F.lit(1))
+        key, drop_key = "_g", True
+    else:
+        _require(sketches, by)
+        src, key, drop_key = sketches, by, False
+
+    key_type = src.schema[key].dataType
+    out_schema = StructType(
+        [
+            StructField(key, key_type),
+            StructField("value", StringType()),
+            StructField("weight", LongType()),
+        ]
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        table = _mg_fold(pdf, w)
+        return pd.DataFrame(
+            [(pdf[key].iloc[0], v, c) for v, c in table.items()],
+            columns=[key, "value", "weight"],
+        )
+
+    out = src.groupBy(key).applyInPandas(merge_group, schema=out_schema)
+    return out.drop(key) if drop_key else out
 
 
 def approx_distinct(

@@ -89,3 +89,80 @@ def test_misra_gries_small_width(spark):
     sketch = dict(misra_gries(df, "v", width=2))
     assert "a" in sketch and sketch["a"] <= 50
     assert 50 - sketch["a"] <= 100 / 2
+
+
+def test_mg_sketch_table_exact_regime_and_merge(spark, tokens):
+    """width ≥ per-slice distinct count → the sketch table is exactly
+    each slice's value counts, and the merged table is exactly the
+    global counts (the mg_heavy_hitters oracle regime)."""
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.operators.frequency import (
+        merge_mg_sketches,
+        mg_sketch_table,
+    )
+
+    df, toks = tokens
+    sliced = df.withColumn("slice", (F.monotonically_increasing_id() % 3).cast("int"))
+    sk = mg_sketch_table(sliced, "token", "slice", width=1000)
+    # per-slice rows equal that slice's exact counts
+    exact_slice = {
+        (r["slice"], r["token"]): r["n"]
+        for r in sliced.groupBy("slice", "token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got_slice = {(r["slice"], r["value"]): r["weight"] for r in sk.collect()}
+    assert got_slice == exact_slice
+    # global merge equals global exact counts
+    merged = {r["value"]: r["weight"] for r in merge_mg_sketches(sk, width=1000).collect()}
+    assert merged == dict(Counter(toks))
+
+
+def test_mg_sketch_table_lossy_width_band(spark):
+    """Below-cardinality width keeps the classic MG band per slice and
+    after merging: true − n/width ≤ estimate ≤ true."""
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.operators.frequency import (
+        merge_mg_sketches,
+        mg_sketch_table,
+    )
+
+    rows = (
+        [("s0", "a")] * 60 + [("s0", "b")] * 25 + [(f"s0", f"x{i}") for i in range(15)]
+        + [("s1", "a")] * 40 + [("s1", "c")] * 30 + [(f"s1", f"y{i}") for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "slice string, v string")
+    truth = Counter(v for _, v in rows)
+    n = len(rows)
+    width = 4
+    sk = mg_sketch_table(df, "v", "slice", width=width)
+    assert sk.groupBy("slice").count().agg(F.max("count")).first()[0] <= width
+    merged = dict(
+        (r["value"], r["weight"]) for r in merge_mg_sketches(sk, width=width).collect()
+    )
+    assert len(merged) <= width
+    for v, est in merged.items():
+        assert est <= truth[v]
+        assert truth[v] - est <= n / width
+    # regroup by a coarser key keeps the by column
+    coarse = merge_mg_sketches(sk.withColumn("all", F.lit("g")), width=width, by="all")
+    assert set(coarse.columns) == {"all", "value", "weight"}
+
+
+def test_mg_sketch_table_guards(spark, tokens):
+    from feature_engineering_tk_spark.operators.frequency import (
+        merge_mg_sketches,
+        mg_sketch_table,
+    )
+
+    df, _ = tokens
+    sliced = df.withColumn("slice", df["token"].substr(1, 1))
+    with pytest.raises(ColumnNotFoundError):
+        mg_sketch_table(sliced, "nope", "slice")
+    with pytest.raises(ValueError):
+        mg_sketch_table(sliced, "token", "slice", width=0)
+    sk = mg_sketch_table(sliced, "token", "slice", width=8)
+    with pytest.raises(ColumnNotFoundError):
+        merge_mg_sketches(sk.drop("weight"))
+    with pytest.raises(ValueError):
+        merge_mg_sketches(sk, width=0)
