@@ -297,3 +297,50 @@ def test_streaming_neardup_ingest_gates_across_batches(spark, tmp_path):
     assert got2 == {1, 2, 11}  # 10 caught by the persisted index
     # index grew by exactly the accepted docs
     assert {r["doc_id"] for r in spark.read.parquet(idx).collect()} == {1, 2, 11}
+
+
+def test_streaming_loop_monitor_equals_batch_on_replay(spark, transcripts, tmp_path):
+    """Full equivalence sweep (the sessions-test pattern): the 60-conv
+    generated corpus replayed in TWO micro-batches split mid-
+    conversation must leave the streaming monitor in exactly the
+    batch auditor's state — per conversation, the max run ever seen
+    and the has_loop verdict match detect_loops on the union."""
+    from feature_engineering_tk_spark.operators.transcripts import detect_loops
+
+    src = str(tmp_path / "loop_replay")
+    # split mid-conversation: early turns ship in batch 1, the rest in
+    # batch 2 (per-conversation in-order arrival, the monitor contract)
+    transcripts.filter(F.col("turn_idx") < 4).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    transcripts.filter(F.col("turn_idx") >= 4).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = SS.read_transcript_stream(spark, src, max_files=1)
+    q = (
+        SS.streaming_loop_monitor(stream, min_repeats=2)
+        .writeStream.format("memory")
+        .queryName("loop_replay_mon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = (
+        spark.table("loop_replay_mon")
+        .groupBy("conv_id")
+        .agg(
+            F.max("max_run").alias("max_run"),
+            F.max(F.col("has_loop").cast("int")).alias("loop"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    batch = detect_loops(transcripts, min_repeats=2)
+    joined = streamed.join(batch, "conv_id").collect()
+    assert len(joined) == batch.count() == 60  # every conversation covered
+    for r in joined:
+        assert r["n_rows"] == r["n_turns"]  # one emitted row per turn
+        assert r["max_run"] == r["max_consecutive_repeats"], r["conv_id"]
+        assert bool(r["loop"]) == r["has_loop"], r["conv_id"]
