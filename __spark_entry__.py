@@ -4346,6 +4346,35 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_apply_diff(spark, sf_dir):
+    """Diff round-trip (operators/diff.py apply_diff): the oracle IS
+    the reconstruction contract — apply_diff(old, snapshot_diff(old,
+    new), keys) must equal new on keys + compared values, so the SQL
+    twin simply computes `new` directly.  Compared columns come
+    straight from diff rows (no join); the uncompared o_custkey
+    carries over from old via one key join (null for added keys is
+    avoided here by comparing all non-key columns we select)."""
+    from feature_engineering_tk_spark.operators.diff import apply_diff, snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.where(F.col("o_orderkey") % 19 != 3)
+    new = orders.where(F.col("o_orderkey") % 13 != 5).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(old, new, keys=["o_orderkey"])
+    rebuilt = apply_diff(old, diff, keys=["o_orderkey"])
+    return rebuilt.select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        "o_orderstatus",
+    ).orderBy("o_orderkey")
+
+
 def q_strip_markup(spark, sf_dir):
     """HTML/markup stripping (functions/cleaning.py strip_markup):
     documents wrapped in a deterministic tag/script/entity shell, then
@@ -4742,6 +4771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "ranking_summary": q_ranking_summary,
         "snapshot_diff": q_snapshot_diff,
+        "apply_diff": q_apply_diff,
         "strip_markup": q_strip_markup,
     }
 
@@ -10235,6 +10265,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT status, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(k) AS BIGINT) AS key_checksum
           FROM j GROUP BY status ORDER BY status
+    """
+    d["apply_diff"] = """
+        SELECT o_orderkey,
+               round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END, 6) AS o_totalprice,
+               o_orderstatus
+          FROM orders WHERE o_orderkey % 13 <> 5
+         ORDER BY o_orderkey
     """
     d["strip_markup"] = """
         WITH m AS (

@@ -195,3 +195,61 @@ def test_strip_markup_keeps_nulls(spark):
 def test_strip_markup_double_encoded_stays_encoded(spark):
     df = spark.createDataFrame([(1, "&amp;lt;tag&amp;gt;")], "id int, text string")
     assert strip_markup(df, "text").collect()[0]["text"] == "&lt;tag&gt;"
+
+
+def test_apply_diff_round_trip(spark):
+    """apply_diff(old, snapshot_diff(old, new), keys) == new — the
+    diff is a migration artifact."""
+    from feature_engineering_tk_spark.operators.diff import apply_diff
+
+    old, new = _snap(spark)
+    rebuilt = apply_diff(old, snapshot_diff(old, new, ["id"]), ["id"])
+    assert sorted(rebuilt.columns) == sorted(new.columns)
+    got = {tuple(r) for r in rebuilt.select(*sorted(new.columns)).collect()}
+    want = {tuple(r) for r in new.select(*sorted(new.columns)).collect()}
+    assert got == want
+
+
+def test_apply_diff_carries_uncompared_columns(spark):
+    """Columns the diff didn't compare come from old by key; added
+    keys get null there (the diff never saw their values)."""
+    from feature_engineering_tk_spark.operators.diff import apply_diff
+
+    old, new = _snap(spark)
+    diff = snapshot_diff(old, new, ["id"], compare=["price"])
+    rebuilt = apply_diff(old, diff, ["id"])
+    rows = {r.id: (r.price, r.status) for r in rebuilt.collect()}
+    assert set(rows) == {2, 3, 4, 5}  # removed key 1 dropped
+    assert rows[4] == (41.0, "d")  # compared col from diff, carry from old
+    assert rows[5] == (50.0, None)  # added key: carry unknown -> null
+    assert rows[2] == (20.0, "b")
+
+
+def test_apply_diff_guards(spark):
+    from feature_engineering_tk_spark.operators.diff import apply_diff
+
+    old, new = _snap(spark)
+    diff = snapshot_diff(old, new, ["id"])
+    with pytest.raises(ColumnNotFoundError):
+        apply_diff(old, diff.drop("status"), ["id"])
+    with pytest.raises(ColumnNotFoundError):
+        apply_diff(old, diff, ["nope"])
+
+
+def test_merge_statement_sql(spark):
+    """Pinned MERGE INTO shape + executable against an in-memory
+    MERGE-capable target via the v2 session catalog is out of scope
+    here (no Iceberg); the statement is plain ANSI MERGE."""
+    from feature_engineering_tk_spark.operators.diff import merge_statement
+
+    sql = merge_statement("db.t", "d", ["id"], ["price", "status"])
+    assert sql == (
+        "MERGE INTO db.t t USING d s ON t.id = s.id "
+        "WHEN MATCHED AND s.status = 'removed' THEN DELETE "
+        "WHEN MATCHED AND s.status = 'changed' THEN UPDATE SET "
+        "t.price = s.price_new, t.status = s.status_new "
+        "WHEN NOT MATCHED AND s.status = 'added' THEN "
+        "INSERT (id, price, status) VALUES (s.id, s.price_new, s.status_new)"
+    )
+    with pytest.raises(ValueError):
+        merge_statement("t", "d", [], ["x"])
