@@ -3376,6 +3376,46 @@ def q_best_of_n(spark, sf_dir):
     )
 
 
+def q_preference_pairs(spark, sf_dir):
+    """DPO pair construction (operators/evals.py preference_pairs):
+    per-prompt chosen/rejected by struct-max/min over (score,
+    response) — ONE partial-agg groupBy, no window, equal-score
+    prompts dropped. Prompts = user_id % 211, responses = event_id,
+    scores = value."""
+    from feature_engineering_tk_spark.operators.evals import preference_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    resp = ev.select(
+        (F.col("user_id") % 211).alias("prompt_id"),
+        F.col("event_id").alias("response_id"),
+        F.col("value").alias("score"),
+    )
+    out = preference_pairs(resp)
+    return out.select(
+        "prompt_id",
+        "chosen",
+        F.round("chosen_score", 6).alias("chosen_score"),
+        "rejected",
+        F.round("rejected_score", 6).alias("rejected_score"),
+        F.round("margin", 6).alias("margin"),
+        "n_responses",
+    ).orderBy("prompt_id")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (functions/text.py bm25_topk):
+    query terms as plan literals filter the token explode at the
+    scan; df/tf partial-agg groupBys; 1-row N/avgdl broadcasts;
+    decimal-exact per-doc sum; TakeOrdered top-k."""
+    from feature_engineering_tk_spark.functions.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(docs, "spark sort window", k=10)
+    return out.select(
+        "doc_id", F.round("bm25", 6).alias("bm25"), "n_query_terms_hit"
+    )
+
+
 def q_refusal_rate(spark, sf_dir):
     """Per-model refusal-rate gauge (operators/evals.py refusal_rate,
     composing functions/cleaning.py phrase_scan): row-local case-folded
@@ -4708,6 +4748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pass_at_k": q_pass_at_k,
         "majority_vote": q_majority_vote,
         "best_of_n": q_best_of_n,
+        "preference_pairs": q_preference_pairs,
+        "bm25_topk": q_bm25_topk,
         "refusal_rate": q_refusal_rate,
         "discounted_return": q_discounted_return,
         "prefix_sharing": q_prefix_sharing,
@@ -9053,6 +9095,72 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT count(*) FROM approx a
                        JOIN exact e USING (vec_id)) AS DOUBLE)
                  / (SELECT count(*) FROM exact) AS recall
+    """
+    d["preference_pairs"] = """
+        WITH s AS (
+          SELECT user_id % 211 AS prompt_id, event_id AS response_id,
+                 value AS score
+            FROM events WHERE value IS NOT NULL
+        ),
+        hi AS (
+          SELECT prompt_id, response_id, score,
+                 row_number() OVER (PARTITION BY prompt_id
+                                    ORDER BY score DESC, response_id DESC) AS rn
+            FROM s
+        ),
+        lo AS (
+          SELECT prompt_id, response_id, score,
+                 row_number() OVER (PARTITION BY prompt_id
+                                    ORDER BY score ASC, response_id ASC) AS rn
+            FROM s
+        ),
+        a AS (
+          SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_responses
+            FROM s GROUP BY prompt_id
+        )
+        SELECT a.prompt_id,
+               hi.response_id AS chosen,
+               round(hi.score, 6) AS chosen_score,
+               lo.response_id AS rejected,
+               round(lo.score, 6) AS rejected_score,
+               round(hi.score - lo.score, 6) AS margin,
+               a.n_responses
+          FROM a
+          JOIN hi ON hi.prompt_id = a.prompt_id AND hi.rn = 1
+          JOIN lo ON lo.prompt_id = a.prompt_id AND lo.rn = 1
+         WHERE a.n_responses >= 2 AND hi.score - lo.score > 0
+         ORDER BY a.prompt_id
+    """
+    d["bm25_topk"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+            FROM documents
+        ), tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
+        st AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+        ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        qt AS (SELECT doc_id, term FROM tk
+                WHERE term IN ('sort', 'spark', 'window')),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM qt GROUP BY doc_id, term),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        part AS (
+          SELECT tf.doc_id,
+                 CAST(round(
+                   ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)), 9)
+                 AS DECIMAL(38,9)) AS p
+            FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), st, ad
+        ),
+        agg AS (
+          SELECT doc_id, CAST(sum(p) AS DOUBLE) AS bm25,
+                 CAST(count(*) AS BIGINT) AS n_query_terms_hit
+            FROM part GROUP BY doc_id
+        )
+        SELECT doc_id, round(bm25, 6) AS bm25, n_query_terms_hit
+          FROM agg ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """
     d["best_of_n"] = """
         WITH s AS (

@@ -178,6 +178,99 @@ def tf_idf(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: the top-``k`` documents for a (small)
+    query string — the lexical complement to ``cosine_topk``'s dense
+    retrieval and the standard first-stage ranker for RAG data
+    curation and eval-set mining.
+
+    Semantics (classic Robertson/Sparck-Jones with the non-negative
+    idf variant Lucene uses): tokens = lowercased whitespace words
+    (the ``tf_idf`` convention); ``idf = ln(1 + (N − df + 0.5)/(df +
+    0.5))``; per (doc, term) score = idf · tf·(k1+1) / (tf + k1·(1 −
+    b + b·len/avglen)); doc score = Σ over distinct query terms.
+
+    Scale shape: query terms are plan literals, so the token explode
+    is FILTERED to query terms at the scan (tokens not in the query
+    never reach the aggregate); per-term df and per-doc tf are
+    partial-aggregatable groupBys over that filtered stream; N and
+    avg doc length ride in one 1-row broadcast; the final top-k is a
+    TakeOrdered heap (score desc, id asc — deterministic) — k rows to
+    the driver, never a sorted corpus.  Duplicate query terms count
+    once (set semantics, the standard BM25 query model).
+
+    Determinism: per-(doc, term) parts are rounded to 9 decimals and
+    summed as ``decimal(38,9)`` (exact integer arithmetic — the
+    logreg/pagerank convention), so the ranking is bit-identical
+    under any partitioning and replayable in the DuckDB oracle.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q_terms = sorted({t for t in query.lower().split() if t})
+    if not q_terms:
+        raise ValueError("query has no terms")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+                " ",
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    # 1-row corpus stats: N docs + average token length (docs with no
+    # tokens still count toward N via the source table)
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = df.select(F.col(id_col)).agg(
+        F.countDistinct(id_col).cast("double").alias("_n")
+    )
+    avgdl = doclen.agg(F.avg("dl").alias("_avgdl"))
+    qtok = toks.filter(F.col("term").isin(q_terms))
+    tf = qtok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq.select("term", "df", idf.alias("idf"))), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("_avgdl")
+                )
+            ),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum(F.round(F.col("part"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("bm25"),
+        F.count(F.lit(1)).alias("n_query_terms_hit"),
+    )
+    return agg.orderBy(F.desc("bm25"), F.col(id_col).asc()).limit(k)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

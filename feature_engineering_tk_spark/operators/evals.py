@@ -328,6 +328,60 @@ def best_of_n(
     )
 
 
+def preference_pairs(
+    df: DataFrame,
+    prompt: str = "prompt_id",
+    response: str = "response_id",
+    score: str = "score",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """DPO / RLHF preference-pair construction: per prompt, CHOSEN =
+    the highest-scored response, REJECTED = the lowest-scored, with
+    the pair kept only when the score margin is strictly above
+    ``min_margin`` (equal-score prompts carry no preference signal;
+    a positive margin additionally drops near-ties, the standard
+    noise filter when scores come from a reward model).
+
+    Ties break toward the GREATEST response id on the chosen side and
+    the SMALLEST on the rejected side (struct-max/-min — deterministic
+    under any partitioning, the best_of_n convention).
+
+    Returns ``(prompt, chosen, chosen_score, rejected,
+    rejected_score, margin, n_responses)``.
+
+    Scale shape: ONE partial-aggregatable ``groupBy(prompt)`` — both
+    argmaxes are struct extrema, never a window or self-join; the
+    response table shuffles once as 3-column rows.  NULL scores are
+    dropped.  Join the returned ids back to the text table by key to
+    materialize the training pairs (ids, not text, move through the
+    shuffle).
+    """
+    if min_margin < 0:
+        raise ValueError("min_margin must be >= 0")
+    live = df.where(F.col(score).isNotNull())
+    agg = live.groupBy(prompt).agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.max(
+            F.struct(F.col(score).alias("r"), F.col(response).alias("s"))
+        ).alias("_hi"),
+        F.min(
+            F.struct(F.col(score).alias("r"), F.col(response).alias("s"))
+        ).alias("_lo"),
+    )
+    out = agg.select(
+        prompt,
+        F.col("_hi.s").alias("chosen"),
+        F.col("_hi.r").alias("chosen_score"),
+        F.col("_lo.s").alias("rejected"),
+        F.col("_lo.r").alias("rejected_score"),
+        (F.col("_hi.r") - F.col("_lo.r")).alias("margin"),
+        "n_responses",
+    )
+    return out.where(
+        (F.col("n_responses") >= 2) & (F.col("margin") > F.lit(float(min_margin)))
+    )
+
+
 #: Case-folded substrings that mark a refusal/deflection reply.  The
 #: standard public heuristic set (the "as an AI language model" family
 #: used by e.g. the OpenAssistant and LMSYS cleaning scripts).

@@ -333,3 +333,49 @@ def test_special_token_rate(spark):
     assert rows["web"].n_docs == 3 and rows["web"].n_contaminated == 1
     assert rows["web"].contamination_rate == 1 / 3
     assert rows["code"].n_contaminated == 1 and rows["code"].contamination_rate == 1.0
+
+
+def test_bm25_topk_semantics(spark):
+    """Hand-checked Okapi BM25 (Lucene idf variant) on a 3-doc corpus."""
+    import math
+
+    from feature_engineering_tk_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark sort spark"),        # tf(spark)=2, dl=3
+            (2, "sort merge join"),         # tf(spark)=0
+            (3, "spark window"),            # tf(spark)=1, dl=2
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in bm25_topk(docs, "spark", k=3).collect()}
+    assert set(out) == {1, 3}  # doc 2 has no query term
+    n, avgdl = 3.0, (3 + 3 + 2) / 3.0
+    idf = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+    def score(tf, dl):
+        part = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return round(part, 9)
+    assert out[1].bm25 == pytest.approx(score(2, 3), abs=1e-9)
+    assert out[3].bm25 == pytest.approx(score(1, 2), abs=1e-9)
+    assert out[1].bm25 > out[3].bm25  # higher tf wins here
+    assert out[1].n_query_terms_hit == 1
+    # duplicate query terms count once; unknown terms contribute nothing
+    dup = {r.doc_id: r.bm25 for r in bm25_topk(docs, "spark spark zzz", k=3).collect()}
+    assert dup[1] == out[1].bm25
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "   ")
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "spark", k=0)
+
+
+def test_bm25_topk_filters_tokens_at_scan(spark):
+    """The token explode is filtered to query-term literals before the
+    aggregate — non-query tokens never reach a shuffle."""
+    from feature_engineering_tk_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a d e")], "doc_id bigint, text string"
+    )
+    plan = bm25_topk(docs, "a", k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

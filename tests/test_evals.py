@@ -493,3 +493,43 @@ def test_length_bias_sign_test(spark):
     # deltas: +2, +1, -1, 0, -1 → mean 1/5
     assert r.mean_token_delta == 1 / 5
     assert r.sign_z == 0.0
+
+
+def test_preference_pairs_argmax_margin_and_guards(spark):
+    from feature_engineering_tk_spark.operators.evals import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("p1", "r1", 0.9), ("p1", "r2", 0.2), ("p1", "r3", 0.9),
+            ("p2", "r1", 0.5), ("p2", "r2", 0.5),          # tie: no signal
+            ("p3", "r1", 0.4),                             # single response
+            ("p4", "r1", None), ("p4", "r2", 0.8), ("p4", "r3", 0.1),
+        ],
+        "prompt_id string, response_id string, score double",
+    )
+    rows = {r.prompt_id: r for r in preference_pairs(df).collect()}
+    assert set(rows) == {"p1", "p4"}  # tie and singleton dropped
+    p1 = rows["p1"]
+    # score tie on the chosen side breaks toward the GREATEST response id
+    assert (p1.chosen, p1.rejected) == ("r3", "r2")
+    assert p1.chosen_score == 0.9 and p1.rejected_score == 0.2
+    assert p1.margin == pytest.approx(0.7)
+    assert p1.n_responses == 3
+    p4 = rows["p4"]  # null scores excluded from count and extrema
+    assert (p4.chosen, p4.rejected, p4.n_responses) == ("r2", "r3", 2)
+    # min_margin drops near-ties
+    assert preference_pairs(df, min_margin=0.65).count() == 2
+    assert preference_pairs(df, min_margin=0.75).count() == 0
+    with pytest.raises(ValueError):
+        preference_pairs(df, min_margin=-1)
+
+
+def test_preference_pairs_single_exchange(spark):
+    from feature_engineering_tk_spark.operators.evals import preference_pairs
+
+    df = spark.createDataFrame(
+        [("p", "r1", 0.1), ("p", "r2", 0.9)],
+        "prompt_id string, response_id string, score double",
+    )
+    plan = preference_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one groupBy shuffle, no window/join
