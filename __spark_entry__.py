@@ -2917,6 +2917,30 @@ def q_psi_drift(spark, sf_dir):
     return psi_table(ref, cur, "value", bins=10)
 
 
+def q_psi_sketch(spark, sf_dir):
+    """Sketch-table PSI (analysis/drift.py hist_sketch_table +
+    psi_from_sketches): each window is sketched per user-shard slice
+    into a fixed-edge (slice, bin, n) histogram table — lossless
+    integer merge — and PSI is computed from the sketch tables alone.
+    The ORACLE replays the RAW-SLICE psi_table SQL: equality proves
+    the sketch path is exact, so daily monitoring reads sketch rows,
+    not the corpus."""
+    from feature_engineering_tk_spark.analysis.drift import (
+        hist_sketch_table,
+        psi_from_sketches,
+        reference_edges,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("ts") < F.lit(_DRIFT_CUT).cast("timestamp"))
+    cur = ev.where(F.col("ts") >= F.lit(_DRIFT_CUT).cast("timestamp"))
+    edges = reference_edges(ref, "value", bins=10)
+    shard = (F.col("user_id") % 4).cast("int")
+    rs = hist_sketch_table(ref.withColumn("shard", shard), "value", "shard", edges)
+    cs = hist_sketch_table(cur.withColumn("shard", shard), "value", "shard", edges)
+    return psi_from_sketches(rs, cs, n_bins=len(edges) + 1)
+
+
 def q_ks_drift(spark, sf_dir):
     """Exact two-sample KS (analysis/drift.py ks_statistic_df):
     sup|F1-F2| over pooled distinct values via range-partitioned
@@ -4675,6 +4699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "embedding_covariance": q_embedding_covariance,
         "psi_drift": q_psi_drift,
+        "psi_sketch": q_psi_sketch,
         "ks_drift": q_ks_drift,
         "mann_whitney": q_mann_whitney,
         "funnel": q_funnel,
@@ -8281,6 +8306,9 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     d.update(d_static)
+    # sketch-path PSI must equal the raw-slice PSI bit-for-bit (the
+    # fixed-edge histogram merge is lossless) — same oracle SQL
+    d["psi_sketch"] = d_static["psi_drift"]
     d["context_truncate"] = _TRANSCRIPT_CTE + """
         , t AS (
           SELECT conv_id, turn_idx,

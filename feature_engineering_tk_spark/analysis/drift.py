@@ -19,6 +19,11 @@ monitors, both computed without ever sorting row data globally:
   is the Kolmogorov series (Numerical Recipes ``probks``), evaluated
   as a fixed-length sequential fold so any engine reproduces it
   bit-for-bit.
+- **hist_sketch_table / merge_hist_sketches / psi_from_sketches** —
+  the PERSISTABLE monitoring path: fixed-edge per-slice histogram
+  sketch tables merge losslessly (integer sums), so daily PSI runs
+  read slice-sized sketch rows instead of rescanning the corpus;
+  identical output to the raw-slice ``psi_table`` by construction.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
 from feature_engineering_tk_spark.operators.quantiles import exact_quantiles
 
 PSI_EPS = 1e-6
@@ -84,15 +90,20 @@ def psi_table(
         F.sum((F.col("_f") == "r").cast("bigint")).alias("n_ref"),
         F.sum((F.col("_f") == "c").cast("bigint")).alias("n_cur"),
     )
-    spark = ref.sparkSession
-    grid = spark.range(len(edges) + 1).select(F.col("id").cast("int").alias("bin"))
-    counts = (
-        grid.join(counts, "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-        )
+    return _psi_from_counts(counts, len(edges) + 1, eps)
+
+
+def _psi_from_counts(counts: DataFrame, n_bins: int, eps: float) -> DataFrame:
+    """PSI scoring over a (bin, n_ref, n_cur) count table — shared by
+    the raw-slice path (:func:`psi_table`) and the sketch-table path
+    (:func:`psi_from_sketches`); bins absent from ``counts`` enter as
+    zeros via the dense grid."""
+    spark = counts.sparkSession
+    grid = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    counts = grid.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
     totals = counts.agg(
         F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
@@ -111,6 +122,87 @@ def psi_table(
     )
     total = scored.agg(F.round(F.sum("_t"), 9).alias("psi_total"))
     return scored.crossJoin(F.broadcast(total)).drop("_t")
+
+
+def hist_sketch_table(
+    df: DataFrame, column: str, by: str, edges: list[float]
+) -> DataFrame:
+    """Per-slice FIXED-EDGE histogram sketch table: (``by``, bin, n) —
+    the distributional member of the persistable-sketch trio
+    (``distinct_sketch_table`` for cardinality, ``mg_sketch_table``
+    for heavy hitters, this for shape).
+
+    Because the bin edges are fixed (persist them next to the sketch —
+    :func:`reference_edges` fits them once on the reference window),
+    sketches merge LOSSLESSLY by integer addition: any union of slices
+    has exactly the histogram a direct scan would give, so cross-slice
+    PSI / mass-balance questions are answered from the sketch table
+    with zero approximation and zero corpus rescan.
+
+    Scale shape: bin coding is a row-local codegen expression; ONE
+    map-side-combined groupBy on (slice, bin) — at most
+    slices × (len(edges)+2) rows ever shuffle.  Null values are
+    counted in a dedicated ``bin = -1`` row so sketch totals equal
+    slice row counts (drop it for PSI, which is over non-null mass).
+    """
+    for c in (column, by):
+        if c not in df.columns:
+            raise ColumnNotFoundError(c, df.columns)
+    if not edges:
+        raise ValueError("edges must be non-empty")
+    v = F.col(column)
+    code = F.when(v.isNull(), F.lit(-1)).otherwise(bin_code(v, edges))
+    return (
+        df.groupBy(F.col(by), code.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_hist_sketches(sketches: DataFrame, by: str | None = None) -> DataFrame:
+    """Fold a histogram sketch table into (``by``?, bin, n), optionally
+    regrouped by a coarser key — exact integer sums (lossless, order-
+    free), aggregate-sized input."""
+    for c in ("bin", "n"):
+        if c not in sketches.columns:
+            raise ColumnNotFoundError(c, sketches.columns)
+    keys = ([by] if by else []) + ["bin"]
+    if by and by not in sketches.columns:
+        raise ColumnNotFoundError(by, sketches.columns)
+    return sketches.groupBy(*keys).agg(F.sum("n").alias("n"))
+
+
+def psi_from_sketches(
+    ref_sketch: DataFrame,
+    cur_sketch: DataFrame,
+    n_bins: int,
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """PSI between two corpus windows computed FROM SKETCH TABLES
+    alone (same-edge :func:`hist_sketch_table` outputs, merged or
+    per-slice): identical output to :func:`psi_table` over the raw
+    slices — the fixed-edge merge is lossless — proven by the
+    ``psi_sketch`` oracle, which replays the raw-slice SQL.
+
+    ``n_bins`` = len(edges) + 1 (the fitted edge list's bin count).
+    The null bin (-1) is excluded: PSI is over non-null mass, matching
+    the raw path's ``isNotNull`` filter.
+    """
+    r = (
+        merge_hist_sketches(ref_sketch)
+        .where(F.col("bin") >= 0)
+        .select("bin", F.col("n").alias("n_ref"))
+    )
+    c = (
+        merge_hist_sketches(cur_sketch)
+        .where(F.col("bin") >= 0)
+        .select("bin", F.col("n").alias("n_cur"))
+    )
+    counts = r.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    return _psi_from_counts(counts, n_bins, eps)
 
 
 def _two_sided_cumulative(

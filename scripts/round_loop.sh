@@ -37,6 +37,12 @@ while [ ! -f /tmp/stop_round_loop ]; do
     SCALING_ATTEMPTS=1 SCALING_LEVELS=24,32,6,8 python -u scripts/scaling_bench.py 2000000 >> /tmp/round_loop.log 2>&1
     [ -f /tmp/stop_round_loop ] && break
   fi
+  if (( cycle % 3 == 1 )); then
+    # 2x-input saturation pair (round-5 VERDICT #1): wide level first
+    calm_wait 180
+    SCALING_ATTEMPTS=1 SCALING_LEVELS=32,8 python -u scripts/scaling_bench.py 4000000 >> /tmp/round_loop.log 2>&1
+    [ -f /tmp/stop_round_loop ] && break
+  fi
   python -u bench.py >> /tmp/round_loop.log 2>&1
   cycle=$((cycle + 1))
 done

@@ -96,19 +96,15 @@ def bench_bpe(df, num_merges: int, exact: bool) -> dict:
 def bench_unigram(df, spark) -> dict:
     from feature_engineering_tk_spark.functions.unigram import unigram_train
 
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    # job ids are global and monotonically increasing; count via the
-    # next-job-id delta instead (statusTracker group API is unreliable
-    # for the default group), read from the DAGScheduler directly
+    # job ids are global and monotonically increasing; count the
+    # next-job-id delta (DAGScheduler's AtomicInteger, exposed as int)
     sc = spark.sparkContext
-    j0 = sc._jsc.sc().dagScheduler().nextJobId().get()
+    j0 = int(sc._jsc.sc().dagScheduler().nextJobId())
     t0 = time.perf_counter()
     model = unigram_train(df, vocab_size=8000, n_iter=3, max_piece_len=8, seed_size=16_000)
     n_pieces = model.count()
     wall = time.perf_counter() - t0
-    j1 = sc._jsc.sc().dagScheduler().nextJobId().get()
-    _ = before
+    j1 = int(sc._jsc.sc().dagScheduler().nextJobId())
     return {
         "n_iter": 3,
         "vocab_size_final": int(n_pieces),
@@ -134,13 +130,15 @@ def main() -> None:
         .first()[0]
     )
 
-    rows = {
-        "sf01_docs_exact_1k": bench_bpe(docs, 1000, exact=True),
-        "synth_exact_1k": bench_bpe(synth, 1000, exact=True),
-        "synth_approx_1k": bench_bpe(synth, 1000, exact=False),
-        "unigram_synth_3em": bench_unigram(synth, spark),
-    }
-    print(json.dumps(rows, indent=1))
+    rows = {}
+    for name, fn in (
+        ("sf01_docs_exact_1k", lambda: bench_bpe(docs, 1000, exact=True)),
+        ("synth_exact_1k", lambda: bench_bpe(synth, 1000, exact=True)),
+        ("synth_approx_1k", lambda: bench_bpe(synth, 1000, exact=False)),
+        ("unigram_synth_3em", lambda: bench_unigram(synth, spark)),
+    ):
+        rows[name] = fn()
+        print(name, json.dumps(rows[name]), flush=True)
 
     b = rows["synth_exact_1k"]
     a = rows["synth_approx_1k"]

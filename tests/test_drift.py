@@ -130,3 +130,71 @@ class TestMannWhitney:
         df = spark.createDataFrame([("a", 1.0)], "grp string, value double")
         r = mann_whitney_u(df, "value", "grp", "a", "zzz")
         assert math.isnan(r["pvalue"])
+
+
+def test_hist_sketch_lossless_merge_and_psi_parity(spark):
+    """Fixed-edge sketches merge losslessly, and sketch-path PSI
+    equals raw-path PSI exactly (the psi_sketch oracle contract)."""
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.analysis.drift import (
+        hist_sketch_table,
+        merge_hist_sketches,
+        psi_from_sketches,
+        psi_table,
+        reference_edges,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(300)], "id bigint, v double"
+    )
+    cur = spark.createDataFrame(
+        [(i, float((i * 3) % 23)) for i in range(200)]
+        + [(999, None)],  # null lands in the -1 bin, excluded from PSI
+        "id bigint, v double",
+    )
+    edges = reference_edges(ref, "v", bins=5)
+    rs = hist_sketch_table(ref.withColumn("s", F.col("id") % 3), "v", "s", edges)
+    cs = hist_sketch_table(cur.withColumn("s", F.col("id") % 3), "v", "s", edges)
+
+    # lossless: merged sketch == direct histogram of the union
+    merged = {r["bin"]: r["n"] for r in merge_hist_sketches(rs).collect()}
+    direct = {
+        r["bin"]: r["n"]
+        for r in hist_sketch_table(
+            ref.withColumn("all", F.lit(1)), "v", "all", edges
+        ).select("bin", "n").collect()
+    }
+    assert merged == direct
+    # null accounting: totals equal row counts
+    assert sum(r["n"] for r in merge_hist_sketches(cs).collect()) == 201
+    assert {r["bin"] for r in cs.collect() if r["bin"] == -1}  # null bin present
+
+    got = {
+        r["bin"]: (r["n_ref"], r["n_cur"], r["psi_term"], r["psi_total"])
+        for r in psi_from_sketches(rs, cs, n_bins=len(edges) + 1).collect()
+    }
+    want = {
+        r["bin"]: (r["n_ref"], r["n_cur"], r["psi_term"], r["psi_total"])
+        for r in psi_table(ref, cur, "v", bins=5).collect()
+    }
+    assert got == want
+
+
+def test_hist_sketch_guards(spark):
+    from feature_engineering_tk_spark.analysis.drift import (
+        hist_sketch_table,
+        merge_hist_sketches,
+    )
+    from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+
+    df = spark.createDataFrame([(1, 1.0)], "s int, v double")
+    with pytest.raises(ColumnNotFoundError):
+        hist_sketch_table(df, "nope", "s", [0.5])
+    with pytest.raises(ValueError):
+        hist_sketch_table(df, "v", "s", [])
+    sk = hist_sketch_table(df, "v", "s", [0.5])
+    with pytest.raises(ColumnNotFoundError):
+        merge_hist_sketches(sk.drop("n"))
+    with pytest.raises(ColumnNotFoundError):
+        merge_hist_sketches(sk, by="nope")
