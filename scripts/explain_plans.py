@@ -1013,6 +1013,91 @@ def main() -> None:
         )
     )
 
+    # round-5 additions -------------------------------------------------
+    from feature_engineering_tk_spark.functions.text import bm25_topk
+
+    p = plan_of(bm25_topk(docs, "spark sort window", k=10))
+    sections.append(
+        (
+            "bm25_topk (lexical retrieval)",
+            p,
+            [
+                f"takeordered={'TakeOrderedAndProject' in p} (top-k heap, no corpus sort)",
+                f"query_filter_at_scan={'spark' in p and 'In(' in p or 'IN (' in p or 'isin' in p.lower() or 'In (' in p} "
+                "(query-term literals prune the token stream before any aggregate)",
+            ],
+        )
+    )
+
+    from feature_engineering_tk_spark.analysis.drift import (
+        hist_sketch_table,
+        psi_from_sketches,
+        reference_edges,
+    )
+
+    edges = reference_edges(ev, "value", bins=10)
+    sk = hist_sketch_table(ev.withColumn("shard", (F.col("user_id") % 4).cast("int")), "value", "shard", edges)
+    p = plan_of(sk)
+    n_agg = len(set(re.findall(r"HashAggregate \((\d+)\)", p)))
+    sections.append(
+        (
+            "hist_sketch_table (fixed-edge per-slice histogram)",
+            p,
+            [
+                f"hash_aggregates={n_agg} (want 2 — map-side partials; rows shuffled ≤ slices×bins)",
+                f"python_nodes={'Python' in p} (want False — bin coding is codegen)",
+            ],
+        )
+    )
+    p = plan_of(psi_from_sketches(sk, sk, n_bins=len(edges) + 1))
+    sections.append(
+        (
+            "psi_from_sketches (sketch-table PSI)",
+            p,
+            [
+                f"broadcast_totals={'BroadcastExchange' in p or 'BroadcastNestedLoopJoin' in p} "
+                "(1-row totals ride broadcasts; input is sketch-sized)",
+            ],
+        )
+    )
+
+    from feature_engineering_tk_spark.operators.diff import apply_diff, snapshot_diff
+
+    old_o = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new_o = old_o.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    p = plan_of(apply_diff(old_o, snapshot_diff(old_o, new_o, ["o_orderkey"]), ["o_orderkey"]))
+    n_join = len(set(re.findall(r"Join[^(\n]*\((\d+)\)", p)))
+    sections.append(
+        (
+            "apply_diff (diff round-trip, all columns compared)",
+            p,
+            [
+                f"join_nodes={n_join} (want 1 — only the diff's own full-outer; "
+                "compared columns come straight from diff rows, no carry join)",
+            ],
+        )
+    )
+
+    from feature_engineering_tk_spark.operators.evals import preference_pairs
+
+    pp = ev.select(
+        (F.col("user_id") % 211).alias("prompt_id"),
+        F.col("event_id").alias("response_id"),
+        F.col("value").alias("score"),
+    )
+    p = plan_of(preference_pairs(pp))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    sections.append(
+        (
+            "preference_pairs (DPO pair construction)",
+            p,
+            [
+                f"exchanges={n_ex} (want 1 — both argmaxes are struct extrema in ONE groupBy)",
+                f"window_nodes={len(re.findall(r'Window', p))} (want 0)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
