@@ -4218,6 +4218,24 @@ def q_dedup_index_compact(spark, sf_dir):
     return surv.select("doc_id").orderBy("doc_id")
 
 
+def q_split_leakage(spark, sf_dir):
+    """Cross-split near-dup leakage audit (operators/dedup.py
+    split_leakage_audit): banded-LSH candidates over the whole corpus,
+    filtered to cross-side pairs BEFORE exact-Jaccard verification —
+    eval contamination surfaces as (train, test) pairs.  md5 mode so
+    DuckDB replays the full signature pipeline."""
+    from feature_engineering_tk_spark.operators.dedup import split_leakage_audit
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "side",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("test")).otherwise(F.lit("train")),
+    )
+    out = split_leakage_audit(d, "side", threshold=0.7, hash_mode="md5")
+    return out.select(
+        "id_a", "side_a", "id_b", "side_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def q_regression_eval(spark, sf_dir):
     """Regression-model scorecard (analysis/regression.py
     regression_metrics): mae/rmse/r2/bias/mape from one map-side-
@@ -4823,6 +4841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiclass_metrics": q_multiclass_metrics,
         "dedup_incremental": q_dedup_incremental,
         "dedup_index_compact": q_dedup_index_compact,
+        "split_leakage": q_split_leakage,
         "regression_eval": q_regression_eval,
         "residual_quantiles": q_residual_quantiles,
         "krippendorff": q_krippendorff,
@@ -5309,6 +5328,24 @@ def _generated_oracles() -> dict[str, str]:
          ORDER BY doc_id
     """
 
+    split_leakage = f"""
+        WITH {mh_ctes},
+        sides AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN 'test' ELSE 'train' END AS side
+            FROM documents
+        ),
+        crossj AS (
+          SELECT j.id_a, sa.side AS side_a, j.id_b, sb.side AS side_b, j.j
+            FROM jac j
+            JOIN sides sa ON sa.doc_id = j.id_a
+            JOIN sides sb ON sb.doc_id = j.id_b
+           WHERE sa.side <> sb.side AND j.j >= 0.7
+        )
+        SELECT id_a, side_a, id_b, side_b, round(j, 6) AS jaccard
+          FROM crossj ORDER BY id_a, id_b
+    """
+
     # lifecycle proof: gate vs the COMPACTED index (Spark side) must
     # equal gate vs a FRESH index of the surviving corpus (this
     # replay): tombstoned docs (%7 = 0) no longer suppress, duplicate
@@ -5760,6 +5797,7 @@ def _generated_oracles() -> dict[str, str]:
         "minhash_dedup": minhash_dedup,
         "dedup_incremental": dedup_incremental,
         "dedup_index_compact": dedup_index_compact,
+        "split_leakage": split_leakage,
         "simhash": simhash,
         "doc_fingerprint": doc_fingerprint,
         "embedding_neardup": embedding_neardup,

@@ -379,6 +379,59 @@ def dedup_against_index(
     return survivors, additions
 
 
+def split_leakage_audit(
+    df: DataFrame,
+    side_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate LEAKAGE across a train/test split: every pair of
+    docs on OPPOSITE sides of ``side_col`` whose exact n-gram Jaccard
+    reaches ``threshold`` — the contamination a group-hash split
+    (sampling.group_split) prevents within groups but cannot see
+    between independently-collected documents (mirror crawls, quoted
+    text, boilerplate).  A non-empty result means eval metrics are
+    inflated: route ``id_b`` (or the whole pair's test side) through
+    the dedup/removal path before training.
+
+    Returns (id_a, side_a, id_b, side_b, jaccard), id_a < id_b.
+
+    Scale shape: one MinHash/banded-LSH candidate pass over the WHOLE
+    table (same sub-quadratic machinery as minhash_lsh_dedup, same
+    hot-bucket chain cap); candidates are filtered to CROSS-side pairs
+    before the exact-Jaccard verification, so the expensive shingle
+    comparison runs only on potential leaks.  Sides join as 8-byte
+    (id, side) rows.
+    """
+    sigs = minhash_signatures(
+        df, text_col, num_hashes, shingle_n, seed, hash_mode=hash_mode
+    )
+    cands = minhash_lsh_candidates(
+        sigs, id_col, "minhash", bands, num_hashes // bands,
+        hash_mode=hash_mode, max_bucket_size=max_bucket_size,
+    )
+    sa = df.select(F.col(id_col).alias("id_a"), F.col(side_col).alias("side_a"))
+    sb = df.select(F.col(id_col).alias("id_b"), F.col(side_col).alias("side_b"))
+    cross = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("side_a") != F.col("side_b"))
+    )
+    verified = ngram_jaccard(
+        cross.select("id_a", "id_b"), df, id_col, text_col, shingle_n
+    ).filter(F.col("jaccard") >= threshold)
+    return verified.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "side_a", "id_b", "side_b", "jaccard"
+    )
+
+
 def remove_from_index(
     index: DataFrame,
     doc_ids: DataFrame | list,

@@ -545,3 +545,24 @@ def test_index_lifecycle_tombstones_and_compaction(spark):
     got_c = sorted(r["doc_id"] for r in surv_c.collect())
     got_f = sorted(r["doc_id"] for r in surv_f.collect())
     assert got_c == got_f == [10]  # 10 freed by the takedown, 11 still gated
+
+
+def test_split_leakage_audit_finds_cross_side_neardups(spark):
+    from feature_engineering_tk_spark.operators.dedup import split_leakage_audit
+
+    df = spark.createDataFrame(
+        [
+            (1, "train", "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "train", "pack my box with five dozen liquor jugs before the party"),
+            (3, "test", "the quick brown fox jumps over the lazy dog again and again"),
+            (4, "test", "a genuinely novel document with entirely fresh vocabulary here"),
+            # same-side duplicate pair must NOT be reported
+            (5, "train", "pack my box with five dozen liquor jugs before the party"),
+        ],
+        "doc_id bigint, side string, text string",
+    )
+    got = split_leakage_audit(df, "side", threshold=0.7).collect()
+    pairs = {(r.id_a, r.id_b): (r.side_a, r.side_b, r.jaccard) for r in got}
+    assert set(pairs) == {(1, 3)}  # only the cross-side leak
+    side_a, side_b, j = pairs[(1, 3)]
+    assert {side_a, side_b} == {"train", "test"} and j == 1.0
