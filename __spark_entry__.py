@@ -498,6 +498,46 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_quantized_topk(spark, sf_dir):
+    """int8-quantized cosine top-k (functions/similarity.py
+    quantize_embeddings): symmetric per-vector int8 — 4x corpus
+    memory/IO cut — with EXACT integer dot products and norms (scales
+    cancel in cosine), one double division at the end; bit-stable
+    ranking under any partitioning. Query = vec_id 0's quantized row,
+    paired in-plan (broadcast), so DuckDB replays byte-for-byte."""
+    from feature_engineering_tk_spark.functions.similarity import (
+        quantize_embeddings,
+    )
+
+    e = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    qrow = e.filter(F.col("vec_id") == 0).select(F.col("q8").alias("qv"))
+    paired = e.crossJoin(F.broadcast(qrow))
+    idot = F.aggregate(
+        F.zip_with("q8", "qv", lambda a, b: a.cast("bigint") * b.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    nsq = F.aggregate(
+        F.transform("q8", lambda x: x.cast("bigint") * x.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qsq = F.aggregate(
+        F.transform("qv", lambda x: x.cast("bigint") * x.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    denom = F.sqrt(nsq.cast("double")) * F.sqrt(qsq.cast("double"))
+    scored = paired.withColumn(
+        "cos_q8", F.when(denom > 0, idot.cast("double") / denom)
+    )
+    return (
+        scored.select("vec_id", F.round("cos_q8", 6).alias("cos_q8"))
+        .orderBy(F.col("cos_q8").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup removal (shingle→minhash→band→bucket-join→
     exact-Jaccard verify), dedup.py:67-186. hash_mode='md5' so the
@@ -4613,6 +4653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
         "cosine_topk": q_cosine_topk,
+        "quantized_topk": q_quantized_topk,
         "embedding_norms": q_embedding_norms,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
@@ -6328,6 +6369,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 20
+        """,
+        "quantized_topk": """
+            WITH qz AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(
+                       CAST(x AS DOUBLE) /
+                       (CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0
+                             THEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0
+                             ELSE 1.0 END)) AS BIGINT)) AS q8
+                FROM embeddings
+            ), q AS (SELECT q8 AS qv FROM qz WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                     CAST(list_sum(list_transform(list_zip(q8, qv), p -> p[1] * p[2])) AS DOUBLE)
+                     / (sqrt(CAST(list_sum(list_transform(q8, x -> x * x)) AS DOUBLE))
+                        * sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))),
+                     6) AS cos_q8
+              FROM qz, q
+             ORDER BY cos_q8 DESC, vec_id ASC
+             LIMIT 20
         """,
         "embedding_norms": """
             SELECT vec_id, label,

@@ -35,8 +35,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim_to_query(df: DataFrame, vec_col: str, query_col: str, out: str = "cosine_sim") -> DataFrame:
+    # zero vectors (dead embeddings exist in any real corpus) must
+    # yield NULL, not an ANSI divide-by-zero mid-scan
     a, q = F.col(vec_col), F.col(query_col)
-    return df.withColumn(out, dot(a, q) / (l2_norm(a) * l2_norm(q)))
+    denom = l2_norm(a) * l2_norm(q)
+    return df.withColumn(out, F.when(denom > 0, dot(a, q) / denom))
 
 
 def cosine_topk(
@@ -46,12 +49,102 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force cosine top-k against a literal query vector."""
+    """Brute-force cosine top-k against a literal query vector.
+    Zero vectors score NULL (sorted last), never an ANSI error."""
     q = F.array(*[F.lit(float(x)) for x in query])
-    scored = df.withColumn("cosine_sim", dot(F.col(vec_col), q) / (l2_norm(F.col(vec_col)) * l2_norm(q)))
+    denom = l2_norm(F.col(vec_col)) * l2_norm(q)
+    scored = df.withColumn(
+        "cosine_sim", F.when(denom > 0, dot(F.col(vec_col), q) / denom)
+    )
     return scored.select(id_col, "cosine_sim").orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out: str = "q8",
+    scale_col: str = "q8_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column:
+    ``scale = max|x| / 127``, ``q[i] = round(x[i] / scale)`` ∈
+    [−127, 127] — the standard 4× memory/IO cut for a persisted ANN
+    corpus (a 10^12 × 768-float corpus is ~3 PB as float32; ~0.75 PB
+    as int8 + one double scale per vector).
+
+    COSINE IS SCALE-INVARIANT, so quantized cosine needs only the
+    integer arrays — the per-vector scales cancel and are carried
+    only for dequantization/dot-product use.  All arithmetic is JVM
+    array expressions (no UDF); the row-local quantization is a pure
+    function of the vector, deterministic on any engine (Spark
+    ``round`` HALF_UP, replayed by the oracle).
+
+    Zero vectors quantize to zeros with scale 1.0 (no 0/0).
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.withColumn(scale_col, scale).withColumn(
+        out,
+        F.transform(v, lambda x: F.round(x.cast("double") / F.col(scale_col)).cast("int")),
+    )
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "q8",
+) -> DataFrame:
+    """Brute-force cosine top-k over an int8-quantized corpus (from
+    :func:`quantize_embeddings`): the query is quantized with its own
+    scale, and because per-vector scales cancel in cosine, the score
+    is ``Σ qa·qb / (‖qa‖·‖qb‖)`` over EXACT INTEGER dot products and
+    norms — one double division at the end, so the ranking is
+    bit-stable under any partitioning and engine.  Same TakeOrdered
+    discipline as :func:`cosine_topk`; use :func:`ann_recall` against
+    the float path to gauge the quantization recall cost at test
+    scale before trusting it at corpus scale.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    amax = max(abs(float(x)) for x in query)
+    qscale = amax / 127.0 if amax > 0 else 1.0
+    import decimal as _dec
+
+    qq = [
+        int(
+            _dec.Decimal(repr(float(x) / qscale)).quantize(
+                _dec.Decimal("1"), _dec.ROUND_HALF_UP
+            )
+        )
+        for x in query
+    ]
+    qarr = F.array(*[F.lit(int(x)) for x in qq])
+    v = F.col(vec_col)
+    idot = F.aggregate(
+        F.zip_with(v, qarr, lambda a, b: a.cast("bigint") * b.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    nsq = F.aggregate(
+        F.transform(v, lambda x: x.cast("bigint") * x.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qnorm = float(np.sqrt(sum(x * x for x in qq)))
+    denom = F.sqrt(nsq.cast("double")) * F.lit(qnorm)
+    scored = df.withColumn(
+        "cosine_sim",
+        F.when(denom > 0, idot.cast("double") / denom),
+    )
+    return (
+        scored.select(id_col, "cosine_sim")
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:

@@ -194,3 +194,42 @@ def test_adjacent_similarity_hand_values(spark):
     assert out[4].prev_cosine is None
     assert out[5].prev_cosine == round(1 / math.sqrt(2), 6)
     assert out[6].prev_cosine is None and out[6].is_boundary is False
+
+
+def test_quantize_embeddings_and_quantized_topk(spark):
+    """int8 quantization: values in [-127,127], scale reconstructs the
+    max component exactly, zero vectors stay safe, and the quantized
+    top-k agrees with the float top-k on a well-separated corpus."""
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.functions.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-0.5, 0.0, 0.5]),
+        (4, [0.0, 0.0, 0.0]),  # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qz = quantize_embeddings(df)
+    got = {r.vec_id: (r.q8, r.q8_scale) for r in qz.collect()}
+    assert got[0][0] == [127, 0, 0]
+    assert got[4] == ([0, 0, 0], 1.0)  # zero vector: scale 1, no 0/0
+    for vid, (q8, scale) in got.items():
+        assert all(-127 <= v <= 127 for v in q8)
+        # scale reconstructs the max-|x| component exactly
+        orig = dict(rows)[vid]
+        if any(orig):
+            mi = max(range(len(orig)), key=lambda i: abs(orig[i]))
+            assert q8[mi] * scale == pytest.approx(orig[mi], rel=1e-12)
+
+    qtop = [r.vec_id for r in quantized_cosine_topk(qz, [1.0, 0.05, 0.0], k=3).collect()]
+    ftop = [r.vec_id for r in cosine_topk(df, [1.0, 0.05, 0.0], k=3).collect()]
+    assert qtop == ftop == [0, 1, 2]
+    with pytest.raises(ValueError):
+        quantized_cosine_topk(qz, [1.0, 0.0, 0.0], k=0)
