@@ -221,8 +221,11 @@ def mg_sketch_table(
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tables: dict = {}
         for pdf in batches:
-            sub = pdf[[by, column]].dropna()
-            vc = sub.groupby(by, sort=False)[column].value_counts()
+            # dropna on the VALUE only; null slice keys stay a real
+            # group (dropna=False) — Spark's groupBy keeps them too,
+            # so the two levels agree on slice identity
+            sub = pdf[[by, column]][pdf[column].notna()]
+            vc = sub.groupby(by, sort=False, dropna=False)[column].value_counts()
             for (slice_key, value), cnt in vc.items():
                 _mg_update(
                     tables.setdefault(slice_key, {}), str(value), int(cnt), w
