@@ -45,6 +45,7 @@ def _scaling_summary() -> dict:
     # the packed fast path) happened to be sampled most recently
     keys_path = os.path.join(os.path.dirname(hist), "scaling_keys.json")
     lo, hi = 8, 32
+    keys: dict = {}
     try:
         with open(keys_path) as kf:
             keys = json.load(kf)
@@ -79,6 +80,25 @@ def _scaling_summary() -> dict:
         ceiling = (hi / walls[hi]) / (lo / walls[lo]) / (hi / lo)
         out[f"hardware_ceiling_{lo}_to_{hi}"] = round(ceiling, 2)
         out["efficiency_vs_ceiling"] = round(eff / ceiling, 2)
+    # 2x-input saturation check (pinned wide pair on the doubled
+    # table, own job key) — context for the wide-pair story
+    tk = keys.get("twice_input_job_key")
+    if tk:
+        tlo, thi = keys.get("twice_input_pair", [8, 32])
+        tbest: dict[int, float] = {}
+        for rec in records:
+            r = rec.get("result")
+            if r and rec.get("job_key") == tk:
+                c = int(r["cpus"])
+                if r["turns_per_sec"] > tbest.get(c, 0.0):
+                    tbest[c] = r["turns_per_sec"]
+        if tlo in tbest and thi in tbest:
+            out["saturation_check_2x_input"] = {
+                "pair": f"local[{tlo}] -> local[{thi}]",
+                f"local{tlo}_turns_per_s": round(tbest[tlo]),
+                f"local{thi}_turns_per_s": round(tbest[thi]),
+                "efficiency_raw": round(tbest[thi] / tbest[tlo] / (thi / tlo), 2),
+            }
     return out
 
 

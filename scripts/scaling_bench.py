@@ -331,9 +331,13 @@ def main() -> None:
     ctl = raw_cpu_control()
     ceiling = ctl["ceiling"](lo, hi)
     norm = eff / ceiling if ceiling else float("nan")
+    twice_key = hashlib.sha256(
+        _JOB.format(repo=REPO, data="/dev/shm/fe_bench/transcripts_4000000").encode()
+    ).hexdigest()[:16]
     with open(os.path.join(REPO, "BENCH", "scaling_keys.json"), "w") as kf:
         json.dump({"criterion_job_key": union_key, "packed_job_key": packed_key,
-                   "criterion_pair": [lo, hi]}, kf)
+                   "criterion_pair": [lo, hi], "twice_input_job_key": twice_key,
+                   "twice_input_pair": [8, 32]}, kf)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH/BASELINE — scaling evidence (N vs 4N parallelism)\n\n"
