@@ -2981,6 +2981,30 @@ def q_psi_sketch(spark, sf_dir):
     return psi_from_sketches(rs, cs, n_bins=len(edges) + 1)
 
 
+def q_hist_quantiles(spark, sf_dir):
+    """Sketch-table quantiles (analysis/drift.py quantiles_from_hist):
+    bracketing [lo, hi] bin intervals for each prob, answered from the
+    persisted fixed-edge histogram sketch alone — counts are exact
+    integers, so the true quantile provably lies inside the returned
+    bin. Oracle replays edges + bin cumulation in SQL."""
+    from feature_engineering_tk_spark.analysis.drift import (
+        hist_sketch_table,
+        quantiles_from_hist,
+        reference_edges,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    edges = reference_edges(ev, "value", bins=10)
+    sk = hist_sketch_table(
+        ev.withColumn("shard", (F.col("user_id") % 4).cast("int")),
+        "value", "shard", edges,
+    )
+    out = quantiles_from_hist(sk, edges, [0.25, 0.5, 0.75, 0.95])
+    return out.select(
+        "prob", F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi")
+    ).orderBy("prob")
+
+
 def q_ks_drift(spark, sf_dir):
     """Exact two-sample KS (analysis/drift.py ks_statistic_df):
     sup|F1-F2| over pooled distinct values via range-partitioned
@@ -4759,6 +4783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "psi_drift": q_psi_drift,
         "psi_sketch": q_psi_sketch,
+        "hist_quantiles": q_hist_quantiles,
         "ks_drift": q_ks_drift,
         "mann_whitney": q_mann_whitney,
         "funnel": q_funnel,
@@ -10539,6 +10564,22 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         )
         SELECT doc_id, trim(c) AS clean FROM w
+    """
+    d["hist_quantiles"] = """
+        WITH r AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+        e AS (SELECT quantile_cont(v, (CAST(1 AS DOUBLE)/10*100)/100) AS e1, quantile_cont(v, (CAST(2 AS DOUBLE)/10*100)/100) AS e2, quantile_cont(v, (CAST(3 AS DOUBLE)/10*100)/100) AS e3, quantile_cont(v, (CAST(4 AS DOUBLE)/10*100)/100) AS e4, quantile_cont(v, (CAST(5 AS DOUBLE)/10*100)/100) AS e5, quantile_cont(v, (CAST(6 AS DOUBLE)/10*100)/100) AS e6, quantile_cont(v, (CAST(7 AS DOUBLE)/10*100)/100) AS e7, quantile_cont(v, (CAST(8 AS DOUBLE)/10*100)/100) AS e8, quantile_cont(v, (CAST(9 AS DOUBLE)/10*100)/100) AS e9 FROM r),
+        coded AS (SELECT CAST((v > e.e1) AS INT) + CAST((v > e.e2) AS INT) + CAST((v > e.e3) AS INT) + CAST((v > e.e4) AS INT) + CAST((v > e.e5) AS INT) + CAST((v > e.e6) AS INT) + CAST((v > e.e7) AS INT) + CAST((v > e.e8) AS INT) + CAST((v > e.e9) AS INT) AS bin FROM r, e),
+        cnt AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM coded GROUP BY bin),
+        tot AS (SELECT sum(n) AS t FROM cnt),
+        cum AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS c FROM cnt),
+        probs(p) AS (VALUES (0.25), (0.5), (0.75), (0.95)),
+        chosen AS (
+          SELECT p, min(bin) AS b FROM probs, cum, tot WHERE c >= p * t GROUP BY p
+        )
+        SELECT CAST(p AS DOUBLE) AS prob,
+               round(CASE b WHEN 1 THEN e.e1 WHEN 2 THEN e.e2 WHEN 3 THEN e.e3 WHEN 4 THEN e.e4 WHEN 5 THEN e.e5 WHEN 6 THEN e.e6 WHEN 7 THEN e.e7 WHEN 8 THEN e.e8 WHEN 9 THEN e.e9 END, 6) AS lo,
+               round(CASE b WHEN 0 THEN e.e1 WHEN 1 THEN e.e2 WHEN 2 THEN e.e3 WHEN 3 THEN e.e4 WHEN 4 THEN e.e5 WHEN 5 THEN e.e6 WHEN 6 THEN e.e7 WHEN 7 THEN e.e8 WHEN 8 THEN e.e9 END, 6) AS hi
+          FROM chosen, e ORDER BY prob
     """
     d.update(_trio_oracles())
     return d

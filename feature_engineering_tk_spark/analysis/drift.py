@@ -171,6 +171,58 @@ def merge_hist_sketches(sketches: DataFrame, by: str | None = None) -> DataFrame
     return sketches.groupBy(*keys).agg(F.sum("n").alias("n"))
 
 
+def quantiles_from_hist(
+    sketch: DataFrame, edges: list[float], probs: list[float]
+) -> DataFrame:
+    """Bounded-error quantiles FROM a histogram sketch table (merged
+    :func:`hist_sketch_table` rows) — the quantile member of the
+    sketch-query surface: (prob, lo, hi) where [lo, hi] is the bin
+    interval containing the exact quantile.  The error bound is
+    structural — the true quantile provably lies inside the returned
+    bin (counts are exact integers), so the answer is as tight as the
+    edge grid; fit more edges for tighter answers.  Open tails return
+    null for the unbounded side (value below edges[0] / above
+    edges[-1]).
+
+    Driver-side fold over the ≤ len(edges)+1 merged bin counts (the
+    sketch is aggregate-sized by construction); null bin (-1)
+    excluded — quantiles are over non-null mass.  Use
+    ``operators.quantiles.exact_quantiles`` when you can afford the
+    corpus scan; this answers from the persisted sketch alone.
+    """
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob {p} outside [0, 1]")
+    rows = (
+        merge_hist_sketches(sketch)
+        .where(F.col("bin") >= 0)
+        .collect()
+    )
+    counts = {int(r["bin"]): int(r["n"]) for r in rows}
+    total = sum(counts.values())
+    spark = sketch.sparkSession
+    if total == 0:
+        return spark.createDataFrame(
+            [(float(p), None, None) for p in probs],
+            "prob double, lo double, hi double",
+        )
+    out = []
+    n_bins = len(edges) + 1
+    for p in sorted(probs):
+        target = p * total
+        cum = 0
+        chosen = n_bins - 1
+        for b in range(n_bins):
+            cum += counts.get(b, 0)
+            if cum >= target and cum > 0:
+                chosen = b
+                break
+        lo = edges[chosen - 1] if chosen >= 1 else None
+        hi = edges[chosen] if chosen < len(edges) else None
+        out.append((float(p), lo, hi))
+    return spark.createDataFrame(out, "prob double, lo double, hi double")
+
+
 def psi_from_sketches(
     ref_sketch: DataFrame,
     cur_sketch: DataFrame,

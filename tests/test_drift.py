@@ -198,3 +198,35 @@ def test_hist_sketch_guards(spark):
         merge_hist_sketches(sk.drop("n"))
     with pytest.raises(ColumnNotFoundError):
         merge_hist_sketches(sk, by="nope")
+
+
+def test_quantiles_from_hist_brackets_exact_quantiles(spark):
+    """The sketch answer's [lo, hi] bin must contain the exact
+    quantile, for every prob — the structural error bound."""
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.analysis.drift import (
+        hist_sketch_table,
+        quantiles_from_hist,
+        reference_edges,
+    )
+    from feature_engineering_tk_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(i, float((i * 7) % 101)) for i in range(500)], "id bigint, v double"
+    )
+    edges = reference_edges(df, "v", bins=10)
+    sk = hist_sketch_table(df.withColumn("s", F.col("id") % 4), "v", "s", edges)
+    probs = [0.1, 0.5, 0.9]
+    got = {r.prob: (r.lo, r.hi) for r in quantiles_from_hist(sk, edges, probs).collect()}
+    exact = exact_quantiles(df, "v", probs)
+    for p, ex in zip(probs, exact):
+        lo, hi = got[p]
+        assert lo is None or lo <= ex
+        assert hi is None or ex <= hi
+    with pytest.raises(ValueError):
+        quantiles_from_hist(sk, edges, [1.5])
+    # empty sketch -> null intervals
+    empty = sk.where(F.lit(False))
+    rows = quantiles_from_hist(empty, edges, [0.5]).collect()
+    assert rows[0].lo is None and rows[0].hi is None
