@@ -4165,6 +4165,54 @@ def q_mg_heavy_hitters(spark, sf_dir):
     return merged.orderBy(F.desc("weight"), "value")
 
 
+def q_cms_point_freq(spark, sf_dir):
+    """Point-frequency estimates from the Count-Min sketch table
+    (operators/frequency.py cms_sketch_table + merge_cms_sketches +
+    cms_estimate): each user-shard slice is summarised once into a
+    persistable (shard, row, col, weight) cell table — the shuffle
+    carries only depth×width cell coordinates, raw values never move —
+    slices merge LOSSLESSLY by cell-wise sums, and point queries are
+    min-over-rows cell lookups.  md5 hash mode: the oracle replays
+    every hash, cell sum, and min bit-for-bit."""
+    from feature_engineering_tk_spark.operators.frequency import (
+        cms_estimate,
+        cms_sketch_table,
+        merge_cms_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "shard", (F.col("user_id") % 8).cast("int")
+    )
+    sk = cms_sketch_table(
+        ev, "event_type", by="shard", depth=3, width=256, hash_mode="md5"
+    )
+    merged = merge_cms_sketches(sk)
+    probes = ["click", "view", "purchase", "signup", "error", "absent-probe"]
+    return cms_estimate(
+        merged, probes, depth=3, width=256, hash_mode="md5"
+    ).orderBy("value")
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination gate (operators/membership.py
+    decontaminate_bloom): the benchmark's 3-grams compress into a
+    sparse 2^16-bit filter (aggregate-sized, broadcast); every train
+    doc probes it with k=3 row-local broadcast joins — the corpus
+    never shuffles, and the one-sided guarantee (flagged ≥ exact
+    overlap, False = provably clean) makes it the standing ingest
+    gate in front of the exact path (q_decontaminate).  md5 mode: the
+    oracle replays the identical bit array and probes."""
+    from feature_engineering_tk_spark.operators.membership import decontaminate_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    out = decontaminate_bloom(
+        train, bench, n=3, n_bits=1 << 16, k=3, hash_mode="md5"
+    )
+    return out.orderBy("doc_id")
+
+
 def q_frequency_spectrum(spark, sf_dir):
     """Vocabulary count-of-counts (operators/frequency.py
     frequency_spectrum): how many distinct tokens occur exactly f
@@ -4902,6 +4950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains_lift": q_gains_lift,
         "heavy_hitters": q_heavy_hitters,
         "mg_heavy_hitters": q_mg_heavy_hitters,
+        "cms_point_freq": q_cms_point_freq,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "frequency_spectrum": q_frequency_spectrum,
         "multiclass_confusion": q_multiclass_confusion,
         "multiclass_metrics": q_multiclass_metrics,
@@ -10152,6 +10202,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type AS value, CAST(count(*) AS BIGINT) AS weight
           FROM events GROUP BY event_type
          ORDER BY weight DESC, value ASC
+    """
+    # Count-Min: replay every hash (60-bit md5 fold), cell sum, and
+    # min-over-rows lookup.  Merge across shards is a lossless cell-wise
+    # sum, so the oracle computes the cells globally — identical by the
+    # merge guarantee the pytest pins.
+    _cms_h = _h60_sql("'v1' || chr(31) || p.j || chr(31) || event_type")
+    _cms_q = _h60_sql("'v1' || chr(31) || p.j || chr(31) || q.value")
+    d["cms_point_freq"] = f"""
+        WITH probes(j) AS (VALUES ('0'), ('1'), ('2')),
+        cells AS (
+          SELECT CAST(p.j AS INT) AS row,
+                 CAST(({_cms_h}) % 256 AS INT) AS col,
+                 count(*) AS weight
+            FROM events, probes p
+           WHERE event_type IS NOT NULL
+           GROUP BY 1, 2
+        ),
+        q(value) AS (VALUES ('click'), ('view'), ('purchase'),
+                            ('signup'), ('error'), ('absent-probe')),
+        qp AS (
+          SELECT q.value, CAST(p.j AS INT) AS row,
+                 CAST(({_cms_q}) % 256 AS INT) AS col
+            FROM q, probes p
+        )
+        SELECT qp.value,
+               CAST(min(coalesce(c.weight, 0)) AS BIGINT) AS estimate
+          FROM qp LEFT JOIN cells c ON c.row = qp.row AND c.col = qp.col
+         GROUP BY qp.value ORDER BY qp.value
+    """
+    # Bloom gate: replay the bit array (word_idx = pos // 63, mask =
+    # 1 << pos % 63, bit_or per word) and the k probes per distinct
+    # per-doc gram — flagged iff ALL probed bits are set.
+    _bl_b = _h60_sql("'v1' || chr(31) || p.j || chr(31) || b.gram")
+    _bl_t = _h60_sql("'v1' || chr(31) || p.j || chr(31) || g.gram")
+    d["bloom_decontaminate"] = f"""
+        WITH src AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+            FROM documents
+        ),
+        tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM src),
+        sh AS (SELECT doc_id,
+                      list_transform(range(0, greatest(len(toks) - 2, 1)),
+                                     i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) AS shingles
+               FROM tk),
+        grams AS (SELECT DISTINCT doc_id, u.s AS gram
+                  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u),
+        probes(j) AS (VALUES ('0'), ('1'), ('2')),
+        bpos AS (
+          SELECT ({_bl_b}) % 65536 AS pos
+            FROM (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0) b, probes p
+        ),
+        words AS (
+          SELECT pos // 63 AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+            FROM bpos GROUP BY 1
+        ),
+        tp AS (
+          SELECT g.doc_id, g.gram, ({_bl_t}) % 65536 AS pos
+            FROM grams g, probes p
+           WHERE g.doc_id % 50 != 0
+        ),
+        hit AS (
+          SELECT tp.doc_id, tp.gram,
+                 min(CASE WHEN (coalesce(w.bits, 0)
+                                & (CAST(1 AS BIGINT) << CAST(tp.pos % 63 AS INTEGER)))
+                               = (CAST(1 AS BIGINT) << CAST(tp.pos % 63 AS INTEGER))
+                          THEN 1 ELSE 0 END) AS all_set
+            FROM tp LEFT JOIN words w ON w.word_idx = tp.pos // 63
+           GROUP BY tp.doc_id, tp.gram
+        )
+        SELECT doc_id,
+               count(*) AS n_grams,
+               CAST(sum(all_set) AS BIGINT) AS flagged_grams,
+               CASE WHEN count(*) > 0
+                    THEN CAST(sum(all_set) AS BIGINT) / count(*)
+                    ELSE 0.0 END AS flagged_share,
+               CAST(sum(all_set) AS BIGINT) > 0 AS contaminated
+          FROM hit GROUP BY doc_id ORDER BY doc_id
     """
     d["frequency_spectrum"] = f"""
         WITH tok AS ({_tokens}),

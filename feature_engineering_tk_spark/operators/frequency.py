@@ -19,6 +19,15 @@ useful primitives are:
   (true_count − n/width ≤ estimate ≤ true_count) survives merging.
   Use when the value column is too hot to groupBy at full width
   (adversarial token floods); ``heavy_hitters`` is the exact path.
+- **cms_sketch_table / merge_cms_sketches / cms_estimate** — the
+  Count-Min sketch (Cormode & Muthukrishnan 2005) as a persistable
+  per-slice cell table: point-frequency estimates for ANY queried
+  value (not just the heavy head MG keeps), mergeable LOSSLESSLY by
+  cell-wise integer sums.  The shuffle carries (row, col) cell
+  coordinates bounded by depth × width — raw values never shuffle,
+  by construction, with no UDF at all.  Estimates are exact sums of
+  hash-cell collisions, so with ``hash_mode='md5'`` the whole
+  pipeline is bit-replayable in the DuckDB oracle.
 - **mg_sketch_table / merge_mg_sketches** — the PERSISTABLE form of
   the MG sketch, mirroring ``distinct_sketch_table`` /
   ``merge_distinct_sketches``: sketch each ingest slice once into a
@@ -372,4 +381,155 @@ def merge_distinct_sketches(sketches: DataFrame, by: str | None = None) -> DataF
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"), F.lit(False))).alias(
             "n_distinct_approx"
         )
+    )
+
+
+def _cms_probes(value, depth: int, width: int, salt: str, hash_mode: str):
+    """Array of ``depth`` (row, col) probe structs for one value.
+
+    Row j's hash is ``hash(salt \\x1f j \\x1f value) mod width`` — a
+    fresh pairwise-independent-enough function per row because the
+    row index is folded into the hash input (the hashing_encode
+    convention of salting the key with its namespace)."""
+    from feature_engineering_tk_spark.operators.dedup import _token_hash
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.pmod(
+                    _token_hash(
+                        F.concat_ws("\x1f", F.lit(salt), F.lit(str(j)), value),
+                        hash_mode,
+                    ),
+                    F.lit(int(width)),
+                ).cast("int").alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def _cms_params(depth: int, width: int) -> tuple[int, int]:
+    d, w = int(depth), int(width)
+    if d < 1 or w < 1:
+        raise ValueError("depth and width must be >= 1")
+    return d, w
+
+
+def cms_sketch_table(
+    df: DataFrame,
+    column: str,
+    by: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    salt: str = "v1",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-slice Count-Min sketch as a persistable CELL table:
+    (``by``?, row, col, weight) with ≤ depth × width non-zero cells
+    per slice — the point-frequency twin of :func:`mg_sketch_table`.
+
+    Each input value increments ``depth`` cells (row j, h_j(value) mod
+    width); a cell's weight is the exact integer sum of everything
+    that hashed into it.  Estimates (``cms_estimate``) answer "how
+    often did THIS value occur?" for ANY value — including ones
+    outside the heavy head that Misra-Gries keeps — with the classic
+    one-sided guarantee ``true ≤ estimate ≤ true + 2eN/width`` at
+    probability ``1 − e^−depth`` (Cormode & Muthukrishnan 2005).
+
+    Scale shape: the probe explode emits (row, col) coordinates only —
+    raw values NEVER shuffle, not even in the build — and the
+    map-side-combined groupBy is bounded at depth × width rows per
+    slice per mapper regardless of the value spectrum.  Zero UDF,
+    whole-stage codegen end to end.  ``weight_col`` turns the sketch
+    into a weighted-frequency summary (e.g. token counts).  With
+    ``hash_mode='md5'`` every cell is bit-replayable in DuckDB.
+    """
+    d, w = _cms_params(depth, width)
+    _require(df, column)
+    if by:
+        _require(df, by)
+    if weight_col:
+        _require(df, weight_col)
+    v = F.col(column).cast("string")
+    weight = (F.col(weight_col).cast("long") if weight_col else F.lit(1)).alias("_w")
+    probes = (
+        df.where(F.col(column).isNotNull())
+        .select(
+            *([by] if by else []),
+            weight,
+            F.explode(_cms_probes(v, d, w, salt, hash_mode)).alias("_p"),
+        )
+        .select(
+            *([by] if by else []),
+            F.col("_p.row").alias("row"),
+            F.col("_p.col").alias("col"),
+            F.col("_w"),
+        )
+    )
+    keys = ([by] if by else []) + ["row", "col"]
+    return probes.groupBy(*keys).agg(F.sum("_w").alias("weight"))
+
+
+def merge_cms_sketches(sketches: DataFrame, by: str | None = None) -> DataFrame:
+    """Fold a cell table (from :func:`cms_sketch_table`) across slices,
+    optionally regrouped by a coarser key: (``by``?, row, col, weight).
+
+    CMS merge is a LOSSLESS cell-wise integer sum — the merged sketch
+    is bit-identical to sketching the concatenated raw slices (same
+    salt/depth/width required; cells are position-addressed so no
+    value information is needed).  Input is sketch-sized, so this runs
+    at aggregate scale regardless of the corpus the slices summarize.
+    """
+    for c in ("row", "col", "weight"):
+        _require(sketches, c)
+    keys = ([by] if by else []) + ["row", "col"]
+    if by:
+        _require(sketches, by)
+    return sketches.groupBy(*keys).agg(F.sum("weight").alias("weight"))
+
+
+def cms_estimate(
+    sketches: DataFrame,
+    values: list[str],
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "v1",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Point-frequency estimates for ``values`` from a merged CMS cell
+    table: (value, estimate) with ``estimate = min over rows of the
+    probed cells`` (missing cell = 0).  Deterministic: the same sketch
+    table and query set always produce the same estimates, and with
+    ``hash_mode='md5'`` the DuckDB oracle replays them bit-for-bit.
+
+    The query set is driver-supplied (suspect tokens, blocklist
+    entries, audit probes) and becomes a broadcast literal table of
+    len(values) × depth probe rows; the join against the sketch is
+    sketch-sized.  Overestimation only: collisions ADD, so
+    ``estimate ≥ true`` always — a 0 estimate PROVES absence, the
+    property decontamination gates rely on.
+    """
+    d, w = _cms_params(depth, width)
+    for c in ("row", "col", "weight"):
+        _require(sketches, c)
+    if not values:
+        raise ValueError("values must be non-empty")
+    spark = sketches.sparkSession
+    qdf = spark.createDataFrame([(str(x),) for x in values], ["value"])
+    probes = qdf.select(
+        "value",
+        F.explode(
+            _cms_probes(F.col("value"), d, w, salt, hash_mode)
+        ).alias("_p"),
+    ).select("value", F.col("_p.row").alias("row"), F.col("_p.col").alias("col"))
+    # the sketch table is ≤ depth × width cells — broadcast it so the
+    # probe lookup is a map-side hash join (the probe side can't be the
+    # build side of a LEFT join)
+    joined = probes.join(F.broadcast(sketches), ["row", "col"], "left")
+    return (
+        joined.groupBy("value")
+        .agg(F.min(F.coalesce(F.col("weight"), F.lit(0))).alias("estimate"))
     )

@@ -1098,6 +1098,66 @@ def main() -> None:
         )
     )
 
+    from feature_engineering_tk_spark.operators.frequency import (
+        cms_estimate,
+        cms_sketch_table,
+        merge_cms_sketches,
+    )
+
+    cms = cms_sketch_table(
+        ev.withColumn("shard", (F.col("user_id") % 4).cast("int")),
+        "event_type",
+        by="shard",
+        depth=3,
+        width=256,
+    )
+    p = plan_of(cms)
+    n_agg = len(set(re.findall(r"HashAggregate \((\d+)\)", p)))
+    sections.append(
+        (
+            "cms_sketch_table (Count-Min cell table)",
+            p,
+            [
+                f"hash_aggregates={n_agg} (want 2 — map-side partials; shuffle carries ≤ depth×width cells per slice)",
+                f"python_nodes={'Python' in p} (want False — probe hashing is codegen)",
+            ],
+        )
+    )
+    p = plan_of(cms_estimate(merge_cms_sketches(cms), ["click", "view"], depth=3, width=256))
+    sections.append(
+        (
+            "cms_estimate (point lookup from merged sketch)",
+            p,
+            [
+                f"broadcast_join={'BroadcastHashJoin' in p} (want True — sketch is the bounded build side)",
+                f"sort_merge_join={'SortMergeJoin' in p} (want False)",
+            ],
+        )
+    )
+
+    from feature_engineering_tk_spark.operators.membership import (
+        bloom_contains,
+        bloom_filter_table,
+    )
+
+    bench_docs = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("text").alias("gram")
+    )
+    bloom = bloom_filter_table(bench_docs, "gram", n_bits=1 << 16, k=3)
+    p = plan_of(bloom_contains(docs, "text", bloom, n_bits=1 << 16, k=3))
+    n_bhj = len(set(re.findall(r"BroadcastHashJoin[^(\n]*\((\d+)\)", p)))
+    sections.append(
+        (
+            "bloom_contains (k broadcast probes, corpus never shuffles)",
+            p,
+            [
+                f"broadcast_hash_joins={n_bhj} (want 3 = k — every probe map-side)",
+                f"sort_merge_join={'SortMergeJoin' in p} (want False — no corpus shuffle)",
+                f"python_nodes={'Python' in p} (want False)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")

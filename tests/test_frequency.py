@@ -166,3 +166,107 @@ def test_mg_sketch_table_guards(spark, tokens):
         merge_mg_sketches(sk.drop("weight"))
     with pytest.raises(ValueError):
         merge_mg_sketches(sk, width=0)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch tables
+
+
+class TestCountMin:
+    @pytest.fixture(scope="class")
+    def sliced(self, spark):
+        rows = (
+            [("a", 0)] * 12 + [("b", 0)] * 7 + [("a", 1)] * 5
+            + [("c", 1)] * 3 + [(None, 1)] * 2
+        )
+        return spark.createDataFrame(rows, "val string, shard int").repartition(5)
+
+    def test_exact_regime_estimates(self, spark, sliced):
+        from feature_engineering_tk_spark.operators.frequency import (
+            cms_estimate,
+            cms_sketch_table,
+            merge_cms_sketches,
+        )
+
+        sk = cms_sketch_table(sliced, "val", by="shard", depth=3, width=512)
+        merged = merge_cms_sketches(sk)
+        est = {
+            r["value"]: r["estimate"]
+            for r in cms_estimate(
+                merged, ["a", "b", "c", "absent"], depth=3, width=512
+            ).collect()
+        }
+        # width 512 >> 3 distinct values: no collisions, estimates exact
+        assert est == {"a": 17, "b": 7, "c": 3, "absent": 0}
+
+    def test_overestimate_only(self, spark):
+        from feature_engineering_tk_spark.operators.frequency import (
+            cms_estimate,
+            cms_sketch_table,
+        )
+
+        vals = [f"v{i % 37}" for i in range(500)]
+        df = spark.createDataFrame([(v,) for v in vals], "val string")
+        truth = Counter(vals)
+        sk = cms_sketch_table(df, "val", depth=3, width=8)  # heavy collisions
+        est = cms_estimate(sk, sorted(truth), depth=3, width=8).collect()
+        for r in est:
+            assert r["estimate"] >= truth[r["value"]]
+
+    def test_merge_equals_whole(self, spark, sliced):
+        from feature_engineering_tk_spark.operators.frequency import (
+            cms_sketch_table,
+            merge_cms_sketches,
+        )
+
+        whole = cms_sketch_table(
+            sliced.drop("shard"), "val", depth=4, width=64
+        )
+        per_slice = cms_sketch_table(sliced, "val", by="shard", depth=4, width=64)
+        merged = merge_cms_sketches(per_slice)
+        a = {(r["row"], r["col"]): r["weight"] for r in whole.collect()}
+        b = {(r["row"], r["col"]): r["weight"] for r in merged.collect()}
+        assert a == b  # CMS merge is lossless cell-wise addition
+
+    def test_partition_invariance(self, spark, sliced):
+        from feature_engineering_tk_spark.operators.frequency import cms_sketch_table
+
+        a = {
+            (r["row"], r["col"]): r["weight"]
+            for r in cms_sketch_table(sliced.coalesce(1), "val", depth=2, width=32).collect()
+        }
+        b = {
+            (r["row"], r["col"]): r["weight"]
+            for r in cms_sketch_table(sliced.repartition(7), "val", depth=2, width=32).collect()
+        }
+        assert a == b
+
+    def test_weighted(self, spark):
+        from feature_engineering_tk_spark.operators.frequency import (
+            cms_estimate,
+            cms_sketch_table,
+        )
+
+        df = spark.createDataFrame(
+            [("x", 5), ("x", 7), ("y", 1)], "val string, w int"
+        )
+        sk = cms_sketch_table(df, "val", depth=3, width=64, weight_col="w")
+        est = {
+            r["value"]: r["estimate"]
+            for r in cms_estimate(sk, ["x", "y"], depth=3, width=64).collect()
+        }
+        assert est == {"x": 12, "y": 1}
+
+    def test_validation(self, spark, sliced):
+        from feature_engineering_tk_spark.operators.frequency import (
+            cms_estimate,
+            cms_sketch_table,
+        )
+
+        with pytest.raises(ColumnNotFoundError):
+            cms_sketch_table(sliced, "nope")
+        with pytest.raises(ValueError):
+            cms_sketch_table(sliced, "val", depth=0)
+        sk = cms_sketch_table(sliced, "val", depth=2, width=16)
+        with pytest.raises(ValueError):
+            cms_estimate(sk, [], depth=2, width=16)
