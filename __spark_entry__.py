@@ -4213,6 +4213,59 @@ def q_bloom_decontaminate(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def q_rank_overlap(spark, sf_dir):
+    """Rank-biased overlap (analysis/ranking.py rank_biased_overlap):
+    two rankers over the same per-user-bucket candidates (by value
+    desc vs by time), truncated RBO@10 at p=0.9.  The weighted sum is
+    ONE left-to-right fold whose accumulator carries the p-power by
+    repeated multiplication, so the oracle's list_reduce replays the
+    identical IEEE multiply sequence; rank>depth rows are filtered
+    before the query-key exchange."""
+    from pyspark.sql import Window
+
+    from feature_engineering_tk_spark.analysis.ranking import rank_biased_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 50).alias("query_id"), "event_id", "value", "ts"
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("value"), "event_id")
+    wb = Window.partitionBy("query_id").orderBy("ts", "event_id")
+    a = base.select(
+        "query_id",
+        F.lit("a").alias("ranker"),
+        F.row_number().over(wa).alias("rank"),
+        F.col("event_id").alias("item_id"),
+    )
+    b = base.select(
+        "query_id",
+        F.lit("b").alias("ranker"),
+        F.row_number().over(wb).alias("rank"),
+        F.col("event_id").alias("item_id"),
+    )
+    return rank_biased_overlap(
+        a.unionByName(b), p=0.9, depth=10
+    ).orderBy("query_id")
+
+
+def q_winrate_ci(spark, sf_dir):
+    """Wilson score intervals on the arena winrate table
+    (operators/evals.py proportion_ci over model_winrates): row-local
+    closed-form bounds — one IEEE-correctly-rounded sqrt, so the
+    oracle replays the identical expression tree bit-for-bit; zero
+    shuffle beyond the winrate groupBy itself."""
+    from feature_engineering_tk_spark.operators.evals import (
+        model_winrates,
+        proportion_ci,
+    )
+
+    return proportion_ci(
+        model_winrates(_battles(spark, sf_dir)), "n_wins", "n_games"
+    ).orderBy("model")
+
+
 def q_frequency_spectrum(spark, sf_dir):
     """Vocabulary count-of-counts (operators/frequency.py
     frequency_spectrum): how many distinct tokens occur exactly f
@@ -4952,6 +5005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "cms_point_freq": q_cms_point_freq,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "rank_overlap": q_rank_overlap,
+        "winrate_ci": q_winrate_ci,
         "frequency_spectrum": q_frequency_spectrum,
         "multiclass_confusion": q_multiclass_confusion,
         "multiclass_metrics": q_multiclass_metrics,
@@ -10280,6 +10335,67 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0 END AS flagged_share,
                CAST(sum(all_set) AS BIGINT) > 0 AS contaminated
           FROM hit GROUP BY doc_id ORDER BY doc_id
+    """
+    # RBO: replay the left-to-right weighted fold — accumulator [sum, w]
+    # prepended (the _h60_sql list_reduce convention), elements [ratio, 0],
+    # w multiplied by p each step so both engines run the identical IEEE
+    # multiply sequence.
+    d["rank_overlap"] = """
+        WITH base AS (
+          SELECT user_id % 50 AS q, event_id, value, ts
+            FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL
+        ),
+        ra AS (SELECT q, row_number() OVER (PARTITION BY q ORDER BY value DESC, event_id) AS r,
+                      CAST(event_id AS VARCHAR) AS it
+                 FROM base),
+        rb AS (SELECT q, row_number() OVER (PARTITION BY q ORDER BY ts, event_id) AS r,
+                      CAST(event_id AS VARCHAR) AS it
+                 FROM base),
+        la AS (SELECT q, list(it ORDER BY r) AS a FROM ra WHERE r <= 10 GROUP BY q),
+        lb AS (SELECT q, list(it ORDER BY r) AS b FROM rb WHERE r <= 10 GROUP BY q),
+        ov AS (
+          SELECT q, a, b,
+                 list_transform(range(1, 11),
+                                i -> CAST(len(list_intersect(list_slice(a, 1, i), list_slice(b, 1, i))) AS DOUBLE)
+                                     / CAST(i AS DOUBLE)) AS ratios
+            FROM la JOIN lb USING (q)
+        )
+        SELECT q AS query_id,
+               CAST(len(a) AS INT) AS n_a,
+               CAST(len(b) AS INT) AS n_b,
+               round((1.0 - 0.9) * list_reduce(
+                       list_prepend([0.0, 1.0],
+                                    list_transform(ratios, x -> [x, 0.0])),
+                       (acc, e) -> [acc[1] + acc[2] * e[1], acc[2] * 0.9])[1],
+                     9) AS rbo
+          FROM ov ORDER BY query_id
+    """
+    # Wilson interval: identical expression tree (one sqrt, IEEE-exact),
+    # z² precomputed in Python so both engines see the same literal.
+    _z = 1.959963984540054
+    _z2 = repr(_z * _z)
+    d["winrate_ci"] = _battles_cte + f"""
+        , wr AS (
+          SELECT model, CAST(count(*) AS BIGINT) AS n_games,
+                 CAST(sum(win) AS BIGINT) AS n_wins,
+                 CAST(sum(win) AS DOUBLE) / count(*) AS winrate
+            FROM sides GROUP BY model
+        ),
+        ci AS (
+          SELECT model, n_games, n_wins, winrate,
+                 CAST(n_wins AS DOUBLE) / CAST(n_games AS DOUBLE) AS phat,
+                 CAST(n_games AS DOUBLE) AS nd
+            FROM wr
+        )
+        SELECT model, n_games, n_wins, winrate,
+               round(greatest((phat + {_z2} / (2.0 * nd)) / (1.0 + {_z2} / nd)
+                              - {_z} * sqrt(phat * (1.0 - phat) / nd + {_z2} / (4.0 * nd * nd))
+                                / (1.0 + {_z2} / nd), 0.0), 9) AS ci_lower,
+               round(least((phat + {_z2} / (2.0 * nd)) / (1.0 + {_z2} / nd)
+                           + {_z} * sqrt(phat * (1.0 - phat) / nd + {_z2} / (4.0 * nd * nd))
+                             / (1.0 + {_z2} / nd), 1.0), 9) AS ci_upper
+          FROM ci ORDER BY model
     """
     d["frequency_spectrum"] = f"""
         WITH tok AS ({_tokens}),

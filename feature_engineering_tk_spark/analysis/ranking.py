@@ -182,3 +182,91 @@ def ranking_summary(
         mean("precision_at_k").alias("mean_precision_at_k"),
         mean("recall_at_k").alias("mean_recall_at_k"),
     )
+
+
+def rank_biased_overlap(
+    df: DataFrame,
+    query: str = "query_id",
+    ranker: str = "ranker",
+    rank: str = "rank",
+    item: str = "item_id",
+    ranker_a: str = "a",
+    ranker_b: str = "b",
+    p: float = 0.9,
+    depth: int = 10,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated form) between
+    two rankers' lists per query: (query, n_a, n_b, rbo).
+
+    ``RBO@d = (1−p) · Σ_{i=1..d} p^{i−1} · |A_{1..i} ∩ B_{1..i}| / i``
+    — the top-weighted agreement gauge for comparing two retrieval
+    index versions, two ANN parameterizations, or pre-/post-migration
+    rankings, where Kendall's tau over-weights the tail nobody reads.
+    This is the TRUNCATED form (depth-d prefix, no extrapolation);
+    with both lists ≥ depth it lower-bounds the full RBO by exactly
+    the residual ``p^d`` tail mass.
+
+    Determinism: the weighted sum is ONE left-to-right ``aggregate``
+    fold whose accumulator carries (sum, p-power) — the power is built
+    by repeated multiplication inside the fold, so both engines
+    execute the identical sequence of IEEE multiplies and the result
+    is bit-stable (the ranking_metrics ORDER-BY-pinned-fold
+    discipline); ``round_dp`` rounds the final scalar.
+
+    Scale shape: rows with rank > depth are filtered BEFORE the
+    shuffle (predicate pushdown into the scan), so the query-key
+    exchange carries ≤ 2·depth rows per query; the per-query fold is
+    O(depth²) over depth-bounded arrays — a constant.  One exchange
+    end to end.
+    """
+    for c in (query, ranker, rank, item):
+        if c not in df.columns:
+            from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+
+            raise ColumnNotFoundError(c, df.columns)
+    d = int(depth)
+    if d < 1:
+        raise ValueError("depth must be >= 1")
+    if not (0.0 < p < 1.0):
+        raise ValueError("p must be in (0, 1)")
+
+    def side(tag: str, name: str):
+        struct = F.when(
+            F.col(ranker) == tag, F.struct(F.col(rank).alias("r"), F.col(item).cast("string").alias("i"))
+        )
+        return F.transform(
+            F.array_sort(F.collect_list(struct)), lambda s: s["i"]
+        ).alias(name)
+
+    lists = (
+        df.where(
+            F.col(query).isNotNull()
+            & F.col(rank).isNotNull()
+            & (F.col(rank) <= F.lit(d))
+            & F.col(ranker).isin([ranker_a, ranker_b])
+        )
+        .groupBy(F.col(query))
+        .agg(side(ranker_a, "_a"), side(ranker_b, "_b"))
+    )
+    overlaps = F.transform(
+        F.sequence(F.lit(1), F.lit(d)),
+        lambda i: F.size(
+            F.array_intersect(F.slice(F.col("_a"), 1, i), F.slice(F.col("_b"), 1, i))
+        ).cast("double")
+        / i.cast("double"),
+    )
+    folded = F.aggregate(
+        overlaps,
+        F.array(F.lit(0.0), F.lit(1.0)),
+        lambda acc, x: F.array(
+            acc.getItem(0) + acc.getItem(1) * x, acc.getItem(1) * F.lit(float(p))
+        ),
+        lambda acc: acc.getItem(0),
+    )
+    return lists.select(
+        F.col(query),
+        F.size("_a").alias("n_a"),
+        F.size("_b").alias("n_b"),
+        F.round(F.lit(1.0 - p) * folded, round_dp).alias("rbo"),
+    )

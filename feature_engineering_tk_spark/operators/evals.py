@@ -575,3 +575,51 @@ def length_bias(
             (2 * F.col("n_chosen_longer") - m) / F.sqrt(m.cast("double")),
         ).alias("sign_z"),
     )
+
+
+def proportion_ci(
+    df: DataFrame,
+    successes: str,
+    trials: str,
+    z: float = 1.959963984540054,
+    prefix: str = "ci_",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Wilson score interval for any (successes, trials) count table —
+    adds ``{prefix}lower`` / ``{prefix}upper`` columns.
+
+    The error bar every arena/refusal/pass-rate table needs before a
+    ship decision: composes directly with ``model_winrates``
+    (n_wins/n_games), ``refusal_rate``, ``pass_at_k`` inputs, or any
+    groupBy count pair.  Wilson (not Wald): the interval stays inside
+    [0, 1], never collapses to a point at p̂ ∈ {0, 1}, and is accurate
+    at the small per-slice counts a 10^12-row corpus still produces
+    after slicing.  z defaults to the two-sided 95% normal quantile.
+
+    Row-local closed-form double arithmetic (one sqrt — correctly
+    rounded per IEEE 754, so cross-engine bit-stable); rows with
+    trials = 0 or null get null bounds.  Zero shuffle, zero UDF;
+    ``round_dp`` pins the boundary (the round-9 convention).
+    """
+    for c in (successes, trials):
+        if c not in df.columns:
+            from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+
+            raise ColumnNotFoundError(c, df.columns)
+    n = F.col(trials).cast("double")
+    x = F.col(successes).cast("double")
+    phat = x / n
+    z2 = float(z) * float(z)
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (phat + F.lit(z2) / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(phat * (F.lit(1.0) - phat) / n + F.lit(z2) / (F.lit(4.0) * n * n))
+        / denom
+    )
+    ok = F.col(trials).isNotNull() & (F.col(trials) > 0)
+    lower = F.round(F.greatest(center - half, F.lit(0.0)), round_dp)
+    upper = F.round(F.least(center + half, F.lit(1.0)), round_dp)
+    return df.withColumn(
+        prefix + "lower", F.when(ok, lower)
+    ).withColumn(prefix + "upper", F.when(ok, upper))

@@ -533,3 +533,48 @@ def test_preference_pairs_single_exchange(spark):
     )
     plan = preference_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # one groupBy shuffle, no window/join
+
+
+class TestProportionCI:
+    def test_wilson_bounds(self, spark):
+        import math
+
+        from feature_engineering_tk_spark.operators.evals import proportion_ci
+
+        df = spark.createDataFrame(
+            [(8, 10), (0, 5), (5, 5), (1, 1000)], "wins int, games int"
+        )
+        got = {
+            (r["wins"], r["games"]): (r["ci_lower"], r["ci_upper"])
+            for r in proportion_ci(df, "wins", "games").collect()
+        }
+
+        def wilson(x, n, z=1.959963984540054):
+            ph, z2 = x / n, z * z
+            den = 1 + z2 / n
+            c = (ph + z2 / (2 * n)) / den
+            h = z * math.sqrt(ph * (1 - ph) / n + z2 / (4 * n * n)) / den
+            return max(c - h, 0.0), min(c + h, 1.0)
+
+        for (x, n), (lo, hi) in got.items():
+            rl, rh = wilson(x, n)
+            assert lo == pytest.approx(rl, abs=1e-8)
+            assert hi == pytest.approx(rh, abs=1e-8)
+            assert 0.0 <= lo <= x / n <= hi <= 1.0  # brackets p̂, stays in [0,1]
+        # degenerate p̂ ∈ {0, 1} never collapses to a point (the Wald failure)
+        assert got[(0, 5)][1] > 0.0 and got[(5, 5)][0] < 1.0
+
+    def test_zero_and_null_trials(self, spark):
+        from feature_engineering_tk_spark.operators.evals import proportion_ci
+
+        df = spark.createDataFrame([(0, 0), (None, None)], "wins int, games int")
+        for r in proportion_ci(df, "wins", "games").collect():
+            assert r["ci_lower"] is None and r["ci_upper"] is None
+
+    def test_missing_column(self, spark):
+        from feature_engineering_tk_spark.operators.evals import proportion_ci
+        from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+
+        df = spark.createDataFrame([(1, 2)], "wins int, games int")
+        with pytest.raises(ColumnNotFoundError):
+            proportion_ci(df, "wins", "nope")

@@ -253,3 +253,76 @@ def test_merge_statement_sql(spark):
     )
     with pytest.raises(ValueError):
         merge_statement("t", "d", [], ["x"])
+
+
+class TestRankBiasedOverlap:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id string, ranker string, rank int, item_id string"
+        )
+
+    def test_identical_lists_formula(self, spark):
+        from feature_engineering_tk_spark.analysis.ranking import rank_biased_overlap
+
+        rows = [("q", t, r, f"d{r}") for t in ("a", "b") for r in range(1, 6)]
+        got = rank_biased_overlap(self._mk(spark, rows), p=0.9, depth=5).collect()[0]
+        # identical lists: RBO@d = (1-p)·Σ p^{i-1} = 1 - p^d
+        assert got["rbo"] == pytest.approx(1 - 0.9**5)
+        assert got["n_a"] == got["n_b"] == 5
+
+    def test_disjoint_is_zero(self, spark):
+        from feature_engineering_tk_spark.analysis.ranking import rank_biased_overlap
+
+        rows = [("q", "a", r, f"x{r}") for r in range(1, 4)] + [
+            ("q", "b", r, f"y{r}") for r in range(1, 4)
+        ]
+        got = rank_biased_overlap(self._mk(spark, rows), p=0.9, depth=3).collect()[0]
+        assert got["rbo"] == 0.0
+
+    def test_matches_reference_fold(self, spark):
+        from feature_engineering_tk_spark.analysis.ranking import rank_biased_overlap
+
+        a = ["d1", "d2", "d3", "d5", "d4"]
+        b = ["d2", "d1", "d4", "d3", "d9"]
+        rows = [("q", "a", r, it) for r, it in enumerate(a, 1)] + [
+            ("q", "b", r, it) for r, it in enumerate(b, 1)
+        ]
+
+        def ref(p=0.9, d=5):
+            s, w = 0.0, 1.0
+            for i in range(1, d + 1):
+                s += w * (len(set(a[:i]) & set(b[:i])) / i)
+                w *= p
+            return (1 - p) * s
+
+        got = rank_biased_overlap(self._mk(spark, rows), p=0.9, depth=5).collect()[0]
+        assert got["rbo"] == pytest.approx(ref(), abs=1e-9)
+
+    def test_deep_rows_filtered_and_top_weighted(self, spark):
+        from feature_engineering_tk_spark.analysis.ranking import rank_biased_overlap
+
+        # same top-1, rest disjoint vs same bottom, top disjoint:
+        # top agreement must dominate under p<1
+        top = [("q", "a", 1, "same")] + [("q", "a", r, f"ax{r}") for r in range(2, 5)]
+        top += [("q", "b", 1, "same")] + [("q", "b", r, f"bx{r}") for r in range(2, 5)]
+        bot = [("p", "a", r, f"ay{r}") for r in range(1, 4)] + [("p", "a", 4, "same")]
+        bot += [("p", "b", r, f"by{r}") for r in range(1, 4)] + [("p", "b", 4, "same")]
+        out = {
+            r["query_id"]: r["rbo"]
+            for r in rank_biased_overlap(
+                self._mk(spark, top + bot), p=0.9, depth=4
+            ).collect()
+        }
+        assert out["q"] > out["p"] > 0
+
+    def test_validation(self, spark):
+        from feature_engineering_tk_spark.analysis.ranking import rank_biased_overlap
+        from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+
+        df = self._mk(spark, [("q", "a", 1, "d")])
+        with pytest.raises(ColumnNotFoundError):
+            rank_biased_overlap(df, item="nope")
+        with pytest.raises(ValueError):
+            rank_biased_overlap(df, depth=0)
+        with pytest.raises(ValueError):
+            rank_biased_overlap(df, p=1.0)
