@@ -4250,6 +4250,23 @@ def q_rank_overlap(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def q_trigram_lm(spark, sf_dir):
+    """Trigram stupid-backoff scoring (functions/text.py
+    trigram_lm_score): model trained on the even-doc_id half, scores
+    the odd half — the cross-corpus CCNet/DSIR pattern, exercising
+    every backoff level (trigram hit, bigram, unigram, OOV floor).
+    All joins on 60-bit md5 window hashes; the per-doc mean is an
+    exact DECIMAL sum of round-12 log-scores, so the oracle replays
+    hashing, count identities, backoff coalesce, and mean bit-for-
+    bit."""
+    from feature_engineering_tk_spark.functions.text import trigram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    tgt = d.filter(F.col("doc_id") % 2 == 1)
+    return trigram_lm_score(tgt, ref=ref, hash_mode="md5").orderBy("doc_id")
+
+
 def q_winrate_ci(spark, sf_dir):
     """Wilson score intervals on the arena winrate table
     (operators/evals.py proportion_ci over model_winrates): row-local
@@ -5007,6 +5024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "rank_overlap": q_rank_overlap,
         "winrate_ci": q_winrate_ci,
+        "trigram_lm": q_trigram_lm,
         "frequency_spectrum": q_frequency_spectrum,
         "multiclass_confusion": q_multiclass_confusion,
         "multiclass_metrics": q_multiclass_metrics,
@@ -10370,6 +10388,72 @@ def oracle_sql() -> dict[str, str]:
                        (acc, e) -> [acc[1] + acc[2] * e[1], acc[2] * 0.9])[1],
                      9) AS rbo
           FROM ov ORDER BY query_id
+    """
+    # Trigram stupid backoff: replay tokenization, the padded trigram
+    # stream with 60-bit md5 window hashes, the groupBy-sum count
+    # identities, the backoff coalesce, and the DECIMAL round-12 mean.
+    _tg = {
+        "h123": _h60_sql("t.w1 || chr(31) || t.w2 || chr(31) || t.w3"),
+        "h12": _h60_sql("t.w1 || chr(31) || t.w2"),
+        "h23": _h60_sql("t.w2 || chr(31) || t.w3"),
+        "h2": _h60_sql("t.w2"),
+        "h3": _h60_sql("t.w3"),
+    }
+    d["trigram_lm"] = f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                             x -> x <> '') AS toks
+            FROM documents
+        ),
+        pd AS (SELECT doc_id, ['<s>', '<s>'] || toks AS padded, len(toks) AS n FROM tk),
+        tri AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, n + 1),
+                        i -> {{'w1': padded[i], 'w2': padded[i + 1], 'w3': padded[i + 2]}})) AS t
+            FROM pd
+        ),
+        hs AS (
+          SELECT doc_id,
+                 {_tg['h123']} AS h123, {_tg['h12']} AS h12, {_tg['h23']} AS h23,
+                 {_tg['h2']} AS h2, {_tg['h3']} AS h3
+            FROM tri
+        ),
+        g AS (
+          SELECT h123, CAST(count(*) AS BIGINT) AS c123,
+                 min(h12) AS h12, min(h23) AS h23, min(h2) AS h2, min(h3) AS h3
+            FROM hs WHERE doc_id % 2 = 0 GROUP BY h123
+        ),
+        c12 AS (SELECT h12, CAST(sum(c123) AS BIGINT) AS c12 FROM g GROUP BY h12),
+        p23 AS (SELECT h23, CAST(sum(c123) AS BIGINT) AS c23, min(h2) AS h2 FROM g GROUP BY h23),
+        c2t AS (SELECT h2, CAST(sum(c123) AS BIGINT) AS c2 FROM g GROUP BY h2),
+        c3t AS (SELECT h3, CAST(sum(c123) AS BIGINT) AS c3 FROM g GROUP BY h3),
+        tot AS (SELECT CAST(sum(c123) AS DOUBLE) AS nn FROM g),
+        t3 AS (SELECT g.h123, ln(g.c123 / c12.c12) AS ls3 FROM g JOIN c12 USING (h12)),
+        t2 AS (SELECT p23.h23, ln((0.4 * p23.c23) / c2t.c2) AS ls2 FROM p23 JOIN c2t USING (h2)),
+        t1 AS (SELECT c3t.h3, ln(((0.4 * 0.4) * c3t.c3) / tot.nn) AS ls1 FROM c3t, tot),
+        scored AS (
+          SELECT hs.doc_id,
+                 coalesce(t3.ls3, t2.ls2, t1.ls1, ln((0.4 * 0.4) / tot.nn)) AS ls
+            FROM hs
+            LEFT JOIN t3 USING (h123)
+            LEFT JOIN t2 USING (h23)
+            LEFT JOIN t1 USING (h3)
+            CROSS JOIN tot
+           WHERE hs.doc_id % 2 = 1
+        ),
+        per_doc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                 CAST(sum(CAST(round(ls, 12) AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS avg_logscore
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_trigrams, 0) AS n_trigrams,
+               p.avg_logscore,
+               -(p.avg_logscore) AS logppl
+          FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         WHERE d.doc_id % 2 = 1
+         ORDER BY d.doc_id
     """
     # Wilson interval: identical expression tree (one sqrt, IEEE-exact),
     # z² precomputed in Python so both engines see the same literal.

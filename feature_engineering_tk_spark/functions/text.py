@@ -1501,3 +1501,151 @@ def rouge_l(
         .withColumn("rougeL_f", F.round(f1, 9))
         .drop("_p", "_r")
     )
+
+
+def trigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref: DataFrame | None = None,
+    alpha: float = 0.4,
+    hash_mode: str = "xxhash64",
+    round_dp: int = 12,
+) -> DataFrame:
+    """Trigram stupid-backoff language-model scoring (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the backoff
+    scheme DESIGNED for distributed web-scale LMs: no discounting
+    normalization pass, so counts stay partial-aggregatable):
+
+    ``S(w3|w1,w2) = c123/c12`` if the trigram was seen in the
+    reference, else ``α·c23/c2`` (bigram backoff), else ``α²·c3/N``
+    (unigram), else ``α²/N`` (out-of-vocabulary floor).  Per doc:
+    (id, n_trigrams, avg_logscore, logppl = −avg) — low logppl means
+    the doc's word transitions are typical of the REFERENCE corpus,
+    the cross-corpus generalization of :func:`bigram_lm_score` (train
+    on ``ref``, score ``df`` — the CCNet/DSIR in-domain-vs-target
+    pattern; ``ref=None`` self-trains, where backoff never fires).
+
+    Scale shape: both corpora are tokenized exactly once each.  The
+    reference reduces to ONE pinned trigram-count table (sub-linear:
+    vocab³-bounded, in practice ≪ corpus) from which every lower-order
+    count is derived by groupBy-sum IDENTITIES (c12 = Σ over trigram
+    histories, c23/c2/c3/N likewise — the bigram_lm c1 convention: no
+    reference re-scan).  All joins are on 8-byte token-window hashes
+    (the ngram_novelty discipline — grams never shuffle as strings).
+    Scoring is three hash left-joins + one windowless per-doc groupBy.
+    The per-doc mean is an exact DECIMAL sum of round-``round_dp``
+    per-trigram log-scores divided by the count (the ranking_summary
+    discipline) — partition-layout independent, bit-replayable.
+    ``hash_mode='md5'`` makes the oracle replay every hash.
+
+    Empty/NULL-text docs stay in the output (n_trigrams = 0, NULL
+    score) — silent drops hide corpus rows from downstream audits.
+    """
+    from feature_engineering_tk_spark.operators.dedup import _token_hash
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    a = float(alpha)
+
+    def stream(src: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+                " ",
+            ),
+            lambda x: x != "",
+        )
+        padded = F.concat(F.array(F.lit("<s>"), F.lit("<s>")), toks)
+        n = F.size(toks)
+        tri = F.arrays_zip(
+            F.slice(padded, 1, n).alias("w1"),
+            F.slice(padded, 2, n).alias("w2"),
+            F.slice(padded, 3, n).alias("w3"),
+        )
+        h = lambda *cols: _token_hash(F.concat_ws("\x1f", *cols), hash_mode)  # noqa: E731
+        return (
+            src.select(F.col(id_col), F.explode(tri).alias("_t"))
+            .select(
+                id_col,
+                F.col("_t.w1").alias("w1"),
+                F.col("_t.w2").alias("w2"),
+                F.col("_t.w3").alias("w3"),
+            )
+            .select(
+                id_col,
+                h(F.col("w1"), F.col("w2"), F.col("w3")).alias("h123"),
+                h(F.col("w1"), F.col("w2")).alias("h12"),
+                h(F.col("w2"), F.col("w3")).alias("h23"),
+                h(F.col("w2")).alias("h2"),
+                h(F.col("w3")).alias("h3"),
+            )
+        )
+
+    # ONE trigram-count table; every lower order is a groupBy-sum identity
+    # on it (h12/h23/h2/h3 are functions of the trigram, min() for
+    # determinism under 60-bit-hash collisions).
+    tri = pin(
+        stream(ref if ref is not None else df)
+        .groupBy("h123")
+        .agg(
+            F.count(F.lit(1)).alias("c123"),
+            F.min("h12").alias("h12"),
+            F.min("h23").alias("h23"),
+            F.min("h2").alias("h2"),
+            F.min("h3").alias("h3"),
+        )
+    )
+    c12 = tri.groupBy("h12").agg(F.sum("c123").alias("c12"))
+    p23 = tri.groupBy("h23").agg(
+        F.sum("c123").alias("c23"), F.min("h2").alias("h2")
+    )
+    c2 = tri.groupBy("h2").agg(F.sum("c123").alias("c2"))
+    c3 = tri.groupBy("h3").agg(F.sum("c123").alias("c3"))
+    total = tri.agg(F.sum("c123").cast("double").alias("_n"))
+
+    t3 = tri.join(c12, "h12").select(
+        "h123", F.log(F.col("c123") / F.col("c12")).alias("_ls3")
+    )
+    t2 = p23.join(c2, "h2").select(
+        "h23", F.log(F.lit(a) * F.col("c23") / F.col("c2")).alias("_ls2")
+    )
+    t1 = c3.crossJoin(F.broadcast(total)).select(
+        "h3",
+        F.log(F.lit(a) * F.lit(a) * F.col("c3") / F.col("_n")).alias("_ls1"),
+    )
+
+    scored = (
+        stream(df)
+        .join(t3, "h123", "left")
+        .join(t2, "h23", "left")
+        .join(t1, "h3", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.coalesce(
+                "_ls3",
+                "_ls2",
+                "_ls1",
+                F.log(F.lit(a) * F.lit(a) / F.col("_n")),
+            ).alias("_ls"),
+        )
+    )
+    dec = f"decimal(28,{round_dp})"
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (
+            F.sum(F.round(F.col("_ls"), round_dp).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_logscore"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            "avg_logscore",
+            (-F.col("avg_logscore")).alias("logppl"),
+        )
+    )

@@ -468,3 +468,105 @@ class TestReadability:
         df = spark.createDataFrame([(0, "wait... what?!")], "doc_id long, text string")
         r = readability_scores(df).first()
         assert r["n_sentences"] == 2  # '...' and '?!' are single runs
+
+
+class TestTrigramLM:
+    REF = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat and a dog play"),
+    ]
+    TGT = [
+        (10, "the cat sat on the rug"),
+        (11, "purple elephants fly quietly"),
+        (12, ""),
+        (13, None),
+    ]
+
+    @staticmethod
+    def _ref_scores(ref_rows, alpha=0.4):
+        import math
+        from collections import Counter
+
+        def toks(t):
+            return [w for w in " ".join((t or "").lower().split()).split(" ") if w]
+
+        def trigrams(t):
+            tk = ["<s>", "<s>"] + toks(t)
+            return [(tk[i], tk[i + 1], tk[i + 2]) for i in range(len(toks(t)))]
+
+        c123, c12, c23, c2, c3 = (Counter() for _ in range(5))
+        n = 0
+        for _, t in ref_rows:
+            for w1, w2, w3 in trigrams(t):
+                c123[(w1, w2, w3)] += 1
+                c12[(w1, w2)] += 1
+                c23[(w2, w3)] += 1
+                c2[w2] += 1
+                c3[w3] += 1
+                n += 1
+
+        def score(w1, w2, w3):
+            if c123[(w1, w2, w3)]:
+                return math.log(c123[(w1, w2, w3)] / c12[(w1, w2)])
+            if c23[(w2, w3)]:
+                return math.log(alpha * c23[(w2, w3)] / c2[w2])
+            if c3[w3]:
+                return math.log(alpha * alpha * c3[w3] / n)
+            return math.log(alpha * alpha / n)
+
+        return trigrams, score
+
+    def test_matches_pure_python_backoff(self, spark):
+        from feature_engineering_tk_spark.functions.text import trigram_lm_score
+
+        ref = spark.createDataFrame(self.REF, "doc_id int, text string")
+        tgt = spark.createDataFrame(self.TGT, "doc_id int, text string")
+        trigrams, score = self._ref_scores(self.REF)
+        got = {r["doc_id"]: r for r in trigram_lm_score(tgt, ref=ref).collect()}
+        assert set(got) == {10, 11, 12, 13}  # empty/null docs not dropped
+        for did, t in self.TGT:
+            tris = trigrams(t) if t else []
+            r = got[did]
+            assert r["n_trigrams"] == len(tris)
+            if not tris:
+                assert r["avg_logscore"] is None and r["logppl"] is None
+            else:
+                want = sum(round(score(*x), 12) for x in tris) / len(tris)
+                assert r["avg_logscore"] == pytest.approx(want, abs=1e-9)
+                assert r["logppl"] == pytest.approx(-want, abs=1e-9)
+
+    def test_backoff_ordering(self, spark):
+        # a fully-seen doc must score better (lower logppl) than an OOV doc
+        from feature_engineering_tk_spark.functions.text import trigram_lm_score
+
+        ref = spark.createDataFrame(self.REF, "doc_id int, text string")
+        tgt = spark.createDataFrame(self.TGT[:2], "doc_id int, text string")
+        got = {r["doc_id"]: r["logppl"] for r in trigram_lm_score(tgt, ref=ref).collect()}
+        assert got[10] < got[11]
+
+    def test_self_train_no_backoff(self, spark):
+        # scoring the training corpus itself: every trigram is seen, so
+        # scores are genuine conditional frequencies in (0, 1]
+        from feature_engineering_tk_spark.functions.text import trigram_lm_score
+
+        ref = spark.createDataFrame(self.REF, "doc_id int, text string")
+        for r in trigram_lm_score(ref).collect():
+            assert r["avg_logscore"] <= 0.0
+            assert r["n_trigrams"] > 0
+
+    def test_partition_invariance(self, spark):
+        from feature_engineering_tk_spark.functions.text import trigram_lm_score
+
+        ref = spark.createDataFrame(self.REF, "doc_id int, text string")
+        tgt = spark.createDataFrame(self.TGT, "doc_id int, text string")
+        a = {r["doc_id"]: r["avg_logscore"] for r in trigram_lm_score(tgt.coalesce(1), ref=ref.coalesce(1)).collect()}
+        b = {r["doc_id"]: r["avg_logscore"] for r in trigram_lm_score(tgt.repartition(7), ref=ref.repartition(5)).collect()}
+        assert a == b  # DECIMAL mean: layout-independent
+
+    def test_alpha_validation(self, spark):
+        from feature_engineering_tk_spark.functions.text import trigram_lm_score
+
+        df = spark.createDataFrame(self.REF, "doc_id int, text string")
+        with pytest.raises(ValueError):
+            trigram_lm_score(df, alpha=0.0)
