@@ -4250,6 +4250,20 @@ def q_rank_overlap(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def q_decayed_counts(spark, sf_dir):
+    """Time-decayed trending counts (operators/frequency.py
+    decayed_counts): per event_type, rows weighted 2^(−Δt/7d) from the
+    corpus max-ts anchor; each term rounded to 12 dp and summed in
+    DECIMAL(38,12) so the result is partition-layout independent and
+    the oracle replays it exactly (integer-µs deltas both sides)."""
+    from feature_engineering_tk_spark.operators.frequency import decayed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_counts(ev, "event_type", "ts", half_life_s=604800.0).orderBy(
+        "event_type"
+    )
+
+
 def q_trigram_lm(spark, sf_dir):
     """Trigram stupid-backoff scoring (functions/text.py
     trigram_lm_score): model trained on the even-doc_id half, scores
@@ -5025,6 +5039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_overlap": q_rank_overlap,
         "winrate_ci": q_winrate_ci,
         "trigram_lm": q_trigram_lm,
+        "decayed_counts": q_decayed_counts,
         "frequency_spectrum": q_frequency_spectrum,
         "multiclass_confusion": q_multiclass_confusion,
         "multiclass_metrics": q_multiclass_metrics,
@@ -10388,6 +10403,24 @@ def oracle_sql() -> dict[str, str]:
                        (acc, e) -> [acc[1] + acc[2] * e[1], acc[2] * 0.9])[1],
                      9) AS rbo
           FROM ov ORDER BY query_id
+    """
+    # Decayed counts: integer-µs delta, one pow per row, round-12 term,
+    # exact DECIMAL sum — the identical expression tree.
+    d["decayed_counts"] = """
+        WITH src AS (
+          SELECT event_type, ts FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ),
+        anchor AS (SELECT max(ts) AS a FROM src)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(
+                   1.0 * pow(2.0,
+                       -(CAST(epoch_us(anchor.a) - epoch_us(ts) AS DOUBLE) / 1000000.0)
+                        / 604800.0),
+                   12) AS DECIMAL(38,12))) AS DOUBLE) AS decayed_count
+          FROM src, anchor
+         GROUP BY event_type ORDER BY event_type
     """
     # Trigram stupid backoff: replay tokenization, the padded trigram
     # stream with 60-bit md5 window hashes, the groupBy-sum count

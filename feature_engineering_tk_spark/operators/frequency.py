@@ -533,3 +533,65 @@ def cms_estimate(
         joined.groupBy("value")
         .agg(F.min(F.coalesce(F.col("weight"), F.lit(0))).alias("estimate"))
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    half_life_s: float,
+    ref_ts: str | None = None,
+    weight_col: str | None = None,
+    round_dp: int = 12,
+) -> DataFrame:
+    """Exponentially time-decayed counts per key — the trending gauge:
+    (key, n_rows, decayed_count) with each row contributing
+    ``w · 2^(−Δt / half_life)`` where Δt is seconds from the row's
+    ``ts`` to the reference instant (anchor).  A key whose raw count
+    is flat but whose decayed count rises is trending; half_life picks
+    the horizon (1 day ≈ "what is hot now", 30 days ≈ "what grew this
+    month").
+
+    ``ref_ts``: ISO timestamp string anchoring the decay (pin it for
+    reproducible snapshots); None anchors at the corpus max(ts) —
+    computed in one scalar agg and broadcast, so reruns on the same
+    snapshot are deterministic.  ``weight_col`` decays arbitrary
+    per-row mass (token counts) instead of 1.
+
+    Scale shape: one map-side-combined groupBy — but a plain double
+    sum would drift with partition layout, so each per-row term is
+    rounded to ``round_dp`` decimals and accumulated in
+    ``DECIMAL(38, round_dp)`` (the js_divergence discipline): the
+    result is bit-identical under any layout and exactly replayable
+    by the oracle.  Rows with null key/ts are excluded.
+    """
+    for c in (key, ts):
+        _require(df, c)
+    if weight_col:
+        _require(df, weight_col)
+    hl = float(half_life_s)
+    if hl <= 0:
+        raise ValueError("half_life_s must be positive")
+    src = df.where(F.col(key).isNotNull() & F.col(ts).isNotNull())
+    if ref_ts is None:
+        anchor = src.agg(F.max(F.col(ts)).alias("_anchor"))
+        src = src.crossJoin(F.broadcast(anchor))
+        anchor_col = F.col("_anchor")
+    else:
+        anchor_col = F.lit(ref_ts).cast("timestamp_ntz")
+    from feature_engineering_tk_spark.functions.timeutil import epoch_micros
+
+    # integer-µs delta (the conversation_stats convention, timezone-
+    # independent via epoch_micros), then one pow per row; the
+    # round-then-DECIMAL sum pins layout independence
+    dt_s = (
+        epoch_micros(anchor_col) - epoch_micros(F.col(ts))
+    ).cast("double") / F.lit(1000000.0)
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    term = F.round(
+        w * F.pow(F.lit(2.0), -dt_s / F.lit(hl)), round_dp
+    ).cast(f"decimal(38,{round_dp})")
+    return src.groupBy(F.col(key)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(term).cast("double").alias("decayed_count"),
+    )

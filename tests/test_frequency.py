@@ -270,3 +270,65 @@ class TestCountMin:
         sk = cms_sketch_table(sliced, "val", depth=2, width=16)
         with pytest.raises(ValueError):
             cms_estimate(sk, [], depth=2, width=16)
+
+
+class TestDecayedCounts:
+    @pytest.fixture(scope="class")
+    def timed(self, spark):
+        rows = [
+            ("a", "2024-01-08 00:00:00", 1),  # anchor row (max ts)
+            ("a", "2024-01-01 00:00:00", 1),  # exactly one 7d half-life old
+            ("b", "2024-01-08 00:00:00", 3),
+            (None, "2024-01-08 00:00:00", 1),
+            ("c", None, 1),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts string, w int")
+        return df.withColumn("ts", df["ts"].cast("timestamp_ntz"))
+
+    def test_half_life_semantics(self, spark, timed):
+        from feature_engineering_tk_spark.operators.frequency import decayed_counts
+
+        out = {
+            r["k"]: (r["n_rows"], r["decayed_count"])
+            for r in decayed_counts(timed, "k", "ts", half_life_s=7 * 86400.0).collect()
+        }
+        # null key and null ts rows excluded
+        assert set(out) == {"a", "b"}
+        # anchor row decays by 2^0 = 1; the 7-day-old row by exactly 0.5
+        assert out["a"] == (2, pytest.approx(1.5))
+        assert out["b"] == (1, pytest.approx(1.0))
+
+    def test_weighted_and_pinned_anchor(self, spark, timed):
+        from feature_engineering_tk_spark.operators.frequency import decayed_counts
+
+        out = {
+            r["k"]: r["decayed_count"]
+            for r in decayed_counts(
+                timed, "k", "ts", half_life_s=7 * 86400.0,
+                ref_ts="2024-01-15 00:00:00", weight_col="w",
+            ).collect()
+        }
+        # one extra half-life from the pinned anchor halves everything
+        assert out["a"] == pytest.approx(0.5 + 0.25)
+        assert out["b"] == pytest.approx(3 * 0.5)
+
+    def test_partition_invariance(self, spark, timed):
+        from feature_engineering_tk_spark.operators.frequency import decayed_counts
+
+        a = {
+            r["k"]: r["decayed_count"]
+            for r in decayed_counts(timed.coalesce(1), "k", "ts", 3600.0).collect()
+        }
+        b = {
+            r["k"]: r["decayed_count"]
+            for r in decayed_counts(timed.repartition(7), "k", "ts", 3600.0).collect()
+        }
+        assert a == b  # DECIMAL sum: bit-identical under any layout
+
+    def test_validation(self, spark, timed):
+        from feature_engineering_tk_spark.operators.frequency import decayed_counts
+
+        with pytest.raises(ColumnNotFoundError):
+            decayed_counts(timed, "nope", "ts", 1.0)
+        with pytest.raises(ValueError):
+            decayed_counts(timed, "k", "ts", 0.0)
