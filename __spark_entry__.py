@@ -4250,6 +4250,34 @@ def q_rank_overlap(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-entropy quality gate (functions/text.py char_entropy):
+    per-doc Shannon entropy over the first 2000 chars — row-local JVM
+    array expressions with the histogram fold pinned to sorted-
+    distinct-char order, so the oracle replays every term; the
+    zlib-free compression_ratio cousin, and unlike it fully
+    SQL-expressible."""
+    from feature_engineering_tk_spark.functions.text import char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return char_entropy(d).orderBy("doc_id")
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Per-group exact top-k (operators/sampling.py topk_per_group):
+    top-3 events per user bucket by value with event_id tie-break —
+    one group-key exchange, rank window fused into the sort, no
+    global sort."""
+    from feature_engineering_tk_spark.operators.sampling import topk_per_group
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("bucket"), "event_id", "value"
+    )
+    return topk_per_group(
+        ev, "bucket", "value", k=3, tie_break="event_id", out_rank="rk"
+    ).orderBy("bucket", "rk")
+
+
 def q_decayed_counts(spark, sf_dir):
     """Time-decayed trending counts (operators/frequency.py
     decayed_counts): per event_type, rows weighted 2^(−Δt/7d) from the
@@ -5040,6 +5068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winrate_ci": q_winrate_ci,
         "trigram_lm": q_trigram_lm,
         "decayed_counts": q_decayed_counts,
+        "char_entropy": q_char_entropy,
+        "topk_per_group": q_topk_per_group,
         "frequency_spectrum": q_frequency_spectrum,
         "multiclass_confusion": q_multiclass_confusion,
         "multiclass_metrics": q_multiclass_metrics,
@@ -10403,6 +10433,54 @@ def oracle_sql() -> dict[str, str]:
                        (acc, e) -> [acc[1] + acc[2] * e[1], acc[2] * 0.9])[1],
                      9) AS rbo
           FROM ov ORDER BY query_id
+    """
+    # Char entropy: replay the bounded char histogram and the sorted-
+    # distinct fold term for term (prepend-0 list_reduce = Spark's
+    # aggregate with 0.0 init); ratio divides the RAW entropy.
+    d["char_entropy"] = """
+        WITH src AS (
+          SELECT doc_id, text, substr(text, 1, 2000) AS t,
+                 length(substr(text, 1, 2000)) AS n
+            FROM documents
+        ),
+        hist AS (
+          SELECT doc_id, text, n,
+                 list_sort(list_distinct(
+                   list_transform(range(1, n + 1), i -> substr(t, i, 1)))) AS uniq,
+                 list_transform(range(1, n + 1), i -> substr(t, i, 1)) AS chars
+            FROM src
+        ),
+        ent AS (
+          SELECT doc_id, text, n, uniq,
+                 -(list_reduce(list_prepend(0.0,
+                     list_transform(uniq,
+                       c -> (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                            * log2(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                                   / CAST(n AS DOUBLE)))),
+                     (a, x) -> a + x)) AS e
+            FROM hist
+        )
+        SELECT doc_id,
+               coalesce(n, 0) AS n_chars,
+               CASE WHEN text IS NOT NULL AND n > 0 THEN len(uniq) ELSE 0 END AS n_distinct_chars,
+               CASE WHEN text IS NOT NULL AND n > 0 THEN round(e, 9) END AS entropy_bits,
+               CASE WHEN text IS NOT NULL AND n > 0 AND len(uniq) > 1
+                    THEN round(e / log2(CAST(len(uniq) AS DOUBLE)), 9)
+                    WHEN text IS NOT NULL AND n > 0 THEN 0.0 END AS entropy_ratio
+          FROM ent ORDER BY doc_id
+    """
+    d["topk_per_group"] = """
+        WITH ranked AS (
+          SELECT user_id % 100 AS bucket, event_id, value,
+                 CAST(row_number() OVER (
+                   PARTITION BY user_id % 100
+                   ORDER BY value DESC NULLS LAST, event_id ASC
+                 ) AS INT) AS rk
+            FROM events
+        )
+        SELECT bucket, event_id, value, rk
+          FROM ranked WHERE rk <= 3 ORDER BY bucket, rk
     """
     # Decayed counts: integer-µs delta, one pow per row, round-12 term,
     # exact DECIMAL sum — the identical expression tree.

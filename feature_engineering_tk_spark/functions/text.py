@@ -1649,3 +1649,62 @@ def trigram_lm_score(
             (-F.col("avg_logscore")).alias("logppl"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 2000,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Per-document character-level Shannon entropy: (id, n_chars,
+    n_distinct_chars, entropy_bits, entropy_ratio) — the zlib-free
+    cousin of ``compression_ratio`` (and unlike it, fully SQL-
+    replayable): natural text sits ~2-4.5 bits/char; near-0 flags
+    repeated-character floods, near ``log2(n_distinct)`` (ratio → 1)
+    flags high-entropy noise (base64 blobs, minified bundles,
+    encrypted dumps).  Use with ``gopher_rules``/``text_quality`` as
+    a corpus-quality gate.
+
+    ``entropy_bits = −Σ_c p_c·log2(p_c)`` over the first
+    ``max_chars`` characters (the span_dedup bounded-window
+    convention: per-row cost is a constant, O(max_chars·distinct)).
+    ``entropy_ratio`` = entropy / log2(n_distinct) ∈ [0,1] (0 when
+    one distinct char).
+
+    Determinism: the histogram fold runs over the SORTED distinct
+    characters left-to-right (one ``aggregate``), so the float sum
+    order is pinned and the oracle replays it term for term.  Pure
+    JVM array expressions — zero shuffle, zero UDF.  Empty/NULL text
+    → n_chars 0, NULL entropy (docs never silently dropped).
+    """
+    t = F.substring(F.col(text_col), 1, int(max_chars))
+    n = F.length(t)
+    chars = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(t, i, 1)
+    )
+    uniq = F.array_sort(F.array_distinct(chars))
+    probs = F.transform(
+        uniq,
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double")
+        / n.cast("double"),
+    )
+    ent = -F.aggregate(
+        probs,
+        F.lit(0.0),
+        lambda acc, p: acc + p * F.log2(p),
+    )
+    ok = F.col(text_col).isNotNull() & (n > 0)
+    return df.select(
+        F.col(id_col),
+        F.coalesce(n, F.lit(0)).alias("n_chars"),
+        F.when(ok, F.size(uniq)).otherwise(F.lit(0)).alias("n_distinct_chars"),
+        F.when(ok, F.round(ent, round_dp)).alias("entropy_bits"),
+        F.when(
+            ok & (F.size(uniq) > 1),
+            F.round(ent / F.log2(F.size(uniq).cast("double")), round_dp),
+        )
+        .when(ok, F.lit(0.0))
+        .alias("entropy_ratio"),
+    )

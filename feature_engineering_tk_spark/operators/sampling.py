@@ -387,3 +387,55 @@ def temporal_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn(out, tag)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group: str | list[str],
+    order_by: str,
+    k: int,
+    descending: bool = True,
+    tie_break: str | list[str] | None = None,
+    out_rank: str | None = None,
+) -> DataFrame:
+    """Exact top-``k`` rows per group by ``order_by`` — the
+    score-ordered complement of ``sample_per_group`` (hash-uniform k
+    per group): keep the k highest-quality docs per domain, the k
+    most-recent conversations per user, the k strongest candidates
+    per retrieval bucket.
+
+    Deterministic: rows are ranked by (``order_by`` desc|asc,
+    ``tie_break`` asc) with ``row_number`` — pass tie_break columns
+    that complete a total order (an id) or equal scores select
+    engine-dependently; NULL scores sort last, so they are only kept
+    when a group has fewer than k scored rows.  ``out_rank`` keeps
+    the 1-based rank as a column.
+
+    Scale shape: ONE exchange on the group key; the rank window and
+    filter fuse into the sort — no global sort, no driver collect.
+    Skewed groups cost one task each at worst (the window is
+    per-group sequential), which is the exact-semantics floor; for
+    approximate selection under extreme skew use hash_sample first.
+    """
+    from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    groups = [group] if isinstance(group, str) else list(group)
+    ties = (
+        [tie_break] if isinstance(tie_break, str) else list(tie_break or [])
+    )
+    for c in groups + [order_by] + ties:
+        if c not in df.columns:
+            raise ColumnNotFoundError(c, df.columns)
+    order = (
+        F.col(order_by).desc_nulls_last()
+        if descending
+        else F.col(order_by).asc_nulls_last()
+    )
+    w = Window.partitionBy(*groups).orderBy(order, *[F.col(t).asc() for t in ties])
+    rank_col = out_rank or "_topk_rank"
+    ranked = df.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= k
+    )
+    return ranked if out_rank else ranked.drop(rank_col)

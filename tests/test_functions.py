@@ -570,3 +570,57 @@ class TestTrigramLM:
         df = spark.createDataFrame(self.REF, "doc_id int, text string")
         with pytest.raises(ValueError):
             trigram_lm_score(df, alpha=0.0)
+
+
+class TestCharEntropy:
+    def test_hand_values(self, spark):
+        from feature_engineering_tk_spark.functions.text import char_entropy
+
+        rows = [
+            (1, "aaaa"),
+            (2, "abab"),
+            (3, "abcdefgh"),
+            (4, ""),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+        assert got[1]["entropy_bits"] == 0.0 and got[1]["entropy_ratio"] == 0.0
+        assert got[2]["entropy_bits"] == 1.0 and got[2]["entropy_ratio"] == 1.0
+        assert got[3]["entropy_bits"] == 3.0 and got[3]["entropy_ratio"] == 1.0
+        for d in (4, 5):  # empty/null kept, not scored
+            assert got[d]["n_chars"] == 0 and got[d]["entropy_bits"] is None
+
+    def test_matches_counter_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from feature_engineering_tk_spark.functions.text import char_entropy
+
+        text = "hello world, this is natural text with Some Repeats!!"
+        df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+        r = char_entropy(df).first()
+        c = Counter(text)
+        n = len(text)
+        want = -sum((v / n) * math.log2(v / n) for v in c.values())
+        assert r["entropy_bits"] == pytest.approx(want, abs=1e-8)
+        assert r["n_distinct_chars"] == len(c)
+        assert 0.0 < r["entropy_ratio"] < 1.0
+
+    def test_truncation_bound(self, spark):
+        from feature_engineering_tk_spark.functions.text import char_entropy
+
+        df = spark.createDataFrame(
+            [(0, "ab" * 5000)], "doc_id int, text string"
+        )
+        r = char_entropy(df, max_chars=100).first()
+        assert r["n_chars"] == 100  # per-row cost capped
+        assert r["entropy_bits"] == 1.0
+
+    def test_noise_scores_higher_than_repetition(self, spark):
+        from feature_engineering_tk_spark.functions.text import char_entropy
+
+        rows = [(1, "spam spam spam spam spam"), (2, "q8Zk2mXv9Lp0Rt4Yw6Ba")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r["entropy_ratio"] for r in char_entropy(df).collect()}
+        assert got[2] > got[1]

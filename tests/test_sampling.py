@@ -220,3 +220,46 @@ def test_kfold_assign_bad_k(spark, ids):
 
     with pytest.raises(ValueError):
         kfold_assign(ids, ["k"], k=1)
+
+
+class TestTopkPerGroup:
+    def test_exact_topk_with_ties_and_nulls(self, spark):
+        from feature_engineering_tk_spark.operators.sampling import topk_per_group
+
+        rows = [
+            ("g1", 1, 10.0), ("g1", 2, 30.0), ("g1", 3, 20.0), ("g1", 4, None),
+            ("g2", 5, 1.0), ("g2", 6, 1.0),
+            ("g3", 7, None),
+        ]
+        df = spark.createDataFrame(rows, "g string, id int, score double")
+        got = [
+            (r["g"], r["id"], r["rk"])
+            for r in topk_per_group(df, "g", "score", 2, tie_break="id", out_rank="rk")
+            .orderBy("g", "rk")
+            .collect()
+        ]
+        assert got == [
+            ("g1", 2, 1), ("g1", 3, 2),       # nulls sort last
+            ("g2", 5, 1), ("g2", 6, 2),       # tie broken by id
+            ("g3", 7, 1),                      # null-only group still present
+        ]
+
+    def test_ascending_and_rank_drop(self, spark):
+        from feature_engineering_tk_spark.operators.sampling import topk_per_group
+
+        df = spark.createDataFrame(
+            [("g", i, float(i)) for i in range(5)], "g string, id int, score double"
+        )
+        out = topk_per_group(df, "g", "score", 2, descending=False, tie_break="id")
+        assert "_topk_rank" not in out.columns
+        assert sorted(r["id"] for r in out.collect()) == [0, 1]
+
+    def test_validation(self, spark):
+        from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+        from feature_engineering_tk_spark.operators.sampling import topk_per_group
+
+        df = spark.createDataFrame([("g", 1, 1.0)], "g string, id int, score double")
+        with pytest.raises(ValueError):
+            topk_per_group(df, "g", "score", 0)
+        with pytest.raises(ColumnNotFoundError):
+            topk_per_group(df, "g", "nope", 1)
