@@ -4250,6 +4250,33 @@ def q_rank_overlap(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def q_skipgram_pmi(spark, sf_dir):
+    """Windowed skip-gram co-occurrence (functions/text.py
+    skipgram_cooccurrence): window-2 unordered pairs generated
+    ROW-LOCALLY (no self-join), one pair groupBy, vocab-sized unigram
+    broadcast; top-30 by rounded PMI with pair tie-break so the limit
+    boundary is cross-engine stable."""
+    from feature_engineering_tk_spark.functions.text import skipgram_cooccurrence
+
+    d = _t(spark, sf_dir, "documents")
+    return skipgram_cooccurrence(d, window=2, min_count=5, top_k=30)
+
+
+def q_burst_scores(spark, sf_dir):
+    """Burst detection (operators/frequency.py burst_scores): fast-1d
+    and slow-7d decayed masses in ONE map-side-combined groupBy, the
+    normalized ratio ≈1 for steady keys; decayed_counts' DECIMAL
+    discipline both horizons, so the oracle replays the pass
+    exactly."""
+    from feature_engineering_tk_spark.operators.frequency import burst_scores
+
+    ev = _t(spark, sf_dir, "events")
+    return burst_scores(
+        ev, "event_type", "ts", fast_half_life_s=86400.0,
+        slow_half_life_s=604800.0,
+    ).orderBy("event_type")
+
+
 def q_char_entropy(spark, sf_dir):
     """Character-entropy quality gate (functions/text.py char_entropy):
     per-doc Shannon entropy over the first 2000 chars — row-local JVM
@@ -5070,6 +5097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_counts": q_decayed_counts,
         "char_entropy": q_char_entropy,
         "topk_per_group": q_topk_per_group,
+        "skipgram_pmi": q_skipgram_pmi,
+        "burst_scores": q_burst_scores,
         "frequency_spectrum": q_frequency_spectrum,
         "multiclass_confusion": q_multiclass_confusion,
         "multiclass_metrics": q_multiclass_metrics,
@@ -10433,6 +10462,73 @@ def oracle_sql() -> dict[str, str]:
                        (acc, e) -> [acc[1] + acc[2] * e[1], acc[2] * 0.9])[1],
                      9) AS rbo
           FROM ov ORDER BY query_id
+    """
+    # Skip-gram PMI: replay the row-local window pair generation, the
+    # unordered-pair identity, unigram marginals, and the rounded-PMI
+    # ordered limit.
+    d["skipgram_pmi"] = """
+        WITH tk AS (
+          SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        tk2 AS (SELECT t, len(t) AS n FROM tk WHERE len(t) > 0),
+        pairs AS (
+          SELECT unnest(list_filter(flatten(
+                   list_transform(range(1, n + 1), i ->
+                     list_transform(range(1, 3), o ->
+                       CASE WHEN i + o <= n
+                            THEN {'a': least(t[i], t[i + o]),
+                                  'b': greatest(t[i], t[i + o])} END))),
+                   p -> p IS NOT NULL)) AS p
+            FROM tk2
+        ),
+        co AS (
+          SELECT p.a AS w_a, p.b AS w_b, CAST(count(*) AS BIGINT) AS n_cooccur
+            FROM pairs GROUP BY p.a, p.b HAVING count(*) >= 5
+        ),
+        uni AS (
+          SELECT u.w, CAST(count(*) AS BIGINT) AS cw
+            FROM (SELECT unnest(t) AS w FROM tk2) u GROUP BY u.w
+        ),
+        tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS nt FROM uni)
+        SELECT co.w_a, co.w_b, co.n_cooccur,
+               ua.cw AS c_a, ub.cw AS c_b,
+               round(ln((tot.nt * co.n_cooccur) / CAST(ua.cw * ub.cw AS DOUBLE)), 9) AS pmi
+          FROM co
+          JOIN uni ua ON ua.w = co.w_a
+          JOIN uni ub ON ub.w = co.w_b
+          CROSS JOIN tot
+         ORDER BY pmi DESC, co.w_a, co.w_b
+         LIMIT 30
+    """
+    # Burst scores: the decayed_counts replay with two horizons in one
+    # aggregation and the normalized ratio on the materialized doubles.
+    d["burst_scores"] = """
+        WITH src AS (
+          SELECT event_type, ts FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ),
+        anchor AS (SELECT max(ts) AS a FROM src),
+        agg AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(
+                     1.0 * pow(2.0,
+                         -(CAST(epoch_us(anchor.a) - epoch_us(ts) AS DOUBLE) / 1000000.0)
+                          / 86400.0),
+                     12) AS DECIMAL(38,12))) AS DOUBLE) AS fast_count,
+                 CAST(sum(CAST(round(
+                     1.0 * pow(2.0,
+                         -(CAST(epoch_us(anchor.a) - epoch_us(ts) AS DOUBLE) / 1000000.0)
+                          / 604800.0),
+                     12) AS DECIMAL(38,12))) AS DOUBLE) AS slow_count
+            FROM src, anchor GROUP BY event_type
+        )
+        SELECT event_type, n_rows, fast_count, slow_count,
+               CASE WHEN slow_count > 0
+                    THEN round((fast_count / slow_count) * 7.0, 12) END AS burst_ratio
+          FROM agg ORDER BY event_type
     """
     # Char entropy: replay the bounded char histogram and the sorted-
     # distinct fold term for term (prepend-0 list_reduce = Spark's

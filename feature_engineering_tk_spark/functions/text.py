@@ -1708,3 +1708,100 @@ def char_entropy(
         .when(ok, F.lit(0.0))
         .alias("entropy_ratio"),
     )
+
+
+def skipgram_cooccurrence(
+    df: DataFrame,
+    column: str = "text",
+    window: int = 5,
+    min_count: int = 5,
+    top_k: int | None = 20,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Windowed skip-gram co-occurrence with PMI — the distributional
+    statistic under word2vec/GloVe-style embedding training and the
+    windowed generalization of :func:`collocations` (adjacent pairs
+    only): (w_a, w_b, n_cooccur, c_a, c_b, pmi) for unordered pairs
+    within ``window`` tokens, ``pmi = ln(n_tokens·c_pair/(c_a·c_b))``
+    with unigram marginals (the collocations convention).
+
+    Scale shape: pair generation is ROW-LOCAL (each doc emits its own
+    (i, i+o) windows via nested array transforms — no self-join, no
+    shuffle of positions), then one map-side-combined groupBy on the
+    unordered pair; the unigram table is vocab-sized and joins
+    broadcast.  Cost per row is O(tokens·window).  ``top_k`` bounds
+    the output by ROUNDED pmi desc then pair asc (ties cross-engine
+    stable); ``top_k=None`` returns the full min_count-filtered table
+    for embedding training.  Pairs of a token with itself (repeated
+    word inside the window) count like any other pair; pair identity
+    is (least, greatest).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    c = F.col(column)
+    toks = pin(
+        df.where(c.isNotNull())
+        .select(F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "").alias("_t"))
+        .where(F.size("_t") > 0)
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n_tok = uni.agg(F.sum("cw").cast("double").alias("_n"))
+    t = F.col("_t")
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), F.lit(int(window))),
+                    lambda o: F.when(
+                        i + o <= F.size(t),
+                        F.struct(
+                            F.least(
+                                F.element_at(t, i), F.element_at(t, (i + o).cast("int"))
+                            ).alias("a"),
+                            F.greatest(
+                                F.element_at(t, i), F.element_at(t, (i + o).cast("int"))
+                            ).alias("b"),
+                        ),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p.isNotNull(),
+    )
+    co = (
+        toks.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.a").alias("w_a"), F.col("_p.b").alias("w_b"))
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .where(F.col("n_cooccur") >= min_count)
+    )
+    ua = uni.select(F.col("w").alias("w_a"), F.col("cw").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w_b"), F.col("cw").alias("c_b"))
+    scored = (
+        co.join(F.broadcast(ua), "w_a")
+        .join(F.broadcast(ub), "w_b")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w_a",
+            "w_b",
+            "n_cooccur",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log(
+                    F.col("_n")
+                    * F.col("n_cooccur")
+                    / (F.col("c_a") * F.col("c_b")).cast("double")
+                ),
+                round_dp,
+            ).alias("pmi"),
+        )
+    )
+    if top_k is None:
+        return scored
+    return scored.orderBy(F.desc("pmi"), "w_a", "w_b").limit(int(top_k))

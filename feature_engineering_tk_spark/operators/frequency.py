@@ -595,3 +595,72 @@ def decayed_counts(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(term).cast("double").alias("decayed_count"),
     )
+
+
+def burst_scores(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    fast_half_life_s: float,
+    slow_half_life_s: float,
+    ref_ts: str | None = None,
+    weight_col: str | None = None,
+    round_dp: int = 12,
+) -> DataFrame:
+    """Burst detection per key: two :func:`decayed_counts` horizons in
+    ONE pass — (key, n_rows, fast_count, slow_count, burst_ratio).
+
+    ``burst_ratio = (fast/slow)·(slow_hl/fast_hl)``: for a key firing
+    at a steady rate the decayed mass scales with the half-life, so
+    the normalized ratio sits ≈ 1; ratios ≫ 1 mark keys whose recent
+    rate outruns their long-run rate (the trending/incident signal —
+    a token flood, an attack pattern, a breaking topic), ratios ≪ 1
+    mark decaying ones.  NULL when the slow horizon saw nothing.
+
+    Same determinism discipline as :func:`decayed_counts` (round-
+    ``round_dp`` terms, DECIMAL sums — layout-independent, oracle-
+    exact), and both horizons share the single map-side-combined
+    groupBy: no second scan.
+    """
+    from feature_engineering_tk_spark.functions.timeutil import epoch_micros
+
+    for c in (key, ts):
+        _require(df, c)
+    if weight_col:
+        _require(df, weight_col)
+    fhl, shl = float(fast_half_life_s), float(slow_half_life_s)
+    if fhl <= 0 or shl <= 0:
+        raise ValueError("half-lives must be positive")
+    if fhl >= shl:
+        raise ValueError("fast_half_life_s must be shorter than slow_half_life_s")
+    src = df.where(F.col(key).isNotNull() & F.col(ts).isNotNull())
+    if ref_ts is None:
+        anchor = src.agg(F.max(F.col(ts)).alias("_anchor"))
+        src = src.crossJoin(F.broadcast(anchor))
+        anchor_col = F.col("_anchor")
+    else:
+        anchor_col = F.lit(ref_ts).cast("timestamp_ntz")
+    dt_s = (
+        epoch_micros(anchor_col) - epoch_micros(F.col(ts))
+    ).cast("double") / F.lit(1000000.0)
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    dec = f"decimal(38,{round_dp})"
+
+    def term(hl: float):
+        return F.round(w * F.pow(F.lit(2.0), -dt_s / F.lit(hl)), round_dp).cast(dec)
+
+    agg = src.groupBy(F.col(key)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(term(fhl)).cast("double").alias("fast_count"),
+        F.sum(term(shl)).cast("double").alias("slow_count"),
+    )
+    ratio = (F.col("fast_count") / F.col("slow_count")) * F.lit(shl / fhl)
+    return agg.select(
+        key,
+        "n_rows",
+        "fast_count",
+        "slow_count",
+        F.when(F.col("slow_count") > 0, F.round(ratio, round_dp)).alias(
+            "burst_ratio"
+        ),
+    )

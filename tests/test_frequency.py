@@ -332,3 +332,61 @@ class TestDecayedCounts:
             decayed_counts(timed, "nope", "ts", 1.0)
         with pytest.raises(ValueError):
             decayed_counts(timed, "k", "ts", 0.0)
+
+
+class TestBurstScores:
+    @pytest.fixture(scope="class")
+    def events(self, spark):
+        rows = [
+            ("hot", "2024-01-08 00:00:00"), ("hot", "2024-01-07 23:00:00"),
+            ("hot", "2024-01-07 22:00:00"), ("hot", "2023-12-01 00:00:00"),
+            ("steady", "2024-01-08 00:00:00"), ("steady", "2023-12-25 00:00:00"),
+            ("steady", "2023-12-10 00:00:00"), ("steady", "2023-11-25 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts string")
+        return df.withColumn("ts", df["ts"].cast("timestamp_ntz"))
+
+    def test_burst_orders_hot_above_steady(self, spark, events):
+        from feature_engineering_tk_spark.operators.frequency import burst_scores
+
+        out = {
+            r["k"]: r
+            for r in burst_scores(
+                events, "k", "ts", 86400.0, 30 * 86400.0,
+                ref_ts="2024-01-08 00:00:00",
+            ).collect()
+        }
+        assert out["hot"]["burst_ratio"] > out["steady"]["burst_ratio"]
+        # fast mass of hot: anchor row + two recent hours + negligible tail
+        exp = 1 + 2 ** (-1 / 24) + 2 ** (-2 / 24) + 2 ** (-38.0)
+        assert out["hot"]["fast_count"] == pytest.approx(exp, abs=1e-6)
+
+    def test_single_pass_consistency_with_decayed_counts(self, spark, events):
+        from feature_engineering_tk_spark.operators.frequency import (
+            burst_scores,
+            decayed_counts,
+        )
+
+        b = {
+            r["k"]: r
+            for r in burst_scores(events, "k", "ts", 3600.0, 86400.0).collect()
+        }
+        fast = {
+            r["k"]: r["decayed_count"]
+            for r in decayed_counts(events, "k", "ts", 3600.0).collect()
+        }
+        slow = {
+            r["k"]: r["decayed_count"]
+            for r in decayed_counts(events, "k", "ts", 86400.0).collect()
+        }
+        for k, r in b.items():
+            assert r["fast_count"] == fast[k]  # same terms, same DECIMAL sums
+            assert r["slow_count"] == slow[k]
+
+    def test_validation(self, spark, events):
+        from feature_engineering_tk_spark.operators.frequency import burst_scores
+
+        with pytest.raises(ValueError):
+            burst_scores(events, "k", "ts", 100.0, 100.0)  # fast must be < slow
+        with pytest.raises(ValueError):
+            burst_scores(events, "k", "ts", -1.0, 100.0)

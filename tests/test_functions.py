@@ -624,3 +624,67 @@ class TestCharEntropy:
         df = spark.createDataFrame(rows, "doc_id int, text string")
         got = {r["doc_id"]: r["entropy_ratio"] for r in char_entropy(df).collect()}
         assert got[2] > got[1]
+
+
+class TestSkipgramCooccurrence:
+    DOCS = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran to the mat"),
+        (3, "dogs chase the cat around"),
+    ]
+
+    def test_matches_counter_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from feature_engineering_tk_spark.functions.text import skipgram_cooccurrence
+
+        df = spark.createDataFrame(self.DOCS, "doc_id int, text string")
+        got = {
+            (r["w_a"], r["w_b"]): r
+            for r in skipgram_cooccurrence(df, window=2, min_count=2, top_k=None).collect()
+        }
+        pair_counts, uni, n_tok = Counter(), Counter(), 0
+        for _, t in self.DOCS:
+            toks = t.lower().split()
+            for w in toks:
+                uni[w] += 1
+                n_tok += 1
+            for i in range(len(toks)):
+                for o in (1, 2):
+                    if i + o < len(toks):
+                        a, b = sorted([toks[i], toks[i + o]])
+                        pair_counts[(a, b)] += 1
+        want = {p: c for p, c in pair_counts.items() if c >= 2}
+        assert set(got) == set(want)
+        for (a, b), r in got.items():
+            assert r["n_cooccur"] == want[(a, b)]
+            pmi = math.log(n_tok * want[(a, b)] / (uni[a] * uni[b]))
+            assert r["pmi"] == pytest.approx(pmi, abs=1e-8)
+
+    def test_topk_ordering_and_window_validation(self, spark):
+        from feature_engineering_tk_spark.functions.text import skipgram_cooccurrence
+
+        df = spark.createDataFrame(self.DOCS, "doc_id int, text string")
+        top = skipgram_cooccurrence(df, window=2, min_count=1, top_k=4).collect()
+        assert len(top) == 4
+        assert [r["pmi"] for r in top] == sorted((r["pmi"] for r in top), reverse=True)
+        with pytest.raises(ValueError):
+            skipgram_cooccurrence(df, window=0)
+
+    def test_window_1_equals_adjacent_pairs(self, spark):
+        from collections import Counter
+
+        from feature_engineering_tk_spark.functions.text import skipgram_cooccurrence
+
+        df = spark.createDataFrame(self.DOCS, "doc_id int, text string")
+        got = {
+            (r["w_a"], r["w_b"]): r["n_cooccur"]
+            for r in skipgram_cooccurrence(df, window=1, min_count=1, top_k=None).collect()
+        }
+        adj = Counter()
+        for _, t in self.DOCS:
+            toks = t.lower().split()
+            for i in range(len(toks) - 1):
+                adj[tuple(sorted(toks[i : i + 2]))] += 1
+        assert got == dict(adj)
