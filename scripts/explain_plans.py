@@ -1158,6 +1158,116 @@ def main() -> None:
         )
     )
 
+    from feature_engineering_tk_spark.functions.text import (
+        char_entropy,
+        skipgram_cooccurrence,
+        trigram_lm_score,
+    )
+
+    p = plan_of(trigram_lm_score(docs.limit(200), ref=docs))
+    sections.append(
+        (
+            "trigram_lm_score (stupid-backoff cross-corpus scoring)",
+            p,
+            [
+                f"python_nodes={'Python' in p} (want False — tokenize/hash/backoff all codegen)",
+                f"cartesian_products={len(re.findall(r'CartesianProduct', p))} (want 0 — totals ride broadcasts)",
+            ],
+        )
+    )
+
+    p = plan_of(char_entropy(docs))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    sections.append(
+        (
+            "char_entropy (bounded per-doc Shannon entropy)",
+            p,
+            [
+                f"exchanges={n_ex} (want 0 — pure row-local array expressions)",
+                f"python_nodes={'Python' in p} (want False)",
+            ],
+        )
+    )
+
+    p = plan_of(skipgram_cooccurrence(docs, window=2, min_count=5, top_k=None))
+    sections.append(
+        (
+            "skipgram_cooccurrence (row-local window pairs + PMI)",
+            p,
+            [
+                f"sort_merge_join={'SortMergeJoin' in p} (want False — unigram marginals broadcast)",
+                f"python_nodes={'Python' in p} (want False — pair generation is nested array transforms)",
+            ],
+        )
+    )
+
+    from feature_engineering_tk_spark.analysis.ranking import rank_biased_overlap
+
+    ranked = ev.select(
+        (F.col("user_id") % 50).alias("query_id"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("ranker"),
+        (F.col("event_id") % 10 + 1).cast("int").alias("rank"),
+        F.col("event_id").cast("string").alias("item_id"),
+    )
+    p = plan_of(rank_biased_overlap(ranked, depth=10))
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    sections.append(
+        (
+            "rank_biased_overlap (truncated RBO@d)",
+            p,
+            [
+                f"exchanges={n_ex} (want 1 — one query-key groupBy; depth filter precedes the shuffle)",
+                f"window_nodes={len(re.findall(r'Window', p))} (want 0 — the fold is a row-local aggregate expression)",
+                f"depth_filter_pushed={'PushedFilters' in p or 'Filter' in p} (rank<=d filters before the exchange)",
+            ],
+        )
+    )
+
+    from feature_engineering_tk_spark.operators.frequency import burst_scores, decayed_counts
+    from feature_engineering_tk_spark.operators.sampling import topk_per_group
+
+    p = plan_of(decayed_counts(ev, "event_type", "ts", 604800.0))
+    n_agg = len(set(re.findall(r"HashAggregate \((\d+)\)", p)))
+    sections.append(
+        (
+            "decayed_counts (DECIMAL-exact trending counts)",
+            p,
+            [
+                f"python_nodes={'Python' in p} (want False — pow + round + decimal sum in codegen)",
+                f"hash_aggregates>=2: {n_agg >= 2} (map-side partial decimal sums)",
+            ],
+        )
+    )
+    p = plan_of(burst_scores(ev, "event_type", "ts", 86400.0, 604800.0))
+    n_agg2 = len(set(re.findall(r"HashAggregate \((\d+)\)", p)))
+    sections.append(
+        (
+            "burst_scores (two-horizon burst ratio, one pass)",
+            p,
+            [
+                f"hash_aggregates={n_agg2} (want 4 = anchor-max pair + ONE shared partial/final pair for BOTH horizons — no second corpus scan)",
+            ],
+        )
+    )
+
+    p = plan_of(
+        topk_per_group(
+            ev.select((F.col("user_id") % 100).alias("b"), "event_id", "value"),
+            "b", "value", 3, tie_break="event_id",
+        )
+    )
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
+    sections.append(
+        (
+            "topk_per_group (exact score-ordered k per group)",
+            p,
+            [
+                f"exchanges={n_ex} (want 1 — one group-key shuffle, sort is per-partition)",
+                f"single_partition_exchange={'SinglePartition' in p} (want False — no global sort)",
+            ],
+        )
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/explain_plans.py)\n")
