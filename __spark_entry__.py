@@ -2819,6 +2819,30 @@ def q_detect_loops(spark, sf_dir):
     return detect_loops(_transcript_view(spark, sf_dir))
 
 
+def q_near_loops(spark, sf_dir):
+    """Fuzzy agent-loop detection (operators/transcripts.py
+    near_loops): consecutive assistant turns compared by normalized
+    Levenshtein similarity on event_type+props text (same event_type,
+    near-identical props → similar but not verbatim — exactly the
+    paraphrase-loop shape detect_loops misses).  DuckDB's levenshtein
+    matches Spark's, so the gaps-and-islands chains oracle
+    bit-exact."""
+    from feature_engineering_tk_spark.operators.transcripts import near_loops
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("view", "signup"), F.lit("user"))
+        .when(F.col("event_type").isin("click", "purchase"), F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+        .alias("role"),
+        F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("text"),
+    )
+    return near_loops(tr, similarity=0.8, min_repeats=3).orderBy("conv_id")
+
+
 def q_conversation_dedup(spark, sf_dir):
     """Sequence-level conversation dedup (operators/transcripts.py):
     fingerprint = hash of the ordered (role, text) turn sequence;
@@ -5099,6 +5123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "skipgram_pmi": q_skipgram_pmi,
         "burst_scores": q_burst_scores,
+        "near_loops": q_near_loops,
         "frequency_spectrum": q_frequency_spectrum,
         "multiclass_confusion": q_multiclass_confusion,
         "multiclass_metrics": q_multiclass_metrics,
@@ -10462,6 +10487,64 @@ def oracle_sql() -> dict[str, str]:
                        (acc, e) -> [acc[1] + acc[2] * e[1], acc[2] * 0.9])[1],
                      9) AS rbo
           FROM ov ORDER BY query_id
+    """
+    # Near-loops: replay the role filter, Levenshtein similarity (both
+    # engines implement the same unit-cost edit distance), and the
+    # gaps-and-islands chain numbering.
+    d["near_loops"] = """
+        WITH tr AS (
+          SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+                 CASE WHEN event_type IN ('view','signup') THEN 'user'
+                      WHEN event_type IN ('click','purchase') THEN 'assistant'
+                      ELSE 'tool' END AS role,
+                 concat_ws(' ', event_type, props) AS text
+            FROM events
+        ),
+        src AS (
+          SELECT conv_id, turn_idx, substr(coalesce(text, ''), 1, 500) AS t
+            FROM tr WHERE role IN ('assistant')
+        ),
+        lagd AS (
+          SELECT conv_id, turn_idx, t,
+                 lag(t) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pt
+            FROM src
+        ),
+        simt AS (
+          SELECT conv_id, turn_idx,
+                 CASE WHEN pt IS NOT NULL
+                      THEN 1.0 - CAST(levenshtein(pt, t) AS DOUBLE)
+                                 / CAST(greatest(length(pt), length(t), 1) AS DOUBLE)
+                 END AS sim
+            FROM lagd
+        ),
+        marked AS (
+          SELECT conv_id, turn_idx, sim,
+                 (sim IS NOT NULL AND sim >= 0.8) AS near,
+                 sum(CASE WHEN sim IS NOT NULL AND sim >= 0.8 THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+            FROM simt
+        ),
+        chains AS (
+          SELECT conv_id, max(pairs) AS max_pairs FROM (
+            SELECT conv_id, run, count(*) AS pairs
+              FROM marked WHERE near GROUP BY conv_id, run
+          ) GROUP BY conv_id
+        ),
+        per AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns_scored,
+                 CAST(sum(CASE WHEN near THEN 1 ELSE 0 END) AS BIGINT) AS n_near_repeat_pairs,
+                 round(max(sim), 9) AS max_similarity
+            FROM marked GROUP BY conv_id
+        )
+        SELECT p.conv_id, p.n_turns_scored, p.n_near_repeat_pairs,
+               CAST(coalesce(c.max_pairs, 0) + 1 AS BIGINT) AS max_consecutive_near,
+               p.max_similarity,
+               (coalesce(c.max_pairs, 0) + 1) >= 3 AS has_near_loop
+          FROM per p LEFT JOIN chains c USING (conv_id)
+         ORDER BY p.conv_id
     """
     # Skip-gram PMI: replay the row-local window pair generation, the
     # unordered-pair identity, unigram marginals, and the rounded-PMI

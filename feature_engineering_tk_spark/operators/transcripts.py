@@ -1097,3 +1097,85 @@ def merge_adjacent_turns(
         .drop("__run")
         .select(conv_id, turn_idx, role, text, tool, ts, "n_merged")
     )
+
+
+def near_loops(
+    df: DataFrame,
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    roles: tuple = ("assistant",),
+    similarity: float = 0.9,
+    min_repeats: int = 3,
+    max_chars: int = 500,
+) -> DataFrame:
+    """FUZZY agent-loop detection — the edit-distance twin of
+    :func:`detect_loops` (which needs VERBATIM repeats): per
+    conversation, consecutive same-role turns are compared by
+    normalized Levenshtein similarity ``1 − lev/max(len)``, so an
+    agent stuck in a paraphrase loop ("I apologize, let me try
+    again…" with varying suffixes) is caught even though no two turns
+    hash equal.  Output per conversation: (conv, n_turns_scored,
+    n_near_repeat_pairs, max_consecutive_near, max_similarity,
+    has_near_loop) where ``max_consecutive_near`` counts TURNS in the
+    longest chain of pairwise-similar consecutive turns (≥ 1) and
+    ``has_near_loop`` flags chains of at least ``min_repeats`` turns.
+
+    Scale shape: turns filtered to ``roles`` BEFORE the shuffle
+    (filter pushdown), ONE conv-key exchange serves the lag window,
+    the gaps-and-islands run numbering, and the final groupBy; the
+    Levenshtein runs in the JVM on ``max_chars``-bounded prefixes
+    (the span_dedup convention: worst-case per-row cost is a
+    constant — edit distance is O(max_chars²)).  Conversations with
+    no ``roles`` turns have nothing to score and are absent.
+    DuckDB's ``levenshtein`` matches Spark's exactly, so the whole
+    pipeline oracles bit-for-bit (similarity is integer-ratio
+    doubles).
+    """
+    if not (0.0 < similarity <= 1.0):
+        raise ValueError("similarity must be in (0, 1]")
+    if min_repeats < 2:
+        raise ValueError("min_repeats must be >= 2")
+    w = _conv_window(conv_id, turn_idx)
+    t1 = F.substring(F.coalesce(F.col(text), F.lit("")), 1, int(max_chars))
+    src = df.where(F.col(role).isin(list(roles))).select(
+        F.col(conv_id), F.col(turn_idx), t1.alias("_t")
+    )
+    prev = F.lag("_t").over(w)
+    lev = F.levenshtein(prev, F.col("_t"))
+    denom = F.greatest(F.length(prev), F.length("_t"), F.lit(1))
+    sim = F.lit(1.0) - lev.cast("double") / denom.cast("double")
+    marked = src.select(
+        conv_id,
+        turn_idx,
+        sim.alias("_sim"),
+        (sim.isNotNull() & (sim >= F.lit(float(similarity)))).alias("_near"),
+    ).withColumn(
+        "_run",
+        F.sum(F.when(F.col("_near"), 0).otherwise(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    chains = (
+        marked.where(F.col("_near"))
+        .groupBy(conv_id, "_run")
+        .agg(F.count(F.lit(1)).alias("_pairs"))
+        .groupBy(conv_id)
+        .agg(F.max("_pairs").alias("_max_pairs"))
+    )
+    per_conv = marked.groupBy(conv_id).agg(
+        F.count(F.lit(1)).alias("n_turns_scored"),
+        F.sum(F.col("_near").cast("int")).alias("n_near_repeat_pairs"),
+        F.round(F.max("_sim"), 9).alias("max_similarity"),
+    )
+    joined = per_conv.join(chains, conv_id, "left")
+    max_chain = F.coalesce(F.col("_max_pairs"), F.lit(0)) + F.lit(1)
+    return joined.select(
+        conv_id,
+        "n_turns_scored",
+        "n_near_repeat_pairs",
+        max_chain.alias("max_consecutive_near"),
+        "max_similarity",
+        (max_chain >= F.lit(int(min_repeats))).alias("has_near_loop"),
+    )

@@ -995,3 +995,80 @@ class TestMergeAdjacentTurns:
         # the groupBy clusters on a superset of the window key: the
         # window's single conv_id exchange must be the ONLY shuffle
         assert plan.count("Exchange") <= 1
+
+
+class TestNearLoops:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+
+    def test_paraphrase_loop_caught(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import near_loops
+
+        rows = [
+            ("c1", 0, "user", "please fix the bug"),
+            ("c1", 1, "assistant", "I apologize, let me try again with option A"),
+            ("c1", 2, "assistant", "I apologize, let me try again with option B"),
+            ("c1", 3, "assistant", "I apologize, let me try again with option C"),
+            ("c2", 0, "assistant", "here is the summary you asked for"),
+            ("c2", 1, "assistant", "now running the tests as requested"),
+        ]
+        got = {
+            r["conv_id"]: r
+            for r in near_loops(self._mk(spark, rows), similarity=0.85, min_repeats=3).collect()
+        }
+        assert got["c1"]["has_near_loop"] is True
+        assert got["c1"]["max_consecutive_near"] == 3
+        assert got["c1"]["n_near_repeat_pairs"] == 2
+        assert got["c2"]["has_near_loop"] is False
+        assert got["c2"]["max_consecutive_near"] == 1
+
+    def test_verbatim_is_similarity_one_and_detect_loops_agreement(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            detect_loops,
+            near_loops,
+        )
+
+        rows = [("c", i, "assistant", "same text") for i in range(4)]
+        df = self._mk(spark, rows)
+        nl = near_loops(df, similarity=0.99, min_repeats=3).first()
+        dl = detect_loops(df, min_repeats=3).first()
+        assert nl["max_similarity"] == 1.0
+        # a verbatim loop is a near loop at any threshold; chain lengths agree
+        assert nl["max_consecutive_near"] == dl["max_consecutive_repeats"] == 4
+        assert nl["has_near_loop"] is True and dl["has_loop"]
+
+    def test_role_filter_and_absent_convs(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import near_loops
+
+        rows = [
+            ("c1", 0, "user", "a"), ("c1", 1, "user", "a"),
+            ("c2", 0, "assistant", "x"),
+        ]
+        out = near_loops(self._mk(spark, rows), similarity=0.5)
+        got = {r["conv_id"] for r in out.collect()}
+        assert got == {"c2"}  # user-only conv absent under default roles
+
+    def test_broken_chain_resets(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import near_loops
+
+        rows = [
+            ("c", 0, "assistant", "aaaa aaaa"),
+            ("c", 1, "assistant", "aaaa aaab"),   # near
+            ("c", 2, "assistant", "totally different content here"),  # break
+            ("c", 3, "assistant", "totally different content here"),  # near
+        ]
+        r = near_loops(self._mk(spark, rows), similarity=0.85, min_repeats=3).first()
+        assert r["n_near_repeat_pairs"] == 2
+        assert r["max_consecutive_near"] == 2  # two chains of 2 turns, never 3
+        assert r["has_near_loop"] is False
+
+    def test_validation(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import near_loops
+
+        df = self._mk(spark, [("c", 0, "assistant", "x")])
+        with pytest.raises(ValueError):
+            near_loops(df, similarity=0.0)
+        with pytest.raises(ValueError):
+            near_loops(df, min_repeats=1)
