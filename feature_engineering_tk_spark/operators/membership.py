@@ -226,6 +226,37 @@ def decontaminate_bloom(
     bloom = bloom_filter_table(
         bench_grams, "gram", n_bits=m, k=kk, salt=salt, hash_mode=hash_mode
     )
+    return decontaminate_bloom_with_filter(
+        corpus, bloom, text_col=text_col, id_col=id_col, n=n,
+        n_bits=m, k=kk, salt=salt, hash_mode=hash_mode,
+    )
+
+
+def decontaminate_bloom_with_filter(
+    corpus: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "v1",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The probe half of :func:`decontaminate_bloom` against a
+    PREBUILT (persisted) filter — build the benchmark's filter once
+    with :func:`bloom_filter_table`, store the (word_idx, bits) rows
+    next to the benchmark, and gate every future ingest shard /
+    micro-batch with this function alone: no benchmark re-read, no
+    filter rebuild (the ``streaming_bloom_gate`` path).  Geometry
+    (n, n_bits, k, salt, hash_mode) must match the filter's build;
+    output and guarantees are exactly ``decontaminate_bloom``'s.
+    """
+    m, kk = _bloom_params(n_bits, k)
+    for c_ in (text_col, id_col):
+        _require(corpus, c_)
+    from feature_engineering_tk_spark.operators.dedup import _shingles
+
     grams = corpus.select(
         F.col(id_col),
         F.explode(

@@ -316,3 +316,64 @@ def streaming_neardup_ingest(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def streaming_bloom_gate(
+    stream: DataFrame,
+    bloom_path: str,
+    out_path: str,
+    checkpoint: str,
+    quarantine_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "v1",
+    hash_mode: str = "xxhash64",
+):
+    """Continuous-ingest decontamination gate: the streaming twin of
+    ``decontaminate_bloom`` (operators/membership.py).
+
+    The benchmark's n-gram Bloom filter is built ONCE with
+    ``bloom_filter_table`` and persisted at ``bloom_path``
+    (aggregate-sized: ~n_bits/63 rows); each micro-batch probes it
+    with the same row-local broadcast joins — no benchmark re-read
+    per batch beyond the tiny word table, no state store, no shuffle
+    of the batch.  Provably-clean docs (zero flagged grams — the
+    Bloom no-false-negative guarantee makes False a PROOF) append to
+    ``out_path``; flagged docs append to ``quarantine_path`` (when
+    given) with their (n_grams, flagged_grams, flagged_share) audit
+    columns for the exact-path re-check, instead of being silently
+    dropped.
+
+    The filter geometry (n, n_bits, k, salt, hash_mode) must match
+    the persisted filter's build.  Returns the ``DataStreamWriter``;
+    callers pick the trigger (``availableNow`` in tests).
+    """
+    from feature_engineering_tk_spark.operators.membership import (
+        decontaminate_bloom_with_filter,
+    )
+
+    def _gate(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bloom = spark.read.parquet(bloom_path)
+        flagged = decontaminate_bloom_with_filter(
+            batch_df, bloom, text_col=text_col, id_col=id_col, n=n,
+            n_bits=n_bits, k=k, salt=salt, hash_mode=hash_mode,
+        )
+        joined = batch_df.join(flagged, id_col).localCheckpoint(eager=True)
+        clean = joined.where(~F.col("contaminated")).drop(
+            "n_grams", "flagged_grams", "flagged_share", "contaminated"
+        )
+        clean.write.mode("append").parquet(out_path)
+        if quarantine_path is not None:
+            joined.where(F.col("contaminated")).write.mode("append").parquet(
+                quarantine_path
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -344,3 +344,81 @@ def test_streaming_loop_monitor_equals_batch_on_replay(spark, transcripts, tmp_p
         assert r["n_rows"] == r["n_turns"]  # one emitted row per turn
         assert r["max_run"] == r["max_consecutive_repeats"], r["conv_id"]
         assert bool(r["loop"]) == r["has_loop"], r["conv_id"]
+
+
+def test_streaming_bloom_gate_matches_batch_path(spark, tmp_path):
+    """The streaming gate over two micro-batches must make exactly the
+    batch decontaminate_bloom decisions: clean docs land in out,
+    contaminated docs in quarantine with audit columns, nothing
+    silently dropped."""
+    from pyspark.sql import functions as F
+
+    from feature_engineering_tk_spark.operators.dedup import _shingles
+    from feature_engineering_tk_spark.operators.membership import (
+        bloom_filter_table,
+        decontaminate_bloom,
+    )
+
+    src = str(tmp_path / "bloom_src")
+    bloom_path = str(tmp_path / "bloom")
+    out = str(tmp_path / "bloom_out")
+    quarantine = str(tmp_path / "bloom_quarantine")
+    ckpt = str(tmp_path / "bloom_ckpt")
+
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id bigint, text string"
+    )
+    bench_grams = bench.select(F.explode(_shingles(F.col("text"), 3)).alias("gram"))
+    bloom_filter_table(bench_grams, "gram", n_bits=1 << 14, k=3).write.parquet(
+        bloom_path
+    )
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contaminated
+            (2, "completely unrelated clean content here today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (3, "more clean text with no benchmark overlap at all"),
+            (4, "again the quick brown fox jumps over everything"),  # contaminated
+        ],
+        "doc_id bigint, text string",
+    )
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = (
+            SS.streaming_bloom_gate(
+                stream, bloom_path, out, ckpt, quarantine_path=quarantine,
+                n=3, n_bits=1 << 14, k=3,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    clean_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    qrows = {r["doc_id"]: r for r in spark.read.parquet(quarantine).collect()}
+    assert clean_ids == {2, 3}
+    assert set(qrows) == {1, 4}
+    # quarantine carries the audit columns for the exact-path re-check
+    assert all(r["flagged_grams"] > 0 and r["contaminated"] for r in qrows.values())
+
+    # decision-for-decision parity with the batch operator
+    batch = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_bloom(
+            b1.unionByName(b2), bench, n=3, n_bits=1 << 14, k=3
+        ).collect()
+    }
+    for did, contaminated in batch.items():
+        assert (did in qrows) == contaminated
+        assert (did in clean_ids) == (not contaminated)
