@@ -4360,6 +4360,35 @@ def q_trigram_lm(spark, sf_dir):
     return trigram_lm_score(tgt, ref=ref, hash_mode="md5").orderBy("doc_id")
 
 
+def q_mcnemar(spark, sf_dir):
+    """McNemar's paired test (operators/evals.py mcnemar_test): two
+    deterministic 'models' scored on the same events — correctness is
+    entirely in the discordant counts; the χ²₁-critical-value verdict
+    needs no p-value machinery, so the statistic replays as exact
+    integers + one division."""
+    from feature_engineering_tk_spark.operators.evals import mcnemar_test
+
+    ev = _t(spark, sf_dir, "events")
+    paired = ev.where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("item_id"),
+        (F.col("value") >= 10).alias("a_correct"),
+        ((F.col("user_id") + F.col("event_id")) % 5 > 0).alias("b_correct"),
+    )
+    return mcnemar_test(paired)
+
+
+def q_truncation_audit(spark, sf_dir):
+    """Truncated-generation audit (functions/cleaning.py
+    truncation_artifacts): row-local sentence-boundary flags over the
+    documents table — codegen regex, zero shuffle."""
+    from feature_engineering_tk_spark.functions.cleaning import truncation_artifacts
+
+    d = _t(spark, sf_dir, "documents")
+    return truncation_artifacts(d).orderBy("doc_id")
+
+
 def q_winrate_ci(spark, sf_dir):
     """Wilson score intervals on the arena winrate table
     (operators/evals.py proportion_ci over model_winrates): row-local
@@ -5124,6 +5153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pmi": q_skipgram_pmi,
         "burst_scores": q_burst_scores,
         "near_loops": q_near_loops,
+        "mcnemar": q_mcnemar,
+        "truncation_audit": q_truncation_audit,
         "frequency_spectrum": q_frequency_spectrum,
         "multiclass_confusion": q_multiclass_confusion,
         "multiclass_metrics": q_multiclass_metrics,
@@ -10487,6 +10518,54 @@ def oracle_sql() -> dict[str, str]:
                        (acc, e) -> [acc[1] + acc[2] * e[1], acc[2] * 0.9])[1],
                      9) AS rbo
           FROM ov ORDER BY query_id
+    """
+    # McNemar: exact integer discordant counts + one division; verdict
+    # against the chi2(1) critical value, no p-value machinery.
+    d["mcnemar"] = """
+        WITH paired AS (
+          SELECT event_id AS item_id,
+                 (value >= 10) AS a,
+                 ((user_id + event_id) % 5 > 0) AS b
+            FROM events
+           WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_correct,
+                 CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+                 CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+                 CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_wrong
+            FROM paired
+        )
+        SELECT n_items, n_both_correct, n_only_a, n_only_b, n_both_wrong,
+               CASE WHEN n_only_a + n_only_b > 0 THEN
+                 round(greatest(CAST(abs(n_only_a - n_only_b) AS DOUBLE) - 1.0, 0.0)
+                       * greatest(CAST(abs(n_only_a - n_only_b) AS DOUBLE) - 1.0, 0.0)
+                       / CAST(n_only_a + n_only_b AS DOUBLE), 9) END AS statistic,
+               CASE WHEN n_only_a + n_only_b > 0 THEN
+                 round(greatest(CAST(abs(n_only_a - n_only_b) AS DOUBLE) - 1.0, 0.0)
+                       * greatest(CAST(abs(n_only_a - n_only_b) AS DOUBLE) - 1.0, 0.0)
+                       / CAST(n_only_a + n_only_b AS DOUBLE), 9) > 3.841458820694124
+               END AS significant_95
+          FROM agg
+    """
+    # Truncation audit: replay the rtrim/last-char regex flags.
+    d["truncation_audit"] = """
+        WITH src AS (
+          SELECT doc_id, text, rtrim(coalesce(text, '')) AS t FROM documents
+        ),
+        flags AS (
+          SELECT doc_id, text, length(t) AS n_chars,
+                 regexp_matches(right(t, 1), '[.!?…;"'')\\]}]') AS es,
+                 regexp_matches(right(t, 1), '[\\p{L}\\p{Nd}]') AS em,
+                 (text IS NOT NULL AND length(t) > 0) AS ok
+            FROM src
+        )
+        SELECT doc_id, n_chars,
+               CASE WHEN ok THEN es END AS ends_sentence,
+               CASE WHEN ok THEN em END AS ends_midword,
+               CASE WHEN ok THEN NOT es END AS truncated
+          FROM flags ORDER BY doc_id
     """
     # Near-loops: replay the role filter, Levenshtein similarity (both
     # engines implement the same unit-cost edit distance), and the

@@ -554,3 +554,42 @@ def special_token_rate(
             (F.col("n_contaminated") / F.col("n_docs")).alias("contamination_rate"),
         )
     )
+
+
+def truncation_artifacts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Truncated-generation detector for model-written / scraped
+    corpora: (id, n_chars, ends_sentence, ends_midword, truncated) —
+    a document whose trimmed text does not end at a sentence boundary
+    was usually cut by a context limit, a crawler timeout, or a
+    stop-sequence bug, and SFT-training on it teaches the model to
+    stop mid-thought.  Use as a filter (``truncated = False``) or an
+    audit facet before export.
+
+    ``ends_sentence``: last non-space char is sentence-final
+    (``. ! ? … ;`` or a closing quote/bracket immediately after one —
+    approximated as the char class ``[.!?…;"')\\]}]``).
+    ``ends_midword``: last char is a letter or digit (the strongest
+    truncation signal).  Empty/NULL text → NULL flags, never dropped.
+    Pure row-local codegen expressions — zero shuffle, zero UDF.
+    """
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+
+            raise ColumnNotFoundError(c, df.columns)
+    t = F.rtrim(F.coalesce(F.col(text_col), F.lit("")))
+    last = F.substring(t, -1, 1)
+    ok = F.col(text_col).isNotNull() & (F.length(t) > 0)
+    ends_sentence = last.rlike(r"[.!?…;\"'\)\]\}]")
+    ends_midword = last.rlike(r"[\p{L}\p{Nd}]")
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.when(ok, ends_sentence).alias("ends_sentence"),
+        F.when(ok, ends_midword).alias("ends_midword"),
+        F.when(ok, ~ends_sentence).alias("truncated"),
+    )

@@ -623,3 +623,64 @@ def proportion_ci(
     return df.withColumn(
         prefix + "lower", F.when(ok, lower)
     ).withColumn(prefix + "upper", F.when(ok, upper))
+
+
+def mcnemar_test(
+    df: DataFrame,
+    item_col: str = "item_id",
+    a_correct: str = "a_correct",
+    b_correct: str = "b_correct",
+    continuity: bool = True,
+    round_dp: int = 9,
+) -> DataFrame:
+    """McNemar's test on PAIRED per-item outcomes of two models — the
+    right significance test for "is model B actually better than A on
+    this eval?", because both models answered the SAME items and the
+    information is entirely in the discordant pairs (marginal-rate
+    z-tests throw away the pairing and overstate uncertainty).
+
+    One row: (n_items, n_both_correct, n_only_a, n_only_b,
+    n_both_wrong, statistic, significant_95) with
+    ``statistic = (|b−c|−1)²/(b+c)`` (continuity-corrected; drop the
+    −1 with ``continuity=False``) over the discordant counts
+    b = only-A-correct, c = only-B-correct, compared to the χ²₁ 95%
+    critical value 3.8414588… — the verdict needs no p-value
+    machinery, so the whole test is exact-integer + one division and
+    replays bit-for-bit in the oracle.  NULL statistic when b+c = 0
+    (models never disagree — no evidence either way).
+
+    ONE map-side-combined aggregation over boolean columns; rows with
+    a NULL on either side are excluded (unscored items).
+    """
+    for c in (item_col, a_correct, b_correct):
+        if c not in df.columns:
+            from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+
+            raise ColumnNotFoundError(c, df.columns)
+    a = F.col(a_correct).cast("boolean")
+    b = F.col(b_correct).cast("boolean")
+    src = df.where(a.isNotNull() & b.isNotNull())
+    cnt = lambda cond: F.sum(cond.cast("int")).alias  # noqa: E731
+    agg = src.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        cnt(a & b)("n_both_correct"),
+        cnt(a & ~b)("n_only_a"),
+        cnt(~a & b)("n_only_b"),
+        cnt(~a & ~b)("n_both_wrong"),
+    )
+    disc = F.col("n_only_a") + F.col("n_only_b")
+    diff = F.abs(F.col("n_only_a") - F.col("n_only_b")).cast("double")
+    num = (diff - F.lit(1.0)) if continuity else diff
+    # clamp at 0 so |b-c|=0 with continuity doesn't go negative
+    num = F.greatest(num, F.lit(0.0))
+    stat = F.round(num * num / disc.cast("double"), round_dp)
+    crit = 3.841458820694124  # chi2(1) at 95%
+    return agg.select(
+        "n_items",
+        "n_both_correct",
+        "n_only_a",
+        "n_only_b",
+        "n_both_wrong",
+        F.when(disc > 0, stat).alias("statistic"),
+        F.when(disc > 0, stat > F.lit(crit)).alias("significant_95"),
+    )

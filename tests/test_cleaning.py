@@ -379,3 +379,41 @@ def test_bm25_topk_filters_tokens_at_scan(spark):
     )
     plan = bm25_topk(docs, "a", k=2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+class TestTruncationArtifacts:
+    def test_flags(self, spark):
+        from feature_engineering_tk_spark.functions.cleaning import (
+            truncation_artifacts,
+        )
+
+        docs = [
+            (1, "A complete sentence."),
+            (2, "Cut off in the midd"),
+            (3, 'Ends with quote."'),
+            (4, "ends with digit 42"),
+            (5, "trailing spaces.   "),
+            (6, ""),
+            (7, None),
+        ]
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in truncation_artifacts(df).collect()}
+        assert got[1]["ends_sentence"] and not got[1]["truncated"]
+        assert got[2]["truncated"] and got[2]["ends_midword"]
+        assert got[3]["ends_sentence"]
+        assert got[4]["truncated"] and got[4]["ends_midword"]
+        # rtrim before the boundary check
+        assert got[5]["ends_sentence"] and got[5]["n_chars"] == 16
+        # empty/null: present with NULL flags, never dropped
+        for d in (6, 7):
+            assert got[d]["n_chars"] == 0 and got[d]["truncated"] is None
+
+    def test_missing_column(self, spark):
+        from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+        from feature_engineering_tk_spark.functions.cleaning import (
+            truncation_artifacts,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+        with pytest.raises(ColumnNotFoundError):
+            truncation_artifacts(df, text_col="nope")

@@ -578,3 +578,48 @@ class TestProportionCI:
         df = spark.createDataFrame([(1, 2)], "wins int, games int")
         with pytest.raises(ColumnNotFoundError):
             proportion_ci(df, "wins", "nope")
+
+
+class TestMcNemar:
+    def test_classic_example(self, spark):
+        from feature_engineering_tk_spark.operators.evals import mcnemar_test
+
+        rows = (
+            [(i, True, True) for i in range(20)]
+            + [(100 + i, True, False) for i in range(10)]
+            + [(200 + i, False, True) for i in range(2)]
+            + [(300 + i, False, False) for i in range(5)]
+            + [(400, None, True)]  # unscored item excluded
+        )
+        df = spark.createDataFrame(
+            rows, "item_id int, a_correct boolean, b_correct boolean"
+        )
+        r = mcnemar_test(df).first()
+        assert r["n_items"] == 37
+        assert (r["n_only_a"], r["n_only_b"]) == (10, 2)
+        # (|10-2|-1)^2 / 12
+        assert r["statistic"] == pytest.approx(49 / 12, abs=1e-9)
+        assert r["significant_95"] is True
+        r2 = mcnemar_test(df, continuity=False).first()
+        assert r2["statistic"] == pytest.approx(64 / 12, abs=1e-9)
+
+    def test_no_discordance_is_null(self, spark):
+        from feature_engineering_tk_spark.operators.evals import mcnemar_test
+
+        df = spark.createDataFrame(
+            [(1, True, True), (2, False, False)],
+            "item_id int, a_correct boolean, b_correct boolean",
+        )
+        r = mcnemar_test(df).first()
+        assert r["statistic"] is None and r["significant_95"] is None
+
+    def test_continuity_clamp_at_zero(self, spark):
+        from feature_engineering_tk_spark.operators.evals import mcnemar_test
+
+        # b == c: |b-c|-1 would be negative; clamped to 0, never NaN
+        df = spark.createDataFrame(
+            [(1, True, False), (2, False, True)],
+            "item_id int, a_correct boolean, b_correct boolean",
+        )
+        r = mcnemar_test(df).first()
+        assert r["statistic"] == 0.0 and r["significant_95"] is False
