@@ -829,6 +829,13 @@ class TranscriptAnalyzer:
 
         return detect_loops(self.df, **kw)
 
+    def near_loops(self, **kw):
+        """Fuzzy (edit-distance) loop detection — catches paraphrase
+        loops detect_loops' verbatim hashing misses."""
+        from feature_engineering_tk_spark.operators.transcripts import near_loops
+
+        return near_loops(self.df, **kw)
+
     def tool_roundtrip(self, **kw):
         from feature_engineering_tk_spark.operators.transcripts import (
             tool_roundtrip,
@@ -899,10 +906,22 @@ class EvalSuite:
     def __init__(self, df: DataFrame):
         self.df = df
 
-    def winrates(self, **kw):
-        from feature_engineering_tk_spark.operators.evals import model_winrates
+    def winrates(self, with_ci: bool = False, **kw):
+        """Per-model battle records; ``with_ci=True`` appends Wilson
+        score interval bounds on the winrate."""
+        from feature_engineering_tk_spark.operators.evals import (
+            model_winrates,
+            proportion_ci,
+        )
 
-        return model_winrates(self.df, **kw)
+        wr = model_winrates(self.df, **kw)
+        return proportion_ci(wr, "n_wins", "n_games") if with_ci else wr
+
+    def mcnemar(self, **kw):
+        """Paired two-model significance test on per-item outcomes."""
+        from feature_engineering_tk_spark.operators.evals import mcnemar_test
+
+        return mcnemar_test(self.df, **kw)
 
     def head_to_head(self, **kw):
         from feature_engineering_tk_spark.operators.evals import head_to_head

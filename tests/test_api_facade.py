@@ -354,3 +354,33 @@ def test_ranking_and_reshape_facades(spark):
     assert "rc" in out.df.columns
     # op history records the call for export_summary parity
     assert any(h["operation"] == "create_rolling_corr" for h in out.operation_history)
+
+
+def test_round5_new_facades(spark):
+    import feature_engineering_tk_spark as fe
+
+    tr = spark.createDataFrame(
+        [
+            ("c", 0, "assistant", "I apologize, let me retry option A"),
+            ("c", 1, "assistant", "I apologize, let me retry option B"),
+            ("c", 2, "assistant", "I apologize, let me retry option C"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    nl = fe.TranscriptAnalyzer(tr).near_loops(similarity=0.8, min_repeats=3)
+    assert nl.first()["has_near_loop"] is True
+
+    battles = spark.createDataFrame(
+        [("m1", "m2", "m1")] * 6 + [("m1", "m2", "m2")] * 2,
+        "model_a string, model_b string, winner string",
+    )
+    wr = fe.EvalSuite(battles).winrates(with_ci=True)
+    row = {r["model"]: r for r in wr.collect()}
+    assert 0.0 <= row["m1"]["ci_lower"] <= row["m1"]["ci_upper"] <= 1.0
+
+    paired = spark.createDataFrame(
+        [(i, True, False) for i in range(9)] + [(100, False, True)],
+        "item_id int, a_correct boolean, b_correct boolean",
+    )
+    mc = fe.EvalSuite(paired).mcnemar().first()
+    assert mc["n_only_a"] == 9 and mc["n_only_b"] == 1
