@@ -2843,6 +2843,33 @@ def q_near_loops(spark, sf_dir):
     return near_loops(tr, similarity=0.8, min_repeats=3).orderBy("conv_id")
 
 
+def q_tool_arg_schema(spark, sf_dir):
+    """Observed tool-argument schema census (operators/transcripts.py
+    tool_arg_schema): events play tool calls — a third of calls carry
+    the bare props blob, most carry a two-key payload, every 7th is
+    malformed; the census separates int/float/bool/null/str values
+    per (tool, key) with presence shares over PARSED calls only.
+    Row-local parse + explode, one schema-sized groupBy."""
+    from feature_engineering_tk_spark.operators.transcripts import tool_arg_schema
+
+    ev = _t(spark, sf_dir, "events")
+    args = (
+        F.when(F.col("user_id") % 7 == 0, F.lit("broken"))
+        .when(F.col("user_id") % 3 == 0, F.col("props"))
+        .otherwise(
+            F.concat(
+                F.lit('{"k": '),
+                F.col("user_id").cast("string"),
+                F.lit(', "flag": true}'),
+            )
+        )
+    )
+    calls = ev.where(F.col("user_id").isNotNull()).select(
+        F.col("event_type").alias("tool"), args.alias("tool_args")
+    )
+    return tool_arg_schema(calls).orderBy("tool", "key")
+
+
 def q_conversation_dedup(spark, sf_dir):
     """Sequence-level conversation dedup (operators/transcripts.py):
     fingerprint = hash of the ordered (role, text) turn sequence;
@@ -5155,6 +5182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_loops": q_near_loops,
         "mcnemar": q_mcnemar,
         "truncation_audit": q_truncation_audit,
+        "tool_arg_schema": q_tool_arg_schema,
         "frequency_spectrum": q_frequency_spectrum,
         "multiclass_confusion": q_multiclass_confusion,
         "multiclass_metrics": q_multiclass_metrics,
@@ -10518,6 +10546,52 @@ def oracle_sql() -> dict[str, str]:
                        (acc, e) -> [acc[1] + acc[2] * e[1], acc[2] * 0.9])[1],
                      9) AS rbo
           FROM ov ORDER BY query_id
+    """
+    # Tool-arg schema: replay parse (TRY_CAST to JSON = from_json null
+    # on malformed), json_keys explode, value type regexes, shares.
+    d["tool_arg_schema"] = """
+        WITH calls AS (
+          SELECT event_type AS tool,
+                 CASE WHEN user_id % 7 = 0 THEN 'broken'
+                      WHEN user_id % 3 = 0 THEN props
+                      ELSE '{"k": ' || CAST(user_id AS VARCHAR) || ', "flag": true}'
+                 END AS args
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        parsed AS (SELECT tool, TRY_CAST(args AS JSON) AS j FROM calls),
+        totals AS (
+          SELECT tool, CAST(sum(CASE WHEN j IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed
+            FROM parsed GROUP BY tool
+        ),
+        kv AS (
+          SELECT tool, unnest(json_keys(j)) AS key, j
+            FROM parsed WHERE j IS NOT NULL
+        ),
+        vals AS (
+          SELECT tool, key,
+                 json_extract_string(j, '$."' || key || '"') AS v
+            FROM kv
+        ),
+        typed AS (
+          SELECT tool, key,
+                 CAST(count(*) AS BIGINT) AS n_occurrences,
+                 CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                 CAST(sum(CASE WHEN v IS NOT NULL AND regexp_matches(v, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+                 CAST(sum(CASE WHEN v IS NOT NULL AND NOT regexp_matches(v, '^-?[0-9]+$')
+                                AND regexp_matches(v, '^-?[0-9]+\\.[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_float,
+                 CAST(sum(CASE WHEN v IS NOT NULL AND NOT regexp_matches(v, '^-?[0-9]+$')
+                                AND NOT regexp_matches(v, '^-?[0-9]+\\.[0-9]+$')
+                                AND v IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+                 CAST(sum(CASE WHEN v IS NOT NULL AND NOT regexp_matches(v, '^-?[0-9]+$')
+                                AND NOT regexp_matches(v, '^-?[0-9]+\\.[0-9]+$')
+                                AND v NOT IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT) AS n_str
+            FROM vals GROUP BY tool, key
+        )
+        SELECT t.tool, t.key, t.n_occurrences,
+               CAST(t.n_occurrences AS DOUBLE) / tt.n_parsed AS share,
+               t.n_int, t.n_float, t.n_bool, t.n_null, t.n_str
+          FROM typed t JOIN totals tt USING (tool)
+         ORDER BY t.tool, t.key
     """
     # McNemar: exact integer discordant counts + one division; verdict
     # against the chi2(1) critical value, no p-value machinery.

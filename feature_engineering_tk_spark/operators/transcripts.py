@@ -1179,3 +1179,71 @@ def near_loops(
         "max_similarity",
         (max_chain >= F.lit(int(min_repeats))).alias("has_near_loop"),
     )
+
+
+def tool_arg_schema(
+    df: DataFrame,
+    tool_col: str = "tool",
+    args_col: str = "tool_args",
+) -> DataFrame:
+    """Infer the OBSERVED argument schema of every tool from its call
+    record: one row per (tool, key) with occurrence counts and a
+    value-type census — (tool, key, n_occurrences, share, n_int,
+    n_float, n_bool, n_null, n_str).  ``share`` = key presence among
+    the tool's PARSED calls, so a "required" argument shows share
+    ≈ 1.0 and a sometimes-missing one < 1 — the contract drift audit
+    for agent transcripts (a tool whose ``query`` share drops after a
+    prompt change is the incident signal), and the schema you need
+    before writing ``validate_tool_args(required=...)`` rules.
+
+    Types are classified from the JSON-string values by anchored
+    RE2-safe regex (integer / decimal float / true|false / null /
+    everything-else string — JSON numbers arrive as strings through
+    the ``from_json`` map cast, the validate_tool_args convention).
+    Flat JSON objects assumed (nested args count as strings).
+
+    Scale shape: parse + explode are row-local; ONE map-side-combined
+    groupBy on (tool, key) — output is schema-sized; per-tool parsed
+    totals are an aggregate-sized broadcast join.  Unparseable calls
+    count in nothing but the denominator's complement (they have no
+    keys); tools with zero parsed calls are absent.
+    """
+    for c in (tool_col, args_col):
+        if c not in df.columns:
+            from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+
+            raise ColumnNotFoundError(c, df.columns)
+    parsed = F.from_json(F.col(args_col), "map<string,string>")
+    calls = df.where(F.col(tool_col).isNotNull()).select(
+        F.col(tool_col).alias("tool"), parsed.alias("_pj")
+    )
+    totals = calls.groupBy("tool").agg(
+        F.sum(F.col("_pj").isNotNull().cast("long")).alias("_n_parsed")
+    )
+    kv = calls.where(F.col("_pj").isNotNull()).select(
+        "tool", F.explode("_pj").alias("key", "_v")
+    )
+    is_int = F.col("_v").rlike(r"^-?[0-9]+$")
+    is_float = F.col("_v").rlike(r"^-?[0-9]+\.[0-9]+$")
+    is_bool = F.col("_v").isin("true", "false")
+    is_null = F.col("_v").isNull()
+    flag = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    schema = kv.groupBy("tool", "key").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        flag(is_null).alias("n_null"),
+        flag(~is_null & is_int).alias("n_int"),
+        flag(~is_null & ~is_int & is_float).alias("n_float"),
+        flag(~is_null & ~is_int & ~is_float & is_bool).alias("n_bool"),
+        flag(~is_null & ~is_int & ~is_float & ~is_bool).alias("n_str"),
+    )
+    return schema.join(F.broadcast(totals), "tool").select(
+        "tool",
+        "key",
+        "n_occurrences",
+        (F.col("n_occurrences") / F.col("_n_parsed")).alias("share"),
+        "n_int",
+        "n_float",
+        "n_bool",
+        "n_null",
+        "n_str",
+    )

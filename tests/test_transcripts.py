@@ -1072,3 +1072,47 @@ class TestNearLoops:
             near_loops(df, similarity=0.0)
         with pytest.raises(ValueError):
             near_loops(df, min_repeats=1)
+
+
+class TestToolArgSchema:
+    def test_schema_census(self, spark):
+        from feature_engineering_tk_spark.operators.transcripts import (
+            tool_arg_schema,
+        )
+
+        rows = [
+            ("search", '{"query": "spark", "limit": 10}'),
+            ("search", '{"query": "duck", "limit": 20, "fuzzy": true}'),
+            ("search", '{"query": "iceberg"}'),
+            ("search", "not json at all"),
+            ("calc", '{"x": 1.5, "y": -2}'),
+            ("calc", '{"x": 2.5, "y": 3, "label": null}'),
+            (None, '{"ignored": 1}'),
+        ]
+        df = spark.createDataFrame(rows, "tool string, tool_args string")
+        got = {
+            (r["tool"], r["key"]): r for r in tool_arg_schema(df).collect()
+        }
+        # share over PARSED calls (3 for search — the malformed one is
+        # only the denominator's complement)
+        q = got[("search", "query")]
+        assert q["n_occurrences"] == 3 and q["share"] == pytest.approx(1.0)
+        assert q["n_str"] == 3
+        lim = got[("search", "limit")]
+        assert lim["share"] == pytest.approx(2 / 3) and lim["n_int"] == 2
+        assert got[("search", "fuzzy")]["n_bool"] == 1
+        assert got[("calc", "x")]["n_float"] == 2
+        assert got[("calc", "y")]["n_int"] == 2  # negative int classified
+        assert got[("calc", "label")]["n_null"] == 1
+        # null-tool rows excluded entirely
+        assert all(t is not None for t, _ in got)
+
+    def test_missing_column(self, spark):
+        from feature_engineering_tk_spark.exceptions import ColumnNotFoundError
+        from feature_engineering_tk_spark.operators.transcripts import (
+            tool_arg_schema,
+        )
+
+        df = spark.createDataFrame([("t", "{}")], "tool string, tool_args string")
+        with pytest.raises(ColumnNotFoundError):
+            tool_arg_schema(df, args_col="nope")
