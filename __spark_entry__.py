@@ -3788,6 +3788,38 @@ def q_adjacent_similarity(spark, sf_dir):
     ).select("vec_id", "label", "prev_cosine", "is_boundary")
 
 
+def q_topic_segments(spark, sf_dir):
+    """Topic segmentation (functions/embeddings.py topic_segments):
+    adjacent_similarity's boundary flags plus a 0-based running
+    segment id — the cumsum shares the one label-partitioned window
+    exchange; RAG chunking that never straddles a topic."""
+    from feature_engineering_tk_spark.functions.embeddings import topic_segments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return topic_segments(
+        emb, "embedding", order=["vec_id"], by="label", threshold=0.1
+    ).select("vec_id", "label", "prev_cosine", "is_boundary", "segment_id")
+
+
+def q_dedup_best(spark, sf_dir):
+    """Quality-priority exact dedup (operators/dedup.py exact_dedup
+    with score_col): 20-char text prefixes force duplicate groups by
+    pigeonhole; the survivor is the LONGEST copy (min doc_id on ties,
+    NULL scores lose) instead of the min id — the mirrored-crawl
+    'keep the cleanest copy' policy.  One hash-key exchange serves
+    the rank window and the copy count."""
+    from feature_engineering_tk_spark.operators.dedup import exact_dedup
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("key_text", F.substring("text", 1, 20))
+        .withColumn("quality", F.length("text"))
+    )
+    return exact_dedup(d, "key_text", "doc_id", score_col="quality").orderBy(
+        "doc_id"
+    )
+
+
 def q_dataset_fingerprint(spark, sf_dir):
     """Order-invariant snapshot checksum (sources/tables.py
     dataset_fingerprint): per-row md5-60bit hashes of a unit-separator
@@ -5183,6 +5215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnemar": q_mcnemar,
         "truncation_audit": q_truncation_audit,
         "tool_arg_schema": q_tool_arg_schema,
+        "topic_segments": q_topic_segments,
+        "dedup_best": q_dedup_best,
         "frequency_spectrum": q_frequency_spectrum,
         "multiclass_confusion": q_multiclass_confusion,
         "multiclass_metrics": q_multiclass_metrics,
@@ -9937,6 +9971,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, label, prev_cosine,
                coalesce(prev_cosine < 0.1, false) AS is_boundary
           FROM c
+    """
+    # Topic segments: the adjacent_similarity replay plus a per-label
+    # running boundary count.
+    d["topic_segments"] = d["adjacent_similarity"].replace(
+        """SELECT vec_id, label, prev_cosine,
+               coalesce(prev_cosine < 0.1, false) AS is_boundary
+          FROM c""",
+        """SELECT vec_id, label, prev_cosine,
+               coalesce(prev_cosine < 0.1, false) AS is_boundary,
+               CAST(sum(CASE WHEN coalesce(prev_cosine < 0.1, false)
+                             THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY label ORDER BY vec_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS segment_id
+          FROM c""",
+    )
+    d["dedup_best"] = """
+        WITH src AS (
+          SELECT doc_id, substr(text, 1, 20) AS k, length(text) AS quality
+            FROM documents
+        ),
+        g AS (
+          SELECT doc_id, quality,
+                 trim(regexp_replace(lower(k), '\\s+', ' ', 'g')) AS nk,
+                 length(k) AS lk
+            FROM src
+        ),
+        r AS (
+          SELECT doc_id,
+                 CAST(count(*) OVER (PARTITION BY nk, lk) AS BIGINT) AS n_copies,
+                 row_number() OVER (PARTITION BY nk, lk
+                                    ORDER BY quality DESC NULLS LAST, doc_id ASC) AS rn
+            FROM g
+        )
+        SELECT doc_id, n_copies FROM r WHERE rn = 1 ORDER BY doc_id
     """
     d["dataset_fingerprint"] = (
         """

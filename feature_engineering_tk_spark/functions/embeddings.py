@@ -278,3 +278,43 @@ def adjacent_similarity(
             F.coalesce(F.col("prev_cosine") < F.lit(float(threshold)), F.lit(False)),
         )
     return out
+
+
+def topic_segments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    order: list | None = None,
+    by: str | None = None,
+    threshold: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Topic segmentation over an ordered embedding sequence — the
+    completion of :func:`adjacent_similarity`'s TextTiling primitive:
+    appends ``prev_cosine``, ``is_boundary`` AND a 0-based
+    ``segment_id`` (cumulative boundary count per group), so
+    downstream chunking / per-topic rollups can group directly.
+
+    A turn whose embedding's cosine to its predecessor drops below
+    ``threshold`` starts a new segment; each group's first row starts
+    segment 0.  Use for conversation chunking at topic boundaries
+    (RAG windows that don't straddle topics) or long-document
+    section splits.
+
+    Scale shape: the boundary flags and the running sum share the ONE
+    ``partitionBy(by)`` window exchange — no second shuffle; the
+    running count is an integer cumsum, deterministic wherever the
+    rounded cosines are (the adjacent_similarity convention).
+    """
+    from pyspark.sql import Window
+
+    order = order or ["vec_id"]
+    flagged = adjacent_similarity(
+        df, vec_col=vec_col, order=order, by=by,
+        threshold=threshold, decimals=decimals,
+    )
+    w = (Window.partitionBy(by) if by else Window.partitionBy()).orderBy(
+        *order
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return flagged.withColumn(
+        "segment_id", F.sum(F.col("is_boundary").cast("int")).over(w)
+    )

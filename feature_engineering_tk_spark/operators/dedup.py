@@ -71,18 +71,43 @@ def _token_hash(c: Column, hash_mode: str) -> Column:
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Exact dedup on normalized text. Groups by ``xxhash64(text)``
     so the shuffle carries 8-byte keys, not documents; survivors =
     min id per hash group. (Hash collision risk 2^-64·n² — acceptable;
-    add length to the key to tighten.)"""
+    add length to the key to tighten.)
+
+    ``score_col`` switches survivor selection from min-id to
+    QUALITY-PRIORITY: keep the highest-scoring copy (min id breaks
+    ties; NULL scores lose to any scored copy) — the right policy
+    when duplicates differ in metadata quality (the cleanest crawl of
+    a mirrored page, the best-OCR scan).  Same single hash-key
+    exchange: the rank window and the copy count share one partition.
+    """
     h = F.xxhash64(_norm_text(F.col(text_col)), F.length(F.col(text_col)))
+    if score_col is None:
+        return (
+            df.withColumn("_h", h)
+            .groupBy("_h")
+            .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+            .drop("_h")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_h").orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("_h")
     return (
         df.withColumn("_h", h)
-        .groupBy("_h")
-        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
-        .drop("_h")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "n_copies")
     )
 
 

@@ -566,3 +566,37 @@ def test_split_leakage_audit_finds_cross_side_neardups(spark):
     assert set(pairs) == {(1, 3)}  # only the cross-side leak
     side_a, side_b, j = pairs[(1, 3)]
     assert {side_a, side_b} == {"train", "test"} and j == 1.0
+
+
+class TestExactDedupBest:
+    def test_quality_priority_survivor(self, spark):
+        from feature_engineering_tk_spark.operators.dedup import exact_dedup
+
+        docs = [
+            (1, "same content", 5),
+            (2, "same content", 9),
+            (3, "same content", 9),   # score tie -> min id among best
+            (4, "unique", None),
+        ]
+        df = spark.createDataFrame(docs, "doc_id int, text string, quality int")
+        got = {
+            r["doc_id"]: r["n_copies"]
+            for r in exact_dedup(df, "text", "doc_id", score_col="quality").collect()
+        }
+        assert got == {2: 3, 4: 1}
+
+    def test_null_scores_lose(self, spark):
+        from feature_engineering_tk_spark.operators.dedup import exact_dedup
+
+        docs = [(1, "x", None), (2, "x", 1), (3, "x", None)]
+        df = spark.createDataFrame(docs, "doc_id int, text string, quality int")
+        got = {r["doc_id"] for r in exact_dedup(df, "text", "doc_id", score_col="quality").collect()}
+        assert got == {2}
+
+    def test_default_path_unchanged(self, spark):
+        from feature_engineering_tk_spark.operators.dedup import exact_dedup
+
+        docs = [(2, "x", 9), (1, "x", 1)]
+        df = spark.createDataFrame(docs, "doc_id int, text string, quality int")
+        got = {r["doc_id"] for r in exact_dedup(df, "text", "doc_id").collect()}
+        assert got == {1}  # min id, score ignored

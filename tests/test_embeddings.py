@@ -233,3 +233,40 @@ def test_quantize_embeddings_and_quantized_topk(spark):
     assert qtop == ftop == [0, 1, 2]
     with pytest.raises(ValueError):
         quantized_cosine_topk(qz, [1.0, 0.0, 0.0], k=0)
+
+
+class TestTopicSegments:
+    def test_segment_ids(self, spark):
+        from feature_engineering_tk_spark.functions.embeddings import topic_segments
+
+        rows = [
+            ("c", 0, [1.0, 0.0]), ("c", 1, [0.9, 0.1]),
+            ("c", 2, [0.0, 1.0]), ("c", 3, [0.1, 0.9]),
+            ("c", 4, [1.0, 0.0]),
+            ("d", 0, [1.0, 0.0]),  # independent group restarts at 0
+        ]
+        df = spark.createDataFrame(
+            rows, "label string, vec_id int, embedding array<double>"
+        )
+        out = topic_segments(df, by="label", order=["vec_id"], threshold=0.5)
+        segs = {
+            (r["label"], r["vec_id"]): r["segment_id"]
+            for r in out.collect()
+        }
+        assert [segs[("c", i)] for i in range(5)] == [0, 0, 1, 1, 2]
+        assert segs[("d", 0)] == 0
+
+    def test_boundary_consistency(self, spark):
+        # segment increments exactly where is_boundary fires
+        from feature_engineering_tk_spark.functions.embeddings import topic_segments
+
+        rows = [("g", i, [float(i % 2), float(1 - i % 2)]) for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "label string, vec_id int, embedding array<double>"
+        )
+        out = topic_segments(df, by="label", order=["vec_id"], threshold=0.5)
+        prev = None
+        for r in out.orderBy("vec_id").collect():
+            if prev is not None:
+                assert r["segment_id"] == prev + (1 if r["is_boundary"] else 0)
+            prev = r["segment_id"]
